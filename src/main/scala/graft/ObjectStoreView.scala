@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic object-store namespace derived from the TPC-H testdata.
+  *
+  * The reference's namespace is volumes → buckets → keys with per-key size,
+  * modification time, replication config and (for in-flight writes) an OPEN
+  * state (see /root/reference/hadoop-ozone/common/src/main/java/org/apache/
+  * hadoop/ozone/om/helpers/OmKeyInfo.java). To exercise the namespace
+  * operators against the driver's parquet tables with a DuckDB oracle, we
+  * derive a key table from `lineitem` with a fixed arithmetic mapping — the
+  * operators in [[graft.operators.Namespace]] are generic over any DataFrame
+  * with this schema; this mapping is only the test binding.
+  *
+  * Schema: volume STRING, bucket STRING, key STRING (path under the bucket,
+  * '/'-separated), size BIGINT (bytes), mtime TIMESTAMP, replication INT
+  * (actual replica count), state STRING (OPEN | CLOSED).
+  *
+  * Every column below is expressible in ANSI SQL so the driver's DuckDB
+  * oracle can rebuild the identical namespace (see SparkEntry.keysSql).
+  */
+object ObjectStoreView {
+
+  /** The keys table: one object per lineitem row. Path layout
+    * data/<year>/<month>/<orderkey>-<linenumber>.obj gives a 3-level
+    * directory tree for du / listing semantics.
+    */
+  def keys(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    l.select(
+      concat(lit("vol"), (col("l_orderkey") % 3).cast("string")).as("volume"),
+      concat(lit("b"), (col("l_suppkey") % 5).cast("string")).as("bucket"),
+      concat(
+        lit("data/"), year(col("l_shipdate")).cast("string"),
+        lit("/"), lpad(month(col("l_shipdate")).cast("string"), 2, "0"),
+        lit("/"), col("l_orderkey").cast("string"),
+        lit("-"), col("l_linenumber").cast("string"), lit(".obj")).as("key"),
+      (col("l_extendedprice") * 100).cast("bigint").as("size"),
+      col("l_shipdate").as("mtime"),
+      (lit(1) + (col("l_partkey") % 4)).cast("int").as("replication"),
+      when(col("l_linestatus") === "O", "OPEN").otherwise("CLOSED").as("state"))
+  }
+
+  /** DuckDB SQL building the identical keys table (kept in lock-step with
+    * [[keys]]); interpolated into namespace oracle queries as a CTE.
+    */
+  val keysSql: String =
+    """SELECT
+      |  'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,
+      |  'b' || CAST(l_suppkey % 5 AS VARCHAR) AS bucket,
+      |  'data/' || CAST(year(l_shipdate) AS VARCHAR) || '/' ||
+      |    lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |    CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
+      |  CAST(l_extendedprice * 100 AS BIGINT) AS size,
+      |  l_shipdate AS mtime,
+      |  CAST(1 + (l_partkey % 4) AS INTEGER) AS replication,
+      |  CASE WHEN l_linestatus = 'O' THEN 'OPEN' ELSE 'CLOSED' END AS state
+      |FROM lineitem""".stripMargin
+
+  /** Two snapshot states of the namespace for snapshot-diff semantics
+    * (reference: OM snapshot machinery, /root/reference/hadoop-ozone/
+    * ozone-manager/.../om/snapshot/). Snapshot A is the namespace as of
+    * 1997-01-01; snapshot B as of 1998-01-01 with RETURNFLAG='R' keys
+    * dropped (deletes) and RETURNFLAG='A' keys grown by 1 KiB (modifies).
+    */
+  def snapshotA(spark: SparkSession, sfDir: String): DataFrame =
+    withFlag(spark, sfDir)
+      .filter(col("mtime") < lit("1997-01-01").cast("timestamp"))
+      .drop("rflag")
+
+  def snapshotB(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = withFlag(spark, sfDir)
+      .filter(col("mtime") < lit("1998-01-01").cast("timestamp"))
+      .filter(col("rflag") =!= "R")
+    k.withColumn("size",
+        when(col("rflag") === "A", col("size") + 1024).otherwise(col("size")))
+      .drop("rflag")
+  }
+
+  private def withFlag(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    keysFrom(l).withColumn("rflag", col("l_returnflag")).drop(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_linestatus", "l_shipdate")
+  }
+
+  /** keys() but keeping the source columns alongside (for flag access). */
+  private def keysFrom(l: DataFrame): DataFrame =
+    l.select(col("*"),
+      concat(lit("vol"), (col("l_orderkey") % 3).cast("string")).as("volume"),
+      concat(lit("b"), (col("l_suppkey") % 5).cast("string")).as("bucket"),
+      concat(
+        lit("data/"), year(col("l_shipdate")).cast("string"),
+        lit("/"), lpad(month(col("l_shipdate")).cast("string"), 2, "0"),
+        lit("/"), col("l_orderkey").cast("string"),
+        lit("-"), col("l_linenumber").cast("string"), lit(".obj")).as("key"),
+      (col("l_extendedprice") * 100).cast("bigint").as("size"),
+      col("l_shipdate").as("mtime"),
+      (lit(1) + (col("l_partkey") % 4)).cast("int").as("replication"),
+      when(col("l_linestatus") === "O", "OPEN").otherwise("CLOSED").as("state"))
+
+  /** Oracle CTE text for snapshots A and B. */
+  val snapshotASql: String =
+    s"""SELECT volume, bucket, key, size, mtime, replication, state
+       |FROM ($keysSql) base_keys
+       |WHERE mtime < TIMESTAMP '1997-01-01'""".stripMargin
+
+  val snapshotBSql: String =
+    """SELECT volume, bucket, key,
+      |  CASE WHEN l_returnflag = 'A' THEN size + 1024 ELSE size END AS size,
+      |  mtime, replication, state
+      |FROM (
+      |  SELECT l_returnflag,
+      |    'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,
+      |    'b' || CAST(l_suppkey % 5 AS VARCHAR) AS bucket,
+      |    'data/' || CAST(year(l_shipdate) AS VARCHAR) || '/' ||
+      |      lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
+      |      CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
+      |    CAST(l_extendedprice * 100 AS BIGINT) AS size,
+      |    l_shipdate AS mtime,
+      |    CAST(1 + (l_partkey % 4) AS INTEGER) AS replication,
+      |    CASE WHEN l_linestatus = 'O' THEN 'OPEN' ELSE 'CLOSED' END AS state
+      |  FROM lineitem
+      |  WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_returnflag <> 'R'
+      |) snap_b_base""".stripMargin
+
+  /** Multipart uploads in flight: one upload per open order, parts = its
+    * lineitems (reference: S3InitiateMultipartUploadRequest + part key
+    * tracking, /root/reference/hadoop-ozone/ozone-manager/.../request/s3/
+    * multipart/).
+    */
+  def mpuParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O")
+    val l = Tables.lineitem(spark, sfDir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(
+        concat(lit("upload-"), col("o_orderkey").cast("string")).as("upload_id"),
+        col("l_linenumber").as("part_number"),
+        (col("l_extendedprice") * 100).cast("bigint").as("part_bytes"))
+  }
+
+  val mpuPartsSql: String =
+    """SELECT 'upload-' || CAST(o_orderkey AS VARCHAR) AS upload_id,
+      |  l_linenumber AS part_number,
+      |  CAST(l_extendedprice * 100 AS BIGINT) AS part_bytes
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'O'""".stripMargin
+}

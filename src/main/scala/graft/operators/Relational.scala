@@ -1,0 +1,349 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational query surface (SURVEY §2.B).
+  *
+  * These are the query shapes a Spark user runs over data stored in the
+  * reference object store (via its Hadoop FileSystem facade,
+  * /root/reference/hadoop-ozone/ozonefs/). Each is a declarative DataFrame
+  * plan so Catalyst handles pushdown / pruning / join selection; dimension
+  * tables are explicitly broadcast.
+  *
+  * Oracle discipline (SURVEY §4): money aggregates are rounded per-row to
+  * 2 decimals then cast to DECIMAL(18,2) BEFORE summing — decimal addition
+  * is associative so Spark's parallel partial aggregation matches DuckDB's
+  * serial sum exactly. The final exact decimal is cast to DOUBLE on both
+  * sides so output types are unambiguous across engines.
+  */
+object Relational {
+
+  /** Exact-decimal money term (2-decimal source values cast losslessly). */
+  private def m(c: Column) = c.cast("decimal(12,2)")
+
+  /** Small multiplier term like (1 - discount), value in [0, 9.99]. */
+  private def f(c: Column) = c.cast("decimal(4,2)")
+
+  /** Money aggregate: decimal terms multiply exactly (no rounding, bounded
+    * precision), decimal addition is associative, so Spark's parallel sum
+    * equals DuckDB's serial sum exactly; emitted as DOUBLE.
+    */
+  private def sumMoney(c: Column) = sum(c).cast("double")
+
+  /** DuckDB fragments matching [[m]]/[[f]]/[[sumMoney]]. */
+  private def mSql(e: String) = s"CAST($e AS DECIMAL(12,2))"
+  private def fSql(e: String) = s"CAST($e AS DECIMAL(4,2))"
+  private def sumMoneySql(expr: String) = s"CAST(SUM($expr) AS DOUBLE)"
+
+  // --- q1_pricing_summary: TPC-H Q1 shape -------------------------------
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    l.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(m(col("l_quantity"))).as("sum_qty"),
+        sumMoney(m(col("l_extendedprice"))).as("sum_base_price"),
+        sumMoney(m(col("l_extendedprice")) * f(lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        sumMoney(m(col("l_extendedprice")) * f(lit(1) - col("l_discount"))
+          * f(lit(1) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price",
+        round(col("sum_base_price") / col("count_order"), 6))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "count_order")
+  }
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sumMoneySql(mSql("l_quantity"))} AS sum_qty,
+       |  ${sumMoneySql(mSql("l_extendedprice"))} AS sum_base_price,
+       |  ${sumMoneySql(mSql("l_extendedprice") + " * " + fSql("1 - l_discount"))} AS sum_disc_price,
+       |  ${sumMoneySql(mSql("l_extendedprice") + " * " + fSql("1 - l_discount") + " * " + fSql("1 + l_tax"))} AS sum_charge,
+       |  round(${sumMoneySql(mSql("l_quantity"))} / COUNT(*), 6) AS avg_qty,
+       |  round(${sumMoneySql(mSql("l_extendedprice"))} / COUNT(*), 6) AS avg_price,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // --- q3_shipping_priority: join + agg + top-k -------------------------
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1995-03-15").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cut)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cut)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sumMoney(m(col("l_extendedprice")) * f(lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  ${sumMoneySql(mSql("l_extendedprice") + " * " + fSql("1 - l_discount"))} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1995-03-15'
+       |  AND l_shipdate > TIMESTAMP '1995-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  // --- q5_local_supplier_volume: 6-way join, dims broadcast -------------
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sumMoney(m(col("l_extendedprice")) * f(lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |  ${sumMoneySql(mSql("l_extendedprice") + " * " + fSql("1 - l_discount"))} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  // --- q_market_segment_share: filtered agg + HAVING --------------------
+  def qMarketSegmentShare(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        sumMoney(m(col("o_totalprice"))).as("total_revenue"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("urgent_orders"))
+      .filter(col("order_count") > 10)
+      .orderBy(col("c_mktsegment").asc)
+  }
+
+  val qMarketSegmentShareSql: String =
+    s"""SELECT c_mktsegment,
+       |  COUNT(*) AS order_count,
+       |  ${sumMoneySql(mSql("o_totalprice"))} AS total_revenue,
+       |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment
+       |HAVING COUNT(*) > 10
+       |ORDER BY c_mktsegment ASC""".stripMargin
+
+  // --- q_top_orders_per_cust: window rank-per-group ---------------------
+  def qTopOrdersPerCust(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_price"), col("rk"))
+      .filter(col("o_custkey") <= 100)
+      .orderBy(col("o_custkey").asc, col("rk").asc)
+  }
+
+  val qTopOrdersPerCustSql: String =
+    """SELECT o_custkey, o_orderkey, o_price, rk FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    round(o_totalprice, 2) AS o_price,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders
+      |) t WHERE rk <= 3 AND o_custkey <= 100
+      |ORDER BY o_custkey ASC, rk ASC""".stripMargin
+
+  // --- q_rollup_sales: hierarchical ROLLUP ------------------------------
+  def qRollupSales(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.rollup(year(col("l_shipdate")).as("ship_year"), col("l_returnflag"))
+      .agg(
+        sumMoney(m(col("l_extendedprice"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("ship_year").asc_nulls_first,
+        col("l_returnflag").asc_nulls_first)
+  }
+
+  val qRollupSalesSql: String =
+    s"""SELECT year(l_shipdate) AS ship_year, l_returnflag,
+       |  ${sumMoneySql(mSql("l_extendedprice"))} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |GROUP BY ROLLUP (ship_year, l_returnflag)
+       |ORDER BY ship_year ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin
+
+  // --- q_distinct_counts: exact multi-distinct --------------------------
+  def qDistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.agg(
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val qDistinctCountsSql: String =
+    """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  // --- q_approx_distinct: HLL sketch (rows-only check: approximate) -----
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    l.agg(
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+  }
+
+  // --- q_cust_no_orders: anti join (customers with no urgent order) -----
+  def qCustNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  val qCustNoOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey ASC""".stripMargin
+
+  // --- q_cust_with_big_orders: semi join --------------------------------
+  def qCustWithBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey").asc)
+  }
+
+  val qCustWithBigOrdersSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey ASC""".stripMargin
+
+  // --- q_set_ops: UNION / INTERSECT / EXCEPT ----------------------------
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val shipped96 = l.filter(year(col("l_shipdate")) === 1996)
+      .select(col("l_orderkey").as("okey")).distinct()
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("okey")).distinct()
+    val both = shipped96.intersect(urgent)
+      .withColumn("setop", lit("intersect"))
+    val onlyShipped = shipped96.except(urgent)
+      .withColumn("setop", lit("except"))
+    both.union(onlyShipped)
+      .groupBy(col("setop")).agg(count(lit(1)).as("n"))
+      .orderBy(col("setop").asc)
+  }
+
+  val qSetOpsSql: String =
+    """WITH shipped96 AS (
+      |  SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE year(l_shipdate) = 1996
+      |), urgent AS (
+      |  SELECT DISTINCT o_orderkey AS okey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), tagged AS (
+      |  SELECT okey, 'intersect' AS setop FROM (SELECT okey FROM shipped96 INTERSECT SELECT okey FROM urgent) a
+      |  UNION ALL
+      |  SELECT okey, 'except' AS setop FROM (SELECT okey FROM shipped96 EXCEPT SELECT okey FROM urgent) b
+      |)
+      |SELECT setop, COUNT(*) AS n FROM tagged GROUP BY setop ORDER BY setop ASC""".stripMargin
+
+  // --- q_order_lateness: CASE/date arithmetic + conditional agg ---------
+  def qOrderLateness(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .withColumn("ship_lag_days",
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date")))
+      .withColumn("lateness",
+        when(col("ship_lag_days") <= 30, "fast")
+          .when(col("ship_lag_days") <= 90, "normal")
+          .otherwise("slow"))
+      .groupBy(col("o_orderpriority"), col("lateness"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(m(col("l_extendedprice"))).as("revenue"))
+      .orderBy(col("o_orderpriority").asc, col("lateness").asc)
+  }
+
+  val qOrderLatenessSql: String =
+    s"""SELECT o_orderpriority,
+       |  CASE WHEN lag_days <= 30 THEN 'fast'
+       |       WHEN lag_days <= 90 THEN 'normal' ELSE 'slow' END AS lateness,
+       |  COUNT(*) AS n_items,
+       |  ${sumMoneySql(mSql("l_extendedprice"))} AS revenue
+       |FROM (
+       |  SELECT o_orderpriority, l_extendedprice,
+       |    datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |) t
+       |GROUP BY o_orderpriority, lateness
+       |ORDER BY o_orderpriority ASC, lateness ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolume,
+    "q_market_segment_share" -> qMarketSegmentShare,
+    "q_top_orders_per_cust" -> qTopOrdersPerCust,
+    "q_rollup_sales" -> qRollupSales,
+    "q_distinct_counts" -> qDistinctCounts,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_cust_no_orders" -> qCustNoOrders,
+    "q_cust_with_big_orders" -> qCustWithBigOrders,
+    "q_set_ops" -> qSetOps,
+    "q_order_lateness" -> qOrderLateness)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier_volume" -> q5Sql,
+    "q_market_segment_share" -> qMarketSegmentShareSql,
+    "q_top_orders_per_cust" -> qTopOrdersPerCustSql,
+    "q_rollup_sales" -> qRollupSalesSql,
+    "q_distinct_counts" -> qDistinctCountsSql,
+    "q_cust_no_orders" -> qCustNoOrdersSql,
+    "q_cust_with_big_orders" -> qCustWithBigOrdersSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_order_lateness" -> qOrderLatenessSql)
+}
