@@ -37,7 +37,7 @@ object ObjectStoreView {
         lit("/"), lpad(month(col("l_shipdate")).cast("string"), 2, "0"),
         lit("/"), col("l_orderkey").cast("string"),
         lit("-"), col("l_linenumber").cast("string"), lit(".obj")).as("key"),
-      (col("l_extendedprice") * 100).cast("bigint").as("size"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("size"),
       col("l_shipdate").as("mtime"),
       (lit(1) + (col("l_partkey") % 4)).cast("int").as("replication"),
       when(col("l_linestatus") === "O", "OPEN").otherwise("CLOSED").as("state"))
@@ -54,7 +54,7 @@ object ObjectStoreView {
       |    lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
       |    CAST(l_orderkey AS VARCHAR) || '-' ||
       |    CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
-      |  CAST(l_extendedprice * 100 AS BIGINT) AS size,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size,
       |  l_shipdate AS mtime,
       |  CAST(1 + (l_partkey % 4) AS INTEGER) AS replication,
       |  CASE WHEN l_linestatus = 'O' THEN 'OPEN' ELSE 'CLOSED' END AS state
@@ -97,7 +97,7 @@ object ObjectStoreView {
         lit("/"), lpad(month(col("l_shipdate")).cast("string"), 2, "0"),
         lit("/"), col("l_orderkey").cast("string"),
         lit("-"), col("l_linenumber").cast("string"), lit(".obj")).as("key"),
-      (col("l_extendedprice") * 100).cast("bigint").as("size"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("size"),
       col("l_shipdate").as("mtime"),
       (lit(1) + (col("l_partkey") % 4)).cast("int").as("replication"),
       when(col("l_linestatus") === "O", "OPEN").otherwise("CLOSED").as("state"))
@@ -120,7 +120,7 @@ object ObjectStoreView {
       |      lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
       |      CAST(l_orderkey AS VARCHAR) || '-' ||
       |      CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
-      |    CAST(l_extendedprice * 100 AS BIGINT) AS size,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size,
       |    l_shipdate AS mtime,
       |    CAST(1 + (l_partkey % 4) AS INTEGER) AS replication,
       |    CASE WHEN l_linestatus = 'O' THEN 'OPEN' ELSE 'CLOSED' END AS state
@@ -140,13 +140,13 @@ object ObjectStoreView {
       .select(
         concat(lit("upload-"), col("o_orderkey").cast("string")).as("upload_id"),
         col("l_linenumber").as("part_number"),
-        (col("l_extendedprice") * 100).cast("bigint").as("part_bytes"))
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").as("part_bytes"))
   }
 
   val mpuPartsSql: String =
     """SELECT 'upload-' || CAST(o_orderkey AS VARCHAR) AS upload_id,
       |  l_linenumber AS part_number,
-      |  CAST(l_extendedprice * 100 AS BIGINT) AS part_bytes
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS part_bytes
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderstatus = 'O'""".stripMargin
 }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics (SURVEY §2.C, batch forms). The streaming twins in
+  * [[graft.streaming.StreamOps]] run the same logic incrementally.
+  *
+  * The reference emits an audit/event stream of namespace operations
+  * (common/.../audit/OMAction.java); these operators are the analytics a
+  * user runs over such a stream persisted to the object store.
+  *
+  * `events.ts` is nanosecond-precision parquet which Spark cannot read
+  * natively; the session sets `spark.sql.legacy.parquet.nanosAsLong=true`
+  * and [[events]] converts with integer division to microseconds — exactly
+  * the truncation DuckDB applies on read, so timestamps agree across
+  * engines (SURVEY §4).
+  */
+object EventOps {
+
+  /** Events with ts normalized to a microsecond TIMESTAMP. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  private def sumValue(c: Column) =
+    sum(c.cast("decimal(12,2)")).cast("double")
+
+  private val sumValueSql = "CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)"
+
+  // --- ev_tumbling_counts: tumbling-window aggregation -------------------
+  def evTumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumValue(col("value")).as("sum_value"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+
+  val evTumblingCountsSql: String =
+    s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+       |  COUNT(*) AS n_events, $sumValueSql AS sum_value
+       |FROM events
+       |GROUP BY window_start, event_type
+       |ORDER BY window_start ASC, event_type ASC""".stripMargin
+
+  // --- ev_sessionize: gap-based sessionization via lag + cumsum ----------
+  def evSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = 1800 // 30-minute inactivity gap
+    events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_trunc("second", min(col("ts"))).as("session_start"),
+        date_trunc("second", max(col("ts"))).as("session_end"),
+        sumValue(col("value")).as("sum_value"))
+      .orderBy(col("user_id").asc, col("session_seq").asc)
+  }
+
+  val evSessionizeSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |), sessions AS (
+       |  SELECT user_id, ts, value,
+       |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM marked
+       |)
+       |SELECT user_id, session_seq, COUNT(*) AS n_events,
+       |  date_trunc('second', MIN(ts)) AS session_start,
+       |  date_trunc('second', MAX(ts)) AS session_end,
+       |  $sumValueSql AS sum_value
+       |FROM sessions
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id ASC, session_seq ASC""".stripMargin
+
+  // --- ev_funnel: signup → purchase conversion ----------------------------
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val converted = signups.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("p_ts") > col("first_signup"), 1L).otherwise(0L))
+        .as("converted"))
+    converted.agg(
+      count(lit(1)).as("n_signup_users"),
+      sum(col("converted")).as("n_converted"),
+      round(sum(col("converted")).cast("double") / count(lit(1)), 6)
+        .as("conversion_rate"))
+  }
+
+  val evFunnelSql: String =
+    """WITH signups AS (
+      |  SELECT user_id, MIN(ts) AS first_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), conv AS (
+      |  SELECT s.user_id,
+      |    MAX(CASE WHEN p.ts > s.first_signup THEN 1 ELSE 0 END) AS converted
+      |  FROM signups s LEFT JOIN (
+      |    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+      |  ) p ON s.user_id = p.user_id
+      |  GROUP BY s.user_id
+      |)
+      |SELECT COUNT(*) AS n_signup_users,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  round(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+      |FROM conv""".stripMargin
+
+  // --- ev_user_activity: per-user profile w/ conditional agg -------------
+  def evUserActivity(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sumValue(col("value")).as("total_value"),
+        date_trunc("hour", min(col("ts"))).as("first_seen_hour"),
+        date_trunc("hour", max(col("ts"))).as("last_seen_hour"))
+      .orderBy(col("user_id").asc)
+
+  val evUserActivitySql: String =
+    s"""SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       |  $sumValueSql AS total_value,
+       |  date_trunc('hour', MIN(ts)) AS first_seen_hour,
+       |  date_trunc('hour', MAX(ts)) AS last_seen_hour
+       |FROM events GROUP BY user_id ORDER BY user_id ASC""".stripMargin
+
+  // --- ev_props_stats: JSON prop extraction + agg -------------------------
+  def evPropsStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type").asc)
+
+  val evPropsStatsSql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events
+      |) t
+      |GROUP BY event_type ORDER BY event_type ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling_counts" -> evTumblingCounts,
+    "ev_sessionize" -> evSessionize,
+    "ev_funnel" -> evFunnel,
+    "ev_user_activity" -> evUserActivity,
+    "ev_props_stats" -> evPropsStats)
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling_counts" -> evTumblingCountsSql,
+    "ev_sessionize" -> evSessionizeSql,
+    "ev_funnel" -> evFunnelSql,
+    "ev_user_activity" -> evUserActivitySql,
+    "ev_props_stats" -> evPropsStatsSql)
+}

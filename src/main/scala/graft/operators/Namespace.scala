@@ -1,0 +1,372 @@
+package graft.operators
+
+import graft.{ObjectStoreView, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Object-store namespace analytics (SURVEY §2.A) — the reference's
+  * OM / Recon / S3-gateway query surface re-expressed as declarative
+  * DataFrame plans over a keys table (volume, bucket, key, size, mtime,
+  * replication, state). Generic operators take the keys DataFrame; the
+  * `queries` map binds them to [[graft.ObjectStoreView]].
+  *
+  * Scale notes (SURVEY §5): every operator here is one scan + at most one
+  * shuffle on its grouping key; prefix predicates are `startsWith` filters
+  * that push down to the parquet scan; histograms and usage rollups
+  * partial-aggregate map-side so the shuffle carries only group keys.
+  * Snapshot diff is the only two-big-sides operator and uses a shuffled
+  * full-outer join (both sides hash-partitioned on the join key; AQE
+  * handles skew at scale).
+  */
+object Namespace {
+
+  private val ks = ObjectStoreView.keysSql
+
+  /** listKeys(volume, bucket, prefix, startAfter, maxKeys) — reference:
+    * OM KeyManager listKeys (/root/reference/hadoop-ozone/ozone-manager/
+    * src/main/java/org/apache/hadoop/ozone/om/KeyManagerImpl.java).
+    * Sort + limit compiles to TakeOrderedAndProject — no global sort.
+    */
+  def listKeys(keys: DataFrame, volume: String, bucket: String,
+      prefix: String, startAfter: String, maxKeys: Int): DataFrame =
+    keys.filter(col("volume") === volume && col("bucket") === bucket)
+      .filter(col("key").startsWith(prefix) && col("key") > startAfter)
+      .select("volume", "bucket", "key", "size", "state")
+      .orderBy(col("key").asc)
+      .limit(maxKeys)
+
+  def nsListPrefix(spark: SparkSession, dir: String): DataFrame =
+    listKeys(ObjectStoreView.keys(spark, dir),
+      "vol0", "b0", "data/1996/", "data/1996/03", 200)
+
+  val nsListPrefixSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket, key, size, state FROM keys
+       |WHERE volume = 'vol0' AND bucket = 'b0'
+       |  AND key LIKE 'data/1996/%' AND key > 'data/1996/03'
+       |ORDER BY key ASC
+       |LIMIT 200""".stripMargin
+
+  /** S3 ListObjectsV2 delimiter semantics: entries under `prefix` grouped
+    * by the segment up to the next delimiter → CommonPrefixes with object
+    * counts/bytes (reference: s3gateway BucketEndpoint + CommonPrefix).
+    */
+  def commonPrefixes(keys: DataFrame, prefix: String): DataFrame = {
+    val rest = expr(s"substring(key, ${prefix.length + 1})")
+    keys.filter(col("key").startsWith(prefix))
+      .withColumn("seg", substring_index(rest, "/", 1))
+      .withColumn("common_prefix",
+        when(expr("position('/' in substring(key, " + (prefix.length + 1) +
+          "))") > 0, concat(lit(prefix), col("seg"), lit("/")))
+          .otherwise(col("seg")))
+      .withColumn("is_prefix", col("common_prefix").endsWith("/"))
+      .groupBy(col("common_prefix"), col("is_prefix"))
+      .agg(count(lit(1)).as("n_objects"), sum(col("size")).as("total_bytes"))
+      .orderBy(col("common_prefix").asc)
+  }
+
+  def nsCommonPrefixes(spark: SparkSession, dir: String): DataFrame =
+    commonPrefixes(ObjectStoreView.keys(spark, dir), "data/")
+
+  val nsCommonPrefixesSql: String =
+    s"""WITH keys AS ($ks), t AS (
+       |  SELECT CASE WHEN position('/' in substring(key, 6)) > 0
+       |    THEN 'data/' || split_part(substring(key, 6), '/', 1) || '/'
+       |    ELSE split_part(substring(key, 6), '/', 1) END AS common_prefix,
+       |    size
+       |  FROM keys WHERE key LIKE 'data/%'
+       |)
+       |SELECT common_prefix, common_prefix LIKE '%/' AS is_prefix,
+       |  COUNT(*) AS n_objects, CAST(SUM(size) AS BIGINT) AS total_bytes
+       |FROM t GROUP BY common_prefix ORDER BY common_prefix ASC""".stripMargin
+
+  /** Per-directory namespace summary: file count + bytes, like Recon's
+    * NSSummary (numOfFiles, sizeOfFiles) keyed by directory — reference:
+    * recon/.../api/types/NSSummary.java:31-83, tasks/NSSummaryTask.java.
+    */
+  def du(keys: DataFrame, depth: Int): DataFrame =
+    keys.withColumn("dir", substring_index(col("key"), "/", depth))
+      .groupBy(col("volume"), col("bucket"), col("dir"))
+      .agg(count(lit(1)).as("num_files"), sum(col("size")).as("size_of_files"))
+      .orderBy(col("volume").asc, col("bucket").asc, col("dir").asc)
+
+  def nsDu(spark: SparkSession, dir: String): DataFrame =
+    du(ObjectStoreView.keys(spark, dir), 3)
+
+  val nsDuSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket,
+       |  split_part(key,'/',1) || '/' || split_part(key,'/',2) || '/' || split_part(key,'/',3) AS dir,
+       |  COUNT(*) AS num_files, CAST(SUM(size) AS BIGINT) AS size_of_files
+       |FROM keys GROUP BY volume, bucket, dir
+       |ORDER BY volume ASC, bucket ASC, dir ASC""".stripMargin
+
+  /** File-size distribution binned into power-of-2 buckets — reference:
+    * recon/.../tasks/FileSizeCountTask.java:47-51 ("counts of existing/new
+    * files binned into ranges (1KB, 2KB, ..., 1PB)"). `bucket_exp` is the
+    * exponent: upper bound = 2^bucket_exp; computed with integer bit-length
+    * arithmetic (length(bin(size-1))) so both engines agree exactly.
+    */
+  def fileSizeHistogram(keys: DataFrame): DataFrame =
+    keys.withColumn("bucket_exp",
+      when(col("size") <= 1, 0)
+        .otherwise(length(bin(col("size") - 1))))
+      .groupBy(col("bucket_exp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
+      .orderBy(col("bucket_exp").asc)
+
+  def nsFileSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    fileSizeHistogram(ObjectStoreView.keys(spark, dir))
+
+  val nsFileSizeHistogramSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT CASE WHEN size <= 1 THEN 0 ELSE length(bin(size - 1)) END AS bucket_exp,
+       |  COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_bytes
+       |FROM keys GROUP BY bucket_exp ORDER BY bucket_exp ASC""".stripMargin
+
+  /** Entity counts per table — reference: recon/.../tasks/TableCountTask.java. */
+  def nsTableCounts(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.names.map { n =>
+      Tables.load(spark, dir, n)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(n).as("table_name"), col("n_rows"))
+    }
+    counts.reduce(_ union _).orderBy(col("table_name").asc)
+  }
+
+  val nsTableCountsSql: String =
+    Tables.names.map(n => s"SELECT '$n' AS table_name, COUNT(*) AS n_rows FROM $n")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name ASC")
+
+  /** Top-N largest keys (Recon "top buckets/keys" insight). */
+  def topKeys(keys: DataFrame, n: Int): DataFrame =
+    keys.select("volume", "bucket", "key", "size")
+      .orderBy(col("size").desc, col("volume").asc, col("bucket").asc,
+        col("key").asc)
+      .limit(n)
+
+  def nsTopKeys(spark: SparkSession, dir: String): DataFrame =
+    topKeys(ObjectStoreView.keys(spark, dir), 100)
+
+  val nsTopKeysSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket, key, size FROM keys
+       |ORDER BY size DESC, volume ASC, bucket ASC, key ASC
+       |LIMIT 100""".stripMargin
+
+  /** Per-bucket usage accounting (quota bookkeeping in OM bucket info). */
+  def bucketUsage(keys: DataFrame): DataFrame =
+    keys.groupBy(col("volume"), col("bucket"))
+      .agg(
+        count(lit(1)).as("key_count"),
+        sum(col("size")).as("used_bytes"),
+        sum(when(col("state") === "OPEN", 1L).otherwise(0L)).as("open_keys"),
+        max(col("size")).as("max_key_bytes"))
+      .orderBy(col("volume").asc, col("bucket").asc)
+
+  def nsBucketUsage(spark: SparkSession, dir: String): DataFrame =
+    bucketUsage(ObjectStoreView.keys(spark, dir))
+
+  val nsBucketUsageSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket, COUNT(*) AS key_count,
+       |  CAST(SUM(size) AS BIGINT) AS used_bytes,
+       |  CAST(SUM(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT) AS open_keys,
+       |  MAX(size) AS max_key_bytes
+       |FROM keys GROUP BY volume, bucket
+       |ORDER BY volume ASC, bucket ASC""".stripMargin
+
+  /** Key-age distribution relative to a reference instant (trash/expiry
+    * candidacy — reference: common/.../OmUtils.java trash + open-key expiry).
+    */
+  def keyAge(keys: DataFrame, asOf: String): DataFrame =
+    keys.withColumn("age_days",
+      datediff(lit(asOf).cast("date"), col("mtime").cast("date")))
+      .withColumn("age_bucket",
+        when(col("age_days") <= 30, "000-030")
+          .when(col("age_days") <= 90, "031-090")
+          .when(col("age_days") <= 365, "091-365")
+          .otherwise("365+"))
+      .groupBy(col("age_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"))
+      .orderBy(col("age_bucket").asc)
+
+  def nsKeyAge(spark: SparkSession, dir: String): DataFrame =
+    keyAge(ObjectStoreView.keys(spark, dir), "1999-01-01")
+
+  val nsKeyAgeSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT CASE WHEN age_days <= 30 THEN '000-030'
+       |  WHEN age_days <= 90 THEN '031-090'
+       |  WHEN age_days <= 365 THEN '091-365'
+       |  ELSE '365+' END AS age_bucket,
+       |  COUNT(*) AS n_keys, CAST(SUM(size) AS BIGINT) AS total_bytes
+       |FROM (SELECT size,
+       |  datediff('day', CAST(mtime AS DATE), DATE '1999-01-01') AS age_days
+       |  FROM keys) t
+       |GROUP BY age_bucket ORDER BY age_bucket ASC""".stripMargin
+
+  /** Snapshot diff: CREATE / DELETE / MODIFY between two namespace states —
+    * reference: OM snapshot machinery (ozone-manager/.../om/snapshot/).
+    * Shuffled full-outer join on the key identity; at 100 TB both sides are
+    * hash-partitioned on the same key so the join is co-located post-shuffle.
+    */
+  def snapshotDiff(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    val a = snapA.select(col("volume"), col("bucket"), col("key"),
+      col("size").as("old_size"))
+    val b = snapB.select(col("volume"), col("bucket"), col("key"),
+      col("size").as("new_size"))
+    a.join(b, Seq("volume", "bucket", "key"), "full_outer")
+      .withColumn("diff_type",
+        when(col("old_size").isNull, "CREATE")
+          .when(col("new_size").isNull, "DELETE")
+          .when(col("old_size") =!= col("new_size"), "MODIFY")
+          .otherwise("SAME"))
+      .filter(col("diff_type") =!= "SAME")
+      .select("volume", "bucket", "key", "diff_type", "old_size", "new_size")
+  }
+
+  def nsSnapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiff(ObjectStoreView.snapshotA(spark, dir),
+      ObjectStoreView.snapshotB(spark, dir))
+
+  val nsSnapshotDiffSql: String =
+    s"""WITH snap_a AS (${ObjectStoreView.snapshotASql}),
+       |snap_b AS (${ObjectStoreView.snapshotBSql}),
+       |joined AS (
+       |  SELECT COALESCE(a.volume, b.volume) AS volume,
+       |    COALESCE(a.bucket, b.bucket) AS bucket,
+       |    COALESCE(a.key, b.key) AS key,
+       |    a.size AS old_size, b.size AS new_size
+       |  FROM snap_a a FULL OUTER JOIN snap_b b
+       |    ON a.volume = b.volume AND a.bucket = b.bucket AND a.key = b.key
+       |)
+       |SELECT volume, bucket, key,
+       |  CASE WHEN old_size IS NULL THEN 'CREATE'
+       |       WHEN new_size IS NULL THEN 'DELETE'
+       |       WHEN old_size <> new_size THEN 'MODIFY'
+       |       ELSE 'SAME' END AS diff_type,
+       |  old_size, new_size
+       |FROM joined
+       |WHERE (old_size IS NULL OR new_size IS NULL OR old_size <> new_size)""".stripMargin
+
+  /** Open keys older than a cutoff — reference: OM open-key cleanup
+    * (ozone-manager/.../OpenKeyCleanupService, getExpiredOpenKeys in
+    * KeyManager.java).
+    */
+  def expiredOpenKeys(keys: DataFrame, cutoff: String): DataFrame =
+    keys.filter(col("state") === "OPEN" &&
+        col("mtime") < lit(cutoff).cast("timestamp"))
+      .select("volume", "bucket", "key", "size", "mtime")
+      .orderBy(col("volume").asc, col("bucket").asc, col("key").asc)
+
+  def nsExpiredOpenKeys(spark: SparkSession, dir: String): DataFrame =
+    expiredOpenKeys(ObjectStoreView.keys(spark, dir), "1996-01-01")
+
+  val nsExpiredOpenKeysSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket, key, size, mtime FROM keys
+       |WHERE state = 'OPEN' AND mtime < TIMESTAMP '1996-01-01'
+       |ORDER BY volume ASC, bucket ASC, key ASC""".stripMargin
+
+  /** Incomplete multipart uploads: per-upload part stats — reference:
+    * ozone-manager/.../request/s3/multipart/ (initiate/commit/abort).
+    */
+  def mpuIncomplete(parts: DataFrame): DataFrame =
+    parts.groupBy(col("upload_id"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("part_bytes")).as("total_bytes"),
+        max(col("part_number")).as("max_part_number"))
+      .orderBy(col("upload_id").asc)
+
+  def nsMpuIncomplete(spark: SparkSession, dir: String): DataFrame =
+    mpuIncomplete(ObjectStoreView.mpuParts(spark, dir))
+
+  val nsMpuIncompleteSql: String =
+    s"""WITH parts AS (${ObjectStoreView.mpuPartsSql})
+       |SELECT upload_id, COUNT(*) AS n_parts,
+       |  CAST(SUM(part_bytes) AS BIGINT) AS total_bytes,
+       |  MAX(part_number) AS max_part_number
+       |FROM parts GROUP BY upload_id ORDER BY upload_id ASC""".stripMargin
+
+  /** Replication health: keys under/at/over the target replica count —
+    * reference: SCM ReplicationManager semantics (hadoop-hdds/server-scm).
+    */
+  def replicationReport(keys: DataFrame, target: Int): DataFrame =
+    keys.withColumn("health",
+      when(col("replication") < target, "UNDER_REPLICATED")
+        .when(col("replication") === target, "HEALTHY")
+        .otherwise("OVER_REPLICATED"))
+      .groupBy(col("health"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"))
+      .orderBy(col("health").asc)
+
+  def nsReplicationReport(spark: SparkSession, dir: String): DataFrame =
+    replicationReport(ObjectStoreView.keys(spark, dir), 3)
+
+  val nsReplicationReportSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT CASE WHEN replication < 3 THEN 'UNDER_REPLICATED'
+       |  WHEN replication = 3 THEN 'HEALTHY'
+       |  ELSE 'OVER_REPLICATED' END AS health,
+       |  COUNT(*) AS n_keys, CAST(SUM(size) AS BIGINT) AS total_bytes
+       |FROM keys GROUP BY health ORDER BY health ASC""".stripMargin
+
+  /** FS listStatus: immediate children of a directory with rolled-up
+    * stats — reference: ozonefs BasicOzoneFileSystem.listStatus +
+    * FSO directory semantics.
+    */
+  def listStatus(keys: DataFrame, parent: String): DataFrame = {
+    val rest = expr(s"substring(key, ${parent.length + 2})")
+    keys.filter(col("key").startsWith(parent + "/"))
+      .withColumn("child", substring_index(rest, "/", 1))
+      .withColumn("is_dir",
+        expr(s"position('/' in substring(key, ${parent.length + 2}))") > 0)
+      .groupBy(col("child"), col("is_dir"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
+      .orderBy(col("is_dir").desc, col("child").asc)
+  }
+
+  def nsListStatus(spark: SparkSession, dir: String): DataFrame =
+    listStatus(ObjectStoreView.keys(spark, dir), "data/1996")
+
+  val nsListStatusSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT split_part(substring(key, 11), '/', 1) AS child,
+       |  position('/' in substring(key, 11)) > 0 AS is_dir,
+       |  COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_bytes
+       |FROM keys WHERE key LIKE 'data/1996/%'
+       |GROUP BY child, is_dir
+       |ORDER BY is_dir DESC, child ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_list_prefix" -> nsListPrefix,
+    "ns_common_prefixes" -> nsCommonPrefixes,
+    "ns_du" -> nsDu,
+    "ns_filesize_histogram" -> nsFileSizeHistogram,
+    "ns_table_counts" -> nsTableCounts,
+    "ns_top_keys" -> nsTopKeys,
+    "ns_bucket_usage" -> nsBucketUsage,
+    "ns_key_age" -> nsKeyAge,
+    "ns_snapshot_diff" -> nsSnapshotDiff,
+    "ns_expired_open_keys" -> nsExpiredOpenKeys,
+    "ns_mpu_incomplete" -> nsMpuIncomplete,
+    "ns_replication_report" -> nsReplicationReport,
+    "ns_liststatus" -> nsListStatus)
+
+  val oracles: Map[String, String] = Map(
+    "ns_list_prefix" -> nsListPrefixSql,
+    "ns_common_prefixes" -> nsCommonPrefixesSql,
+    "ns_du" -> nsDuSql,
+    "ns_filesize_histogram" -> nsFileSizeHistogramSql,
+    "ns_table_counts" -> nsTableCountsSql,
+    "ns_top_keys" -> nsTopKeysSql,
+    "ns_bucket_usage" -> nsBucketUsageSql,
+    "ns_key_age" -> nsKeyAgeSql,
+    "ns_snapshot_diff" -> nsSnapshotDiffSql,
+    "ns_expired_open_keys" -> nsExpiredOpenKeysSql,
+    "ns_mpu_incomplete" -> nsMpuIncompleteSql,
+    "ns_replication_report" -> nsReplicationReportSql,
+    "ns_liststatus" -> nsListStatusSql)
+}
