@@ -170,7 +170,7 @@ object Relational {
     o.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("o_price"), col("rk"))
+        round(col("o_totalprice"), 2).as("o_price"), col("rk").cast("bigint").as("rk"))
       .filter(col("o_custkey") <= 100)
       .orderBy(col("o_custkey").asc, col("rk").asc)
   }

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embeddings (SURVEY §2.D).
+  *
+  * Scale design (SURVEY §5): the brute-force path broadcasts the (small)
+  * query set against the corpus — a single linear scan, no shuffle, exact.
+  * The LSH path buckets the corpus once with random-hyperplane sign bits
+  * (reusable across query batches) and probes only matching buckets —
+  * corpus scan cost drops to the bucket fraction at some recall cost.
+  * All vector math is over round(x*1000) integer quantization so results
+  * are bit-identical across engines (SURVEY §4).
+  */
+object Similarity {
+
+  private val K = 5
+  private val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane component: for plane j and
+    * dimension i, w = ((aj * (i+1) + bj) % 97) - 48 — small signed ints,
+    * identical arithmetic in both engines.
+    */
+  private val PA = Seq(7919L, 104729L, 1299709L, 15485863L,
+    32452843L, 49979687L, 67867967L, 86028121L)
+  private val PB = Seq(17L, 89L, 211L, 1009L, 2003L, 5003L, 7001L, 9001L)
+
+  /** Sign-bit LSH bucket of a quantized vector column. */
+  private def bucket(q: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val dot = aggregate(
+        zip_with(q, sequence(lit(1), size(q)),
+          (v, i) => v * ((lit(PA(j)) * i + PB(j)) % 97 - 48)),
+        lit(0L), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  private def bucketSql(q: String): String =
+    (0 until NumPlanes).map { j =>
+      s"CASE WHEN list_sum(list_transform(range(1, len($q) + 1), " +
+        s"i -> $q[i] * ((${PA(j)} * i + ${PB(j)}) % 97 - 48))) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  // --- sim_topk_bruteforce: exact cosine top-k ----------------------------
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val queries = nm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qc"), col("n2").as("nc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("cos_sim",
+        round(Dedup.cosine(col("qq"), col("qc"), col("nq"), col("nc")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"), col("rk").cast("bigint").as("rk"),
+        col("cos_sim"))
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  val simTopkBruteforceSql: String =
+    s"""WITH ${Dedup.quantizedSql}, scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(${Dedup.cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6) AS cos_sim
+       |  FROM nm a JOIN nm b ON a.vec_id < 10 AND b.vec_id >= 10
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
+       |WHERE rk <= $K ORDER BY query_id ASC, rk ASC""".stripMargin
+
+  // --- sim_knn_lsh: hyperplane-bucketed approximate search ----------------
+  def simKnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir).withColumn("bkt", bucket(col("q")))
+    val queries = nm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("nq"), col("bkt"))
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
+        col("n2").as("nc"), col("bkt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries), Seq("bkt"))
+      .withColumn("cos_sim",
+        round(Dedup.cosine(col("qq"), col("qc"), col("nq"), col("nc")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rk").cast("bigint").as("rk"),
+        col("cos_sim"))
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  val simKnnLshSql: String =
+    s"""WITH ${Dedup.quantizedSql}, bk AS (
+       |  SELECT vec_id, q, n2, ${bucketSql("q")} AS bkt FROM nm
+       |), scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(${Dedup.cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6) AS cos_sim
+       |  FROM bk a JOIN bk b ON a.bkt = b.bkt
+       |  WHERE a.vec_id < 10 AND b.vec_id >= 10
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
+       |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> simTopkBruteforce,
+    "sim_knn_lsh" -> simKnnLsh)
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk_bruteforce" -> simTopkBruteforceSql,
+    "sim_knn_lsh" -> simKnnLshSql)
+}

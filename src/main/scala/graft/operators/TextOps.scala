@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Codes._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY §2.D): language ID,
+  * quality scoring, token counting, document fingerprinting. All per-doc
+  * map work — embarrassingly parallel, no shuffle except final ordering.
+  */
+object TextOps {
+
+  private val EnStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val DataWords = Seq("spark", "query", "table", "join", "filter",
+    "group", "sort", "scan", "merge", "window")
+
+  private def arrLit(ws: Seq[String]): Column = array(ws.map(lit): _*)
+  private def listLit(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // --- tx_langid: stopword-marker heuristic language/domain ID -----------
+  def txLangid(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("ts", tokens(col("text")))
+    d.withColumn("en_hits",
+        size(array_intersect(array_distinct(col("ts")), arrLit(EnStop))))
+      .withColumn("data_hits",
+        size(array_intersect(array_distinct(col("ts")), arrLit(DataWords))))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= 2, "en")
+          .when(col("data_hits") >= 3, "data-domain")
+          .otherwise("unknown"))
+      .withColumn("match_truth",
+        when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+      .select("doc_id", "pred_lang", "en_hits", "data_hits", "match_truth")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txLangidSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    len(list_intersect(list_distinct(${tokensSql("text")}), ${listLit(EnStop)})) AS en_hits,
+       |    len(list_intersect(list_distinct(${tokensSql("text")}), ${listLit(DataWords)})) AS data_hits
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN en_hits >= 2 THEN 'en'
+       |       WHEN data_hits >= 3 THEN 'data-domain'
+       |       ELSE 'unknown' END AS pred_lang,
+       |  CAST(en_hits AS INTEGER) AS en_hits,
+       |  CAST(data_hits AS INTEGER) AS data_hits,
+       |  CAST(CASE WHEN (CASE WHEN en_hits >= 2 THEN 'en'
+       |       WHEN data_hits >= 3 THEN 'data-domain'
+       |       ELSE 'unknown' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS match_truth
+       |FROM t ORDER BY doc_id ASC""".stripMargin
+
+  // --- tx_quality: length/diversity/stopword composite score -------------
+  def txQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("ts", tokens(col("text")))
+      .withColumn("n_tokens", size(col("ts")).cast("bigint"))
+      .withColumn("n_distinct", size(array_distinct(col("ts"))).cast("bigint"))
+      .withColumn("stop_hits",
+        size(filter(col("ts"), t => array_contains(arrLit(EnStop), t)))
+          .cast("bigint"))
+    d.withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("stop_ratio",
+        round(col("stop_hits").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("quality_score",
+        round(
+          least(col("n_tokens").cast("double") / 50, lit(1.0)) * 0.4
+            + col("distinct_ratio") * 0.4
+            + (lit(1.0) - abs(col("stop_ratio") - 0.1)) * 0.2, 6))
+      .select("doc_id", "n_tokens", "distinct_ratio", "stop_ratio", "quality_score")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txQualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(${tokensSql("text")})) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(${tokensSql("text")},
+       |      x -> list_contains(${listLit(EnStop)}, x))) AS BIGINT) AS stop_hits
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, n_tokens,
+       |    round(CAST(n_distinct AS DOUBLE) / greatest(n_tokens, 1), 6) AS distinct_ratio,
+       |    round(CAST(stop_hits AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens, distinct_ratio, stop_ratio,
+       |  round(least(CAST(n_tokens AS DOUBLE) / 50, 1.0) * 0.4
+       |    + distinct_ratio * 0.4
+       |    + (1.0 - abs(stop_ratio - 0.1)) * 0.2, 6) AS quality_score
+       |FROM r ORDER BY doc_id ASC""".stripMargin
+
+  // --- tx_tokens: whitespace + regex token counting -----------------------
+  def txTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws_tokens", size(tokens(col("text"))).cast("bigint"))
+      .withColumn("n_alpha_tokens",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).cast("bigint"))
+      .withColumn("n_num_tokens",
+        size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).cast("bigint"))
+      .withColumn("n_chars_actual", length(col("text")).cast("bigint"))
+      .select("doc_id", "n_ws_tokens", "n_alpha_tokens", "n_num_tokens",
+        "n_chars_actual")
+      .orderBy(col("doc_id").asc)
+
+  val txTokensSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(${tokensSql("text")}) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+       |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_actual
+       |FROM documents ORDER BY doc_id ASC""".stripMargin
+
+  // --- tx_fingerprint: position-weighted polynomial fingerprint ----------
+  /** fp1 = Σ_i (code(tok_i) % 2^20) * i  (mod P); fp2 weights the squared
+    * code — order-sensitive, so permuted documents fingerprint differently,
+    * but integer sums keep both engines exact. Spark side distributes via
+    * posexplode + partial aggregation.
+    */
+  def txFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("c", strCode(col("t")) % 1048576L)
+    exploded.groupBy(col("doc_id"))
+      .agg(
+        (sum(col("c") * (col("pos") + 1)) % P).as("fp1"),
+        (sum(col("c") * col("c") % P * (col("pos") + 1)) % P).as("fp2"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txFingerprintSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS ts FROM documents
+       |), codes AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(ts) + 1),
+       |      i -> (${strCodeSql("ts[i]")} % 1048576)) AS cs
+       |  FROM toks
+       |)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(1, len(cs) + 1), i -> cs[i] * i)) % $P AS BIGINT) AS fp1,
+       |  CAST(list_sum(list_transform(range(1, len(cs) + 1), i -> cs[i] * cs[i] % $P * i)) % $P AS BIGINT) AS fp2
+       |FROM codes ORDER BY doc_id ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_langid" -> txLangid,
+    "tx_quality" -> txQuality,
+    "tx_tokens" -> txTokens,
+    "tx_fingerprint" -> txFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "tx_langid" -> txLangidSql,
+    "tx_quality" -> txQualitySql,
+    "tx_tokens" -> txTokensSql,
+    "tx_fingerprint" -> txFingerprintSql)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.Codes
+import org.apache.spark.sql.functions._
+
+/** Hash/shingle helpers + dedup behavior on crafted documents. */
+class DedupSpec extends SparkSpec {
+
+  test("strCode is deterministic and bounded") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("hello world foo", "hello world foo", "different")
+      .toDF("t").select(Codes.strCode(col("t")).as("x"))
+      .collect().map(_.getLong(0))
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+    assert(got.forall(x => x >= 0 && x < Codes.P))
+  }
+
+  test("shingles3 guards short docs (Spark sequence descends below 1)") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("one two", "one two three four")
+      .toDF("text")
+      .select(Codes.shingles3(Codes.tokens(col("text"))).as("sg"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0).isEmpty)
+    assert(got(1) == Seq("one two three", "two three four"))
+  }
+
+  test("minhash LSH finds a crafted near-duplicate pair, not unrelated docs") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"z$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .lshPairs(graft.operators.Dedup.signatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("dd_exact groups identical normalized text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((5L, "Hello World"), (9L, "  hello world "), (7L, "other"))
+      .toDF("doc_id", "text")
+    val got = docs.groupBy(lower(trim(col("text"))).as("norm"))
+      .agg(min("doc_id").as("canonical"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("hello world", 5L, 2L), ("other", 7L, 1L)))
+  }
+
+  test("quantized cosine is exact and symmetric on testdata") {
+    val nm = graft.operators.Dedup.quantized(spark, sf).limit(5).cache()
+    val a = nm.select(col("vec_id").as("ia"), col("q").as("qa"), col("n2").as("na"))
+    val b = nm.select(col("vec_id").as("ib"), col("q").as("qb"), col("n2").as("nb"))
+    val cos = a.crossJoin(b)
+      .withColumn("c", graft.operators.Dedup.cosine(col("qa"), col("qb"), col("na"), col("nb")))
+    val self = cos.filter(col("ia") === col("ib")).select("c")
+      .collect().map(_.getDouble(0))
+    assert(self.forall(c => math.abs(c - 1.0) < 1e-12))
+    val sym = cos.filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), col("c")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val symRev = cos.filter(col("ia") > col("ib"))
+      .select(col("ib"), col("ia"), col("c")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sym == symRev)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Namespace
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Namespace operators against a hand-built keys table with known answers —
+  * exercises the generic operators independent of the ObjectStoreView
+  * binding.
+  */
+class NamespaceSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  lazy val keys = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      // volume, bucket, key, size, mtime, replication, state
+      ("v1", "b1", "a/x/1.obj", 100L, ts("2024-01-01 00:00:00"), 3, "CLOSED"),
+      ("v1", "b1", "a/x/2.obj", 1024L, ts("2024-02-01 00:00:00"), 2, "CLOSED"),
+      ("v1", "b1", "a/y/3.obj", 1025L, ts("2024-03-01 00:00:00"), 3, "OPEN"),
+      ("v1", "b1", "b/z/4.obj", 1L, ts("2023-01-01 00:00:00"), 4, "OPEN"),
+      ("v1", "b2", "a/x/5.obj", 7L, ts("2024-01-15 00:00:00"), 3, "CLOSED")
+    ).toDF("volume", "bucket", "key", "size", "mtime", "replication", "state")
+  }
+
+  test("listKeys pages by prefix + startAfter with limit") {
+    val got = Namespace.listKeys(keys, "v1", "b1", "a/", "a/x/1.obj", 10)
+      .select("key").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a/x/2.obj", "a/y/3.obj"))
+  }
+
+  test("commonPrefixes groups by next delimiter segment") {
+    val got = Namespace.commonPrefixes(keys, "a/")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(got == Map("a/x/" -> 3L, "a/y/" -> 1L))
+  }
+
+  test("du aggregates per directory at depth") {
+    val got = Namespace.du(keys, 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.contains(("v1", "b1", "a/x", 2L, 1124L)))
+    assert(got.contains(("v1", "b1", "a/y", 1L, 1025L)))
+  }
+
+  test("fileSizeHistogram uses power-of-2 upper bounds (exponent form)") {
+    val got = Namespace.fileSizeHistogram(keys)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // size 1 -> exp 0; 7 -> exp 3 (8); 100 -> exp 7 (128); 1024 -> exp 10; 1025 -> exp 11
+    assert(got == Map(0 -> 1L, 3 -> 1L, 7 -> 1L, 10 -> 1L, 11 -> 1L))
+  }
+
+  test("snapshotDiff classifies CREATE / DELETE / MODIFY and drops SAME") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("v", "b", "k1", 10L), ("v", "b", "k2", 20L), ("v", "b", "k3", 30L))
+      .toDF("volume", "bucket", "key", "size")
+    val b = Seq(("v", "b", "k2", 25L), ("v", "b", "k3", 30L), ("v", "b", "k4", 40L))
+      .toDF("volume", "bucket", "key", "size")
+    val got = Namespace.snapshotDiff(a, b)
+      .collect().map(r => (r.getString(2), r.getString(3))).toMap
+    assert(got == Map("k1" -> "DELETE", "k2" -> "MODIFY", "k4" -> "CREATE"))
+  }
+
+  test("replicationReport buckets by health") {
+    val got = Namespace.replicationReport(keys, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("HEALTHY" -> 3L, "UNDER_REPLICATED" -> 1L, "OVER_REPLICATED" -> 1L))
+  }
+
+  test("expiredOpenKeys returns only OPEN keys older than cutoff") {
+    val got = Namespace.expiredOpenKeys(keys, "2024-01-01")
+      .select("key").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("b/z/4.obj"))
+  }
+
+  test("listStatus lists immediate children, dirs first") {
+    val got = Namespace.listStatus(keys, "a")
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x", true, 3L), ("y", true, 1L)))
+  }
+}
