@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line for the driver.
+  *
+  * Measurement discipline (VERDICT r2 finding #5):
+  *  - results are written to the `noop` sink, not `.count()`ed — count lets
+  *    Catalyst drop unreferenced projections, so map-only queries (tx_*)
+  *    would measure a row-count scan instead of their real expression work;
+  *  - a warm-up pass (same queries, untimed-pool subset) absorbs the
+  *    first-query JIT/codegen/parquet-footer spike before any timing;
+  *  - per-query failures surface on stderr and as value -1, never silently
+  *    folded into a timing.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +25,34 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // Warm-up: one scan+agg per table family plus a join — JIT, codegen
+    // cache, and parquet footers are hot before the timed loop.
+    val warmup = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "ns_filesize_histogram", "ev_user_activity", "tx_tokens")
+    warmup.foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try exec(fn) catch { case _: Throwable => () }
+      }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec =
+        try { exec(fn); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -11,41 +11,118 @@ import org.apache.spark.sql.functions._
   * Every helper emits BOTH the Spark Column and the equivalent DuckDB SQL
   * string from the same constants so the two sides cannot drift.
   *
-  * Code: poly(s) = Σ_{i=1..8} ascii(rpad(s,8,'_')[i]) * 31^(i-1), then
-  * x = (poly * 64 + length(s) % 64) % P  — the length term separates
-  * strings sharing an 8-char prefix. Hash family: h_i(x) = (a_i*x+b_i) % P
-  * with P = 2^31 - 1; x < P and a_i < 2^31 keep a_i*x within Long range.
+  * Code: poly(s) = Σ_{i=1..32} ascii(rpad(s,32,'_')[i]) * (31^(i-1) mod P),
+  * then x = ((poly % P) * 64 + length(s) % 64) % P — the length term
+  * separates strings sharing a 32-char prefix. Weights are pre-reduced
+  * mod P so each term stays < 2^39 and the 32-term sum < 2^44 (no Long
+  * overflow). Hash family: h_i(x) = (a_i*x+b_i) % P with P = 2^31 - 1;
+  * x < P and a_i < 2^31 keep a_i*x within Long range.
+  *
+  * For full-document identity (exact dedup) [[foldCode]] left-folds
+  * (acc*mult + codepoint) % p over EVERY character — a fixed-width
+  * fingerprint of unbounded text, so the dedup shuffle key is 8 bytes
+  * instead of the document body; two independent (mult, p) pairs guard
+  * against collisions.
   */
 object Codes {
   val P = 2147483647L // 2^31 - 1
-  val A: Seq[Long] = Seq(769L, 1031L, 1543L, 2053L, 3079L, 6151L, 12289L, 24593L)
-  val B: Seq[Long] = Seq(12582917L, 25165843L, 50331653L, 100663319L,
-    201326611L, 402653189L, 805306457L, 1610612741L)
+  val P2 = 2147483629L // independent prime for the collision-guard hash
 
-  private val pow31: Array[Long] =
-    Iterator.iterate(1L)(_ * 31L).take(8).toArray
+  /** Size of the MinHash family (SURVEY §2.D; 64 per VERDICT r2 #4). */
+  val NumHashes = 64
 
-  /** Polynomial char code of the first 8 chars (underscore-padded). */
+  /** Hash-family coefficients from a fixed quadratic/LCG formula — plain
+    * Scala values interpolated as literals into the oracle SQL, so both
+    * engines share them by construction.
+    */
+  val A: IndexedSeq[Long] = (0 until NumHashes).map { i =>
+    val a = (69069L * (i + 1) * (i + 1) + 40503L * (i + 1) + 12923L) % P
+    if (a == 0L) 1L else a
+  }
+  val B: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (2654435761L * (i + 1) + 104729L) % P)
+
+  private val CodeLen = 32
+  private val pow31m: Array[Long] =
+    Iterator.iterate(1L)(x => x * 31L % P).take(CodeLen).toArray
+
+  /** Polynomial char code of the first 32 chars (underscore-padded),
+    * weights pre-reduced mod P.
+    */
   def polyCode(c: Column): Column =
-    (1 to 8).map(i => ascii(substring(rpad(c, 8, "_"), i, 1)) * lit(pow31(i - 1)))
+    (1 to CodeLen)
+      .map(i => ascii(substring(rpad(c, CodeLen, "_"), i, 1)) * lit(pow31m(i - 1)))
       .reduce(_ + _)
 
   def polyCodeSql(e: String): String =
-    (1 to 8).map(i =>
-      s"CAST(ascii(substring(rpad($e, 8, '_'), $i, 1)) AS BIGINT) * ${pow31(i - 1)}")
+    (1 to CodeLen).map(i =>
+      s"CAST(ascii(substring(rpad($e, $CodeLen, '_'), $i, 1)) AS BIGINT) * ${pow31m(i - 1)}")
       .mkString("(", " + ", ")")
 
-  /** Full string code in [0, P). */
+  /** String code in [0, P). */
   def strCode(c: Column): Column =
-    (polyCode(c) * 64L + length(c) % 64L) % P
+    ((polyCode(c) % P) * 64L + length(c) % 64L) % P
 
   def strCodeSql(e: String): String =
-    s"((${polyCodeSql(e)} * 64 + length($e) % 64) % $P)"
+    s"((${polyCodeSql(e)} % $P * 64 + length($e) % 64) % $P)"
 
   /** i-th hash of a code column. */
   def hash(i: Int, x: Column): Column = (lit(A(i)) * x + B(i)) % P
 
   def hashSql(i: Int, xe: String): String = s"((${A(i)} * $xe + ${B(i)}) % $P)"
+
+  /** Exact full-string fingerprint: left fold (acc*mult + codepoint) % p
+    * over every character. acc < p < 2^31 and mult ≤ 131 keep the step
+    * within Long range. Empty strings map to 0 on both engines (guarded —
+    * Spark's split("","") and DuckDB's string_split disagree on empties).
+    */
+  def foldCode(c: Column, mult: Long, p: Long): Column =
+    when(length(c) === 0, 0L).otherwise(
+      aggregate(
+        transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
+        lit(0L),
+        (acc, x) => (acc * mult + x) % p))
+
+  def foldCodeSql(e: String, mult: Long, p: Long): String =
+    s"(CASE WHEN length($e) = 0 THEN 0 ELSE list_reduce(" +
+      s"list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), " +
+      s"ch -> CAST(ascii(ch) AS BIGINT))), (acc, x) -> (acc * $mult + x) % $p) END)"
+
+  /** String codes of every element of a string array. The inner transform
+    * materializes the padded string + length once per element (as a struct)
+    * so the 32 per-position terms read an attribute instead of re-running
+    * rpad — keeps the hot loop allocation-free-ish at 100 TB document
+    * counts.
+    */
+  def strCodes(arr: Column): Column =
+    transform(
+      transform(arr, s =>
+        struct(rpad(s, CodeLen, "_").as("p"), (length(s) % 64L).as("l"))),
+      t => ((1 to CodeLen)
+        .map(i => ascii(substring(t("p"), i, 1)) * lit(pow31m(i - 1)))
+        .reduce(_ + _) % P * 64L + t("l")) % P)
+
+  def strCodesSql(arrE: String): String =
+    s"list_transform($arrE, s -> ${strCodeSql("s")})"
+
+  /** Word-3gram shingle codes from per-token codes: three token codes
+    * folded with multiplier 8191 mod P, distinct. Equivalent to hashing the
+    * shingle string but ~30× cheaper: token codes are computed once and
+    * each shingle is two multiply-adds (tc < P = 2^31, ×8191 < 2^44 — no
+    * overflow). Empty array below 3 tokens (Spark's sequence(1, n) runs
+    * DESCENDING when n < 1, hence the guard).
+    */
+  def shingleCodes3(tokCodes: Column): Column =
+    when(size(tokCodes) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(tokCodes) - 2),
+        i => ((element_at(tokCodes, i) * 8191L + element_at(tokCodes, i + 1)) % P
+          * 8191L + element_at(tokCodes, i + 2)) % P)))
+      .otherwise(array().cast("array<long>"))
+
+  def shingleCodes3Sql(tcE: String): String =
+    s"list_distinct([ (($tcE[i] * 8191 + $tcE[i+1]) % $P * 8191 + $tcE[i+2]) % $P " +
+      s"for i in range(1, greatest(len($tcE) - 1, 1)) ])"
 
   /** Whitespace tokens of lower-cased trimmed text (no empties). */
   def tokens(text: Column): Column =
@@ -68,4 +145,14 @@ object Codes {
   def shingles3Sql(tse: String): String =
     s"list_distinct([ $tse[i] || ' ' || $tse[i+1] || ' ' || $tse[i+2] " +
       s"for i in range(1, greatest(len($tse) - 1, 1)) ])"
+
+  /** All pairs (ids[i], ids[j]), i < j, from a (sorted) id array — emits
+    * the candidate pairs inside an LSH bucket without a self-join, so the
+    * signature aggregation is computed exactly once (VERDICT r2 #4).
+    * Output: array<struct<doc_a, doc_b>>.
+    */
+  def pairs(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
 }

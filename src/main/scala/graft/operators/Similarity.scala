@@ -21,28 +21,39 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component: for plane j and
     * dimension i, w = ((aj * (i+1) + bj) % 97) - 48 — small signed ints,
-    * identical arithmetic in both engines.
+    * identical arithmetic in both engines. 16 planes: the first 8 form the
+    * knn bucket; [[graft.operators.Dedup.ddEmbedCosine]] uses 2 bands of 8.
     */
   private val PA = Seq(7919L, 104729L, 1299709L, 15485863L,
-    32452843L, 49979687L, 67867967L, 86028121L)
-  private val PB = Seq(17L, 89L, 211L, 1009L, 2003L, 5003L, 7001L, 9001L)
+    32452843L, 49979687L, 67867967L, 86028121L,
+    122949829L, 141650963L, 160481219L, 179424691L,
+    198491329L, 217645199L, 236887699L, 256203221L)
+  private val PB = Seq(17L, 89L, 211L, 1009L, 2003L, 5003L, 7001L, 9001L,
+    11003L, 13007L, 17011L, 19013L, 23017L, 29021L, 31013L, 37019L)
 
-  /** Sign-bit LSH bucket of a quantized vector column. */
-  private def bucket(q: Column): Column =
-    (0 until NumPlanes).map { j =>
+  /** Sign-bit bucket of a quantized vector over the given plane indices
+    * (bit k of the bucket = sign of plane planes(k)).
+    */
+  private[operators] def bandBucket(q: Column, planes: Seq[Int]): Column =
+    planes.zipWithIndex.map { case (j, k) =>
       val dot = aggregate(
         zip_with(q, sequence(lit(1), size(q)),
           (v, i) => v * ((lit(PA(j)) * i + PB(j)) % 97 - 48)),
         lit(0L), (acc, v) => acc + v)
-      when(dot > 0, lit(1L << j)).otherwise(0L)
+      when(dot > 0, lit(1L << k)).otherwise(0L)
     }.reduce(_ + _)
 
-  private def bucketSql(q: String): String =
-    (0 until NumPlanes).map { j =>
+  private[operators] def bandBucketSql(q: String, planes: Seq[Int]): String =
+    planes.zipWithIndex.map { case (j, k) =>
       s"CASE WHEN list_sum(list_transform(range(1, len($q) + 1), " +
         s"i -> $q[i] * ((${PA(j)} * i + ${PB(j)}) % 97 - 48))) > 0 " +
-        s"THEN ${1L << j} ELSE 0 END"
+        s"THEN ${1L << k} ELSE 0 END"
     }.mkString("(", " + ", ")")
+
+  /** The 8-plane knn bucket. */
+  private def bucket(q: Column): Column = bandBucket(q, 0 until NumPlanes)
+
+  private def bucketSql(q: String): String = bandBucketSql(q, 0 until NumPlanes)
 
   // --- sim_topk_bruteforce: exact cosine top-k ----------------------------
   def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {

@@ -121,17 +121,23 @@ object TextOps {
   // --- tx_fingerprint: position-weighted polynomial fingerprint ----------
   /** fp1 = Σ_i (code(tok_i) % 2^20) * i  (mod P); fp2 weights the squared
     * code — order-sensitive, so permuted documents fingerprint differently,
-    * but integer sums keep both engines exact. Spark side distributes via
-    * posexplode + partial aggregation.
+    * but integer sums keep both engines exact. Array-native map-only work:
+    * no explode, no shuffle except the output ordering (the r2 version
+    * shuffled every token row through a grouped sum). NULL fingerprints for
+    * token-less docs, matching the oracle's list_sum([]) → NULL.
     */
   def txFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "t")))
-      .withColumn("c", strCode(col("t")) % 1048576L)
-    exploded.groupBy(col("doc_id"))
-      .agg(
-        (sum(col("c") * (col("pos") + 1)) % P).as("fp1"),
-        (sum(col("c") * col("c") % P * (col("pos") + 1)) % P).as("fp2"))
+    val withCodes = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        transform(strCodes(tokens(col("text"))), c => c % 1048576L).as("cs"))
+    def weighted(f: (Column, Column) => Column): Column =
+      when(size(col("cs")) > 0,
+        aggregate(transform(col("cs"), (c, i) => f(c, i + 1)),
+          lit(0L), (acc, v) => acc + v) % P)
+        .otherwise(lit(null).cast("long"))
+    withCodes.select(col("doc_id"),
+        weighted((c, i) => c * i).as("fp1"),
+        weighted((c, i) => c * c % P * i).as("fp2"))
       .orderBy(col("doc_id").asc)
   }
 

@@ -46,50 +46,77 @@ object StreamOps {
   // --- keyed-state sessionization (flatMapGroupsWithState) ---------------
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Keyed session state. `sumCents` is exact Long cents (value is
+    * 2-decimal money): Double accumulation is order-dependent and can drift
+    * from the batch twin's DECIMAL(12,2) sum — Long addition cannot.
+    */
   case class SessionState(sessionSeq: Long, lastTs: Long, start: Long,
-    n: Long, sum: Double)
+    n: Long, sumCents: Long)
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
     session_start: Timestamp, session_end: Timestamp, sum_value: Double)
 
   private val GapMicros = 1800L * 1000000L
 
+  private def emit(user: Long, st: SessionState): SessionOut =
+    SessionOut(user, st.sessionSeq, st.n,
+      new Timestamp(st.start / 1000L), new Timestamp(st.lastTs / 1000L),
+      st.sumCents / 100.0)
+
   /** Gap-based sessionization with explicit keyed state — the streaming twin
-    * of EventOps.evSessionize. Emits a session when a gap closes it; on
-    * processing-time timeout the open session flushes. Batch-executable too
-    * (tests run it over a sorted batch via flatMapGroups semantics).
+    * of EventOps.evSessionize. Emits a session when a gap closes it; the
+    * open session flushes on EVENT-TIME TIMEOUT once the watermark passes
+    * its gap deadline, and the per-key state is dropped then — state size
+    * is bounded by the set of users active inside the watermark horizon,
+    * not by all users ever seen (a 2-hour watermark is applied here).
     */
   def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    events.select(col("user_id"), col("ts"), col("value")).as[Ev]
+    events.select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "2 hours")
+      .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          // Within a micro-batch rows are not ordered; sort this group's
-          // slice (bounded by batch size, not total history).
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
-          var st = state.getOption.orNull
-          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
-          for (e <- sorted) {
-            val tsMicros = e.ts.getTime * 1000L
-            if (st == null) {
-              st = SessionState(1L, tsMicros, tsMicros, 1L, e.value)
-            } else if (tsMicros - st.lastTs > GapMicros) {
-              out += SessionOut(user, st.sessionSeq, st.n,
-                new Timestamp(st.start / 1000L), new Timestamp(st.lastTs / 1000L),
-                math.round(st.sum * 100) / 100.0)
-              st = SessionState(st.sessionSeq + 1, tsMicros, tsMicros, 1L, e.value)
-            } else {
-              st = st.copy(lastTs = tsMicros, n = st.n + 1, sum = st.sum + e.value)
+          if (state.hasTimedOut) {
+            // Watermark passed the gap deadline: the open session can never
+            // be extended — flush it and evict the key's state.
+            val st = state.get
+            state.remove()
+            Iterator.single(emit(user, st))
+          } else {
+            // Within a micro-batch rows are not ordered; sort this group's
+            // slice (bounded by batch size, not total history).
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var st = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            for (e <- sorted) {
+              val tsMicros = e.ts.getTime * 1000L
+              val cents = math.round(e.value * 100)
+              if (st == null) {
+                st = SessionState(1L, tsMicros, tsMicros, 1L, cents)
+              } else if (tsMicros - st.lastTs > GapMicros) {
+                out += emit(user, st)
+                st = SessionState(st.sessionSeq + 1, tsMicros, tsMicros, 1L, cents)
+              } else {
+                st = st.copy(lastTs = tsMicros, n = st.n + 1,
+                  sumCents = st.sumCents + cents)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              // Flush when the watermark passes last event + gap.
+              state.setTimeoutTimestamp(st.lastTs / 1000L + GapMicros / 1000L)
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }.toDF()
   }
 
   /** Flush remaining open sessions from the final state (test helper for
-    * end-of-stream semantics; production would use event-time timeout).
+    * end-of-stream semantics — the streaming path reaches the same flush
+    * via event-time timeout in [[sessionize]]).
     */
   def finalSessions(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
@@ -101,18 +128,15 @@ object StreamOps {
         var st: SessionState = null
         for (e <- sorted) {
           val tsMicros = e.ts.getTime * 1000L
-          if (st == null) st = SessionState(1L, tsMicros, tsMicros, 1L, e.value)
+          val cents = math.round(e.value * 100)
+          if (st == null) st = SessionState(1L, tsMicros, tsMicros, 1L, cents)
           else if (tsMicros - st.lastTs > GapMicros) {
-            out += SessionOut(user, st.sessionSeq, st.n,
-              new Timestamp(st.start / 1000L), new Timestamp(st.lastTs / 1000L),
-              math.round(st.sum * 100) / 100.0)
-            st = SessionState(st.sessionSeq + 1, tsMicros, tsMicros, 1L, e.value)
-          } else st = st.copy(lastTs = tsMicros, n = st.n + 1, sum = st.sum + e.value)
+            out += emit(user, st)
+            st = SessionState(st.sessionSeq + 1, tsMicros, tsMicros, 1L, cents)
+          } else st = st.copy(lastTs = tsMicros, n = st.n + 1,
+            sumCents = st.sumCents + cents)
         }
-        if (st != null)
-          out += SessionOut(user, st.sessionSeq, st.n,
-            new Timestamp(st.start / 1000L), new Timestamp(st.lastTs / 1000L),
-            math.round(st.sum * 100) / 100.0)
+        if (st != null) out += emit(user, st)
         out.iterator
       }.toDF()
   }

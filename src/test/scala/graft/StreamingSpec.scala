@@ -43,11 +43,15 @@ class StreamingSpec extends SparkSpec {
   test("keyed-state sessionization matches the batch window sessionization") {
     val batchEvents = EventOps.events(spark, sf)
     val sessions = StreamOps.finalSessions(spark, batchEvents)
-      .select(col("user_id"), col("session_seq"), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .select(col("user_id"), col("session_seq"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
     val oracle = EventOps.evSessionize(spark, sf)
-      .select(col("user_id"), col("session_seq"), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .select(col("user_id"), col("session_seq"), col("n_events"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
     assert(sessions == oracle)
   }
 
