@@ -128,6 +128,69 @@ object ObjectStoreView {
       |  WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_returnflag <> 'R'
       |) snap_b_base""".stripMargin
 
+  /** Container → key mapping: every key's data lives in a storage
+    * container, derived with fixed arithmetic (container_id in [0, 1024)).
+    * Reference: Recon's ContainerKeyMapperTask builds exactly this inverse
+    * map from OM key info (recon/.../tasks/ContainerKeyMapperTask.java),
+    * served by ContainerEndpoint `/{id}/keys` (recon/.../api/
+    * ContainerEndpoint.java:140).
+    */
+  def containerKeys(spark: SparkSession, sfDir: String): DataFrame =
+    keysFrom(Tables.lineitem(spark, sfDir)).select(
+      ((col("l_orderkey") * 7 + col("l_linenumber")) % 1024)
+        .cast("bigint").as("container_id"),
+      col("volume"), col("bucket"), col("key"), col("size"), col("state"))
+
+  val containerKeysSql: String =
+    """SELECT
+      |  CAST((l_orderkey * 7 + l_linenumber) % 1024 AS BIGINT) AS container_id,
+      |  'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,
+      |  'b' || CAST(l_suppkey % 5 AS VARCHAR) AS bucket,
+      |  'data/' || CAST(year(l_shipdate) AS VARCHAR) || '/' ||
+      |    lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |    CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size,
+      |  CASE WHEN l_linestatus = 'O' THEN 'OPEN' ELSE 'CLOSED' END AS state
+      |FROM lineitem""".stripMargin
+
+  /** Actual replica count of a container (0 = MISSING), fixed arithmetic
+    * standing in for SCM's replica reports (reference: replication health
+    * states in recon/.../api/ContainerEndpoint.java:285 `/unhealthy/{state}`
+    * and SCM ReplicationManager semantics).
+    */
+  def containerReplicas(containerId: Column): Column =
+    (containerId * 31 + 7) % 5
+
+  def containerReplicasSql(e: String): String = s"(($e * 31 + 7) % 5)"
+
+  /** Deleted keys awaiting purge (the trash / deletion pipeline). The
+    * RETURNFLAG='R' slice of the namespace stands in for keys moved to the
+    * deletedTable, with deletion_time = mtime. Reference: `listTrash`
+    * (common/.../om/protocol/OzoneManagerProtocol.java:585) and the OM
+    * KeyDeletingService's pending-deletion accounting.
+    */
+  def trashKeys(spark: SparkSession, sfDir: String): DataFrame =
+    keysFrom(Tables.lineitem(spark, sfDir))
+      .filter(col("l_returnflag") === "R")
+      .select(col("volume"), col("bucket"), col("key"), col("size"),
+        col("mtime").as("deletion_time"))
+
+  val trashKeysSql: String =
+    """SELECT volume, bucket, key, size, mtime AS deletion_time
+      |FROM (
+      |  SELECT l_returnflag,
+      |    'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,
+      |    'b' || CAST(l_suppkey % 5 AS VARCHAR) AS bucket,
+      |    'data/' || CAST(year(l_shipdate) AS VARCHAR) || '/' ||
+      |      lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
+      |      CAST(l_orderkey AS VARCHAR) || '-' ||
+      |      CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size,
+      |    l_shipdate AS mtime
+      |  FROM lineitem
+      |) t WHERE l_returnflag = 'R'""".stripMargin
+
   /** Multipart uploads in flight: one upload per open order, parts = its
     * lineitems (reference: S3InitiateMultipartUploadRequest + part key
     * tracking, /root/reference/hadoop-ozone/ozone-manager/.../request/s3/

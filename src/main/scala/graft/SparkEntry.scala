@@ -12,14 +12,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Namespace.queries ++ EventOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
-      Multimodal.queries
+    Relational.queries ++ Namespace.queries ++ Containers.queries ++
+      Entities.queries ++ EventOps.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Namespace.oracles ++ EventOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles
+    Relational.oracles ++ Namespace.oracles ++ Containers.oracles ++
+      Entities.oracles ++ EventOps.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ TextOps.oracles
 }

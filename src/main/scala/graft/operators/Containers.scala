@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.ObjectStoreView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-container & cluster-state analytics (SURVEY §2.A extension) —
+  * the reference's Recon container surface re-expressed as DataFrame plans
+  * over the container→key mapping:
+  *
+  *  - keys per container — recon/.../api/ContainerEndpoint.java:140
+  *    (`/{id}/keys`), built by tasks/ContainerKeyMapperTask.java;
+  *  - missing containers and the keys they strand —
+  *    ContainerEndpoint.java:241 (`/missing`);
+  *  - unhealthy-by-state rollup — ContainerEndpoint.java:285
+  *    (`/unhealthy/{state}`), SCM ReplicationManager health states;
+  *  - cluster state totals — recon/.../api/ClusterStateEndpoint.java:79;
+  *  - per-datanode hosting report — recon/.../api/NodeEndpoint.java:84,
+  *    replica placement derived with fixed arithmetic.
+  *
+  * Scale notes (SURVEY §5): every rollup is one scan of the container-key
+  * map + one shuffle on its grouping key with map-side partial aggregation;
+  * the per-container rollup feeds the health/missing/node reports, and the
+  * replica explode is bounded (≤ 4 rows per container).
+  */
+object Containers {
+
+  private val cks = ObjectStoreView.containerKeysSql
+  private def repl(e: String) = ObjectStoreView.containerReplicasSql(e)
+  private val Target = 3
+
+  /** Per-container rollup with derived replica count. */
+  private def containerStats(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.containerKeys(spark, dir)
+      .groupBy(col("container_id"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"))
+      .withColumn("replicas",
+        ObjectStoreView.containerReplicas(col("container_id")))
+
+  private val containerStatsSql: String =
+    s"""container_keys AS ($cks), cont AS (
+       |  SELECT container_id, COUNT(*) AS n_keys,
+       |    CAST(SUM(size) AS BIGINT) AS total_bytes,
+       |    ${repl("container_id")} AS replicas
+       |  FROM container_keys GROUP BY container_id
+       |)""".stripMargin
+
+  // --- ct_keys_per_container: the ContainerKeyMapper inverse map ----------
+  def ctKeysPerContainer(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.containerKeys(spark, dir)
+      .groupBy(col("container_id"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"),
+        countDistinct(col("volume"), col("bucket")).as("n_buckets"))
+      .orderBy(col("container_id").asc)
+
+  val ctKeysPerContainerSql: String =
+    s"""WITH container_keys AS ($cks)
+       |SELECT container_id, COUNT(*) AS n_keys,
+       |  CAST(SUM(size) AS BIGINT) AS total_bytes,
+       |  COUNT(DISTINCT volume || '/' || bucket) AS n_buckets
+       |FROM container_keys GROUP BY container_id
+       |ORDER BY container_id ASC""".stripMargin
+
+  // --- ct_missing_container_keys: keys stranded in 0-replica containers --
+  /** "Which keys live in this missing container" — Recon's flagship ops
+    * question (ContainerEndpoint `/missing` + `/{id}/keys`).
+    */
+  def ctMissingContainerKeys(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.containerKeys(spark, dir)
+      .filter(ObjectStoreView.containerReplicas(col("container_id")) === 0)
+      .select("container_id", "volume", "bucket", "key", "size")
+      .orderBy(col("container_id").asc, col("volume").asc, col("bucket").asc,
+        col("key").asc)
+
+  val ctMissingContainerKeysSql: String =
+    s"""WITH container_keys AS ($cks)
+       |SELECT container_id, volume, bucket, key, size FROM container_keys
+       |WHERE ${repl("container_id")} = 0
+       |ORDER BY container_id ASC, volume ASC, bucket ASC, key ASC""".stripMargin
+
+  // --- ct_unhealthy_containers: health-state rollup -----------------------
+  def ctUnhealthyContainers(spark: SparkSession, dir: String): DataFrame =
+    containerStats(spark, dir)
+      .withColumn("health",
+        when(col("replicas") === 0, "MISSING")
+          .when(col("replicas") < Target, "UNDER_REPLICATED")
+          .when(col("replicas") === Target, "HEALTHY")
+          .otherwise("OVER_REPLICATED"))
+      .groupBy(col("health"))
+      .agg(count(lit(1)).as("n_containers"),
+        sum(col("n_keys")).as("n_keys"),
+        sum(col("total_bytes")).as("total_bytes"))
+      .orderBy(col("health").asc)
+
+  val ctUnhealthyContainersSql: String =
+    s"""WITH $containerStatsSql
+       |SELECT CASE WHEN replicas = 0 THEN 'MISSING'
+       |  WHEN replicas < $Target THEN 'UNDER_REPLICATED'
+       |  WHEN replicas = $Target THEN 'HEALTHY'
+       |  ELSE 'OVER_REPLICATED' END AS health,
+       |  COUNT(*) AS n_containers,
+       |  CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+       |  CAST(SUM(total_bytes) AS BIGINT) AS total_bytes
+       |FROM cont GROUP BY health ORDER BY health ASC""".stripMargin
+
+  // --- ct_cluster_state: one-row cluster totals ---------------------------
+  /** Single scan of the container-key map (it carries volume/bucket/state
+    * alongside container_id, so no join is needed for the rollup).
+    */
+  def ctClusterState(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.containerKeys(spark, dir)
+      .agg(
+        countDistinct(col("volume")).as("n_volumes"),
+        countDistinct(col("volume"), col("bucket")).as("n_buckets"),
+        count(lit(1)).as("n_keys"),
+        sum(col("size")).as("total_bytes"),
+        sum(when(col("state") === "OPEN", 1L).otherwise(0L)).as("n_open_keys"),
+        countDistinct(col("container_id")).as("n_containers"),
+        countDistinct(
+          when(ObjectStoreView.containerReplicas(col("container_id")) === 0,
+            col("container_id"))).as("n_missing_containers"))
+
+  val ctClusterStateSql: String =
+    s"""WITH container_keys AS ($cks)
+       |SELECT
+       |  COUNT(DISTINCT volume) AS n_volumes,
+       |  COUNT(DISTINCT volume || '/' || bucket) AS n_buckets,
+       |  COUNT(*) AS n_keys,
+       |  CAST(SUM(size) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(CASE WHEN state = 'OPEN' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_keys,
+       |  COUNT(DISTINCT container_id) AS n_containers,
+       |  COUNT(DISTINCT CASE WHEN ${repl("container_id")} = 0
+       |    THEN container_id END) AS n_missing_containers
+       |FROM container_keys""".stripMargin
+
+  // --- ct_node_report: per-datanode hosted replicas -----------------------
+  /** Replica r of container c lives on node (c*31 + r*17) % 20 — fixed
+    * arithmetic placement (the reference tracks real datanode reports;
+    * NodeEndpoint.java:84). Bounded explode: ≤ 4 replica rows/container.
+    */
+  def ctNodeReport(spark: SparkSession, dir: String): DataFrame =
+    containerStats(spark, dir)
+      .filter(col("replicas") >= 1)
+      .select(col("container_id"), col("n_keys"), col("total_bytes"),
+        explode(sequence(lit(1), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_container_replicas"),
+        sum(col("total_bytes")).as("hosted_bytes"))
+      .orderBy(col("node_id").asc)
+
+  val ctNodeReportSql: String =
+    s"""WITH $containerStatsSql, placed AS (
+       |  SELECT (cont.container_id * 31 + u.r * 17) % 20 AS node_id,
+       |    cont.total_bytes
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  WHERE cont.replicas >= 1
+       |)
+       |SELECT node_id, COUNT(*) AS n_container_replicas,
+       |  CAST(SUM(total_bytes) AS BIGINT) AS hosted_bytes
+       |FROM placed GROUP BY node_id ORDER BY node_id ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_keys_per_container" -> ctKeysPerContainer,
+    "ct_missing_container_keys" -> ctMissingContainerKeys,
+    "ct_unhealthy_containers" -> ctUnhealthyContainers,
+    "ct_cluster_state" -> ctClusterState,
+    "ct_node_report" -> ctNodeReport)
+
+  val oracles: Map[String, String] = Map(
+    "ct_keys_per_container" -> ctKeysPerContainerSql,
+    "ct_missing_container_keys" -> ctMissingContainerKeysSql,
+    "ct_unhealthy_containers" -> ctUnhealthyContainersSql,
+    "ct_cluster_state" -> ctClusterStateSql,
+    "ct_node_report" -> ctNodeReportSql)
+}
