@@ -161,7 +161,7 @@ object EventOps {
       |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
       |FROM (
       |  SELECT event_type,
-      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |  FROM events
       |) t
       |GROUP BY event_type ORDER BY event_type ASC""".stripMargin

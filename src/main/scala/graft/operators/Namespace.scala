@@ -93,10 +93,15 @@ object Namespace {
   def nsDu(spark: SparkSession, dir: String): DataFrame =
     du(ObjectStoreView.keys(spark, dir), 3)
 
+  /** The dir expression slices the first 3 path segments and rejoins — for
+    * keys with fewer segments it yields the whole key, exactly like Spark's
+    * substring_index (the previous split_part concatenation appended
+    * phantom trailing slashes on shallow keys; ADVICE r2).
+    */
   val nsDuSql: String =
     s"""WITH keys AS ($ks)
        |SELECT volume, bucket,
-       |  split_part(key,'/',1) || '/' || split_part(key,'/',2) || '/' || split_part(key,'/',3) AS dir,
+       |  array_to_string(string_split(key, '/')[1:3], '/') AS dir,
        |  COUNT(*) AS num_files, CAST(SUM(size) AS BIGINT) AS size_of_files
        |FROM keys GROUP BY volume, bucket, dir
        |ORDER BY volume ASC, bucket ASC, dir ASC""".stripMargin

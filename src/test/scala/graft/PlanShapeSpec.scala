@@ -1,0 +1,55 @@
+package graft
+
+/** Regression guards on physical plan shape (SURVEY §5, VERDICT r2 #9):
+  * the correctness gate can't see a plan that is right-but-quadratic, so
+  * these specs pin the scale-critical properties — no all-pairs joins,
+  * dimension joins broadcast, filters reaching the parquet scan.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  /** sim_topk_bruteforce deliberately broadcasts the tiny query set against
+    * the corpus scan — a BroadcastNestedLoopJoin over a bounded side is the
+    * exact-baseline design (SURVEY §5), not an accident.
+    */
+  private val allowedNestedLoop = Set("sim_topk_bruteforce")
+
+  test("no CartesianProduct in any registered query plan") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plan contains a CartesianProduct")
+    }
+  }
+
+  test("no BroadcastNestedLoopJoin outside the documented allowlist") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!allowedNestedLoop(name)) {
+        val p = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plan contains a BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
+  test("q5 joins its dimension tables with broadcast hash joins") {
+    assert(plan("q5_local_supplier_volume").contains("BroadcastHashJoin"))
+  }
+
+  test("q3 pushes its date/segment filters into the parquet scans") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("IsNotNull") || p.contains("LessThan") ||
+      p.contains("EqualTo"), s"expected concrete pushed predicates")
+  }
+
+  test("LSH dedup plans contain no shuffle of raw document text") {
+    // The exchange keys for dd_exact are the two fingerprint columns.
+    val p = plan("dd_exact")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.forall(l => !l.contains("text#")),
+      "dd_exact shuffles the raw document text")
+  }
+}

@@ -36,10 +36,14 @@ for name in sorted(oracle):
     mismatch = False
     for c in s.columns:
         sv, dv = s[c], d[c]
+        both = ~sv.isna() & ~dv.isna()
         if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(dv):
-            eq = np.isclose(sv.fillna(0), dv.fillna(0), rtol=0, atol=0) | (sv.isna() & dv.isna())
+            # NULL must only equal NULL - no fillna masking (a null aggregate
+            # and a genuine 0.0 are different answers).
+            eq = (both & np.isclose(sv.where(both), dv.where(both), rtol=0, atol=0)) \
+                | (sv.isna() & dv.isna())
         else:
-            eq = (sv.astype(str) == dv.astype(str)) | (sv.isna() & dv.isna())
+            eq = (both & (sv.astype(str) == dv.astype(str))) | (sv.isna() & dv.isna())
         if not eq.all():
             i = int(np.argmin(eq.values))
             print(f"VALUE MISMATCH {name}.{c} row{i}: spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}")
