@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compiled kernels for the hot hash loops (SURVEY §6: "custom Catalyst
+  * Expression for hot hash loops"). The declarative higher-order-function
+  * forms in [[Codes]] are NOT whole-stage-codegen'd by Spark — every
+  * per-character / per-element step runs the interpreted expression
+  * evaluator (NamedLambdaVariable set + tree walk ≈ µs/element), which at
+  * ~300 tokens × 32 positions per document dominates dedup runtime. These
+  * expressions evaluate the same arithmetic in a tight JVM loop and plug
+  * into whole-stage codegen via a static call.
+  *
+  * Semantics are defined by the DuckDB oracle SQL in [[Codes]]
+  * (codepoint-based, like DuckDB's ascii/substring): for each element,
+  * code = ((Σ_{i=1..32} cp_i·31^(i-1) mod P) % P · 64 + numChars % 64) % P
+  * over the '_'-padded first 32 codepoints. Pure ASCII inputs (the corpus)
+  * make byte/char/codepoint views identical.
+  */
+object CodeKernels {
+  val P = 2147483647L
+  private val pow31m: Array[Long] =
+    Iterator.iterate(1L)(x => x * 31L % P).take(32).toArray
+
+  /** 32-codepoint polynomial string code — kernel twin of Codes.strCode. */
+  def strCode(s: UTF8String): Long = {
+    val js = s.toString
+    var sum = 0L
+    var cpIdx = 0
+    var i = 0
+    while (cpIdx < 32 && i < js.length) {
+      val cp = js.codePointAt(i)
+      i += Character.charCount(cp)
+      sum += cp.toLong * pow31m(cpIdx)
+      cpIdx += 1
+    }
+    while (cpIdx < 32) { sum += 95L * pow31m(cpIdx); cpIdx += 1 } // '_' pad
+    val len = js.codePointCount(0, js.length)
+    ((sum % P) * 64L + len % 64L) % P
+  }
+
+  def strCodes(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = strCode(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Full-string left fold (acc·mult + cp) % p — kernel twin of
+    * Codes.foldCode (empty string → 0).
+    */
+  def foldCode(s: UTF8String, mult: Long, p: Long): Long = {
+    val js = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < js.length) {
+      val cp = js.codePointAt(i)
+      i += Character.charCount(cp)
+      acc = (acc * mult + cp) % p
+    }
+    acc
+  }
+}
+
+/** array<string> → array<long> of 32-codepoint polynomial codes. */
+case class StrCodesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CodeKernels.strCodes(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodeKernels.strCodes($c)")
+  override protected def withNewChildInternal(newChild: Expression): StrCodesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_str_codes"
+}
+
+/** string → long full-string polynomial fold fingerprint. */
+case class FoldCodeExpr(child: Expression, mult: Long, p: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CodeKernels.foldCode(input.asInstanceOf[UTF8String], mult, p)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CodeKernels.foldCode($c, ${mult}L, ${p}L)")
+  override protected def withNewChildInternal(newChild: Expression): FoldCodeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fold_code"
+}

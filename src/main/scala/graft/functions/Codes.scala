@@ -73,34 +73,27 @@ object Codes {
 
   /** Exact full-string fingerprint: left fold (acc*mult + codepoint) % p
     * over every character. acc < p < 2^31 and mult ≤ 131 keep the step
-    * within Long range. Empty strings map to 0 on both engines (guarded —
-    * Spark's split("","") and DuckDB's string_split disagree on empties).
+    * within Long range. Empty strings map to 0 on both engines. Evaluated
+    * by the compiled [[FoldCodeExpr]] kernel (the declarative
+    * aggregate-over-characters form runs interpreted, ~µs per character).
     */
   def foldCode(c: Column, mult: Long, p: Long): Column =
-    when(length(c) === 0, 0L).otherwise(
-      aggregate(
-        transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1)))),
-        lit(0L),
-        (acc, x) => (acc * mult + x) % p))
+    org.apache.spark.sql.GraftBridge.column(
+      FoldCodeExpr(org.apache.spark.sql.GraftBridge.expression(c), mult, p))
 
   def foldCodeSql(e: String, mult: Long, p: Long): String =
     s"(CASE WHEN length($e) = 0 THEN 0 ELSE list_reduce(" +
       s"list_prepend(CAST(0 AS BIGINT), list_transform(string_split($e, ''), " +
       s"ch -> CAST(ascii(ch) AS BIGINT))), (acc, x) -> (acc * $mult + x) % $p) END)"
 
-  /** String codes of every element of a string array. The inner transform
-    * materializes the padded string + length once per element (as a struct)
-    * so the 32 per-position terms read an attribute instead of re-running
-    * rpad — keeps the hot loop allocation-free-ish at 100 TB document
-    * counts.
+  /** String codes of every element of a string array — evaluated by the
+    * compiled [[StrCodesExpr]] kernel (one tight JVM loop per element
+    * instead of 32 interpreted per-position terms; the SQL twin below is
+    * the semantic definition both engines share).
     */
   def strCodes(arr: Column): Column =
-    transform(
-      transform(arr, s =>
-        struct(rpad(s, CodeLen, "_").as("p"), (length(s) % 64L).as("l"))),
-      t => ((1 to CodeLen)
-        .map(i => ascii(substring(t("p"), i, 1)) * lit(pow31m(i - 1)))
-        .reduce(_ + _) % P * 64L + t("l")) % P)
+    org.apache.spark.sql.GraftBridge.column(
+      StrCodesExpr(org.apache.spark.sql.GraftBridge.expression(arr)))
 
   def strCodesSql(arrE: String): String =
     s"list_transform($arrE, s -> ${strCodeSql("s")})"
