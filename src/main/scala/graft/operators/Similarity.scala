@@ -126,11 +126,92 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
 
+  // --- sim_knn_ivf: inverted-file ANN (coarse quantizer + probe) ----------
+  /** IVF shape (SURVEY §6): corpus vectors are assigned to the nearest of
+    * 16 coarse centroids once (broadcast 16-row centroid set, argmax by
+    * cosine, deterministic c_id tie-break); queries probe their 2 best
+    * cells and run exact cosine only inside them — the corpus scan drops
+    * to the probed-cell fraction. Deterministic stand-in for k-means
+    * training: centroids are the first 16 corpus vectors (the
+    * partition/probe plan shape is identical with trained centroids).
+    */
+  def simKnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val centroids = nm.filter(col("vec_id").between(10, 25))
+      .select(col("vec_id").as("c_id"), col("q").as("qc"), col("n2").as("nc"))
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qv"), col("n2").as("nv"))
+    val queries = nm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
+
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", Dedup.cosine(col("qv"), col("qc"), col("nv"), col("nc")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("neighbor_id"), col("qv"), col("nv"), col("c_id").as("cell"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", Dedup.cosine(col("qq"), col("qc"), col("nq"), col("nc")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 2)
+      .select(col("query_id"), col("qq"), col("nq"), col("c_id").as("cell"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos_sim",
+        round(Dedup.cosine(col("qq"), col("qv"), col("nq"), col("nv")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast("bigint").as("rk"), col("cos_sim"))
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  val simKnnIvfSql: String =
+    s"""WITH ${Dedup.quantizedSql}, cent AS (
+       |  SELECT vec_id AS c_id, q AS qc, n2 AS nc FROM nm
+       |  WHERE vec_id BETWEEN 10 AND 25
+       |), asg AS (
+       |  SELECT * FROM (
+       |    SELECT v.vec_id AS neighbor_id, v.q AS qv, v.n2 AS nv, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Dedup.cosineSql("v.q", "c.qc", "v.n2", "c.nc")} DESC,
+       |        c.c_id ASC) AS crk
+       |    FROM nm v CROSS JOIN cent c WHERE v.vec_id >= 10
+       |  ) t WHERE crk = 1
+       |), probes AS (
+       |  SELECT * FROM (
+       |    SELECT s.vec_id AS query_id, s.q AS qq, s.n2 AS nq, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        ${Dedup.cosineSql("s.q", "c.qc", "s.n2", "c.nc")} DESC,
+       |        c.c_id ASC) AS prk
+       |    FROM nm s CROSS JOIN cent c WHERE s.vec_id < 10
+       |  ) t WHERE prk <= 2
+       |), scored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    round(${Dedup.cosineSql("p.qq", "a.qv", "p.nq", "a.nv")}, 6) AS cos_sim
+       |  FROM probes p JOIN asg a ON p.cell = a.cell
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
+       |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforce,
-    "sim_knn_lsh" -> simKnnLsh)
+    "sim_knn_lsh" -> simKnnLsh,
+    "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
-    "sim_knn_lsh" -> simKnnLshSql)
+    "sim_knn_lsh" -> simKnnLshSql,
+    "sim_knn_ivf" -> simKnnIvfSql)
 }

@@ -10,11 +10,13 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
-  /** sim_topk_bruteforce deliberately broadcasts the tiny query set against
-    * the corpus scan — a BroadcastNestedLoopJoin over a bounded side is the
-    * exact-baseline design (SURVEY §5), not an accident.
+  /** Deliberate BroadcastNestedLoopJoins over BOUNDED broadcast sides:
+    * sim_topk_bruteforce broadcasts the tiny query set against the corpus
+    * scan (the exact baseline, SURVEY §5); sim_knn_ivf broadcasts the
+    * 16-row centroid set for cell assignment. Both are linear corpus scans
+    * by design, not accidents.
     */
-  private val allowedNestedLoop = Set("sim_topk_bruteforce")
+  private val allowedNestedLoop = Set("sim_topk_bruteforce", "sim_knn_ivf")
 
   test("no CartesianProduct in any registered query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

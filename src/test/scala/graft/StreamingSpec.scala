@@ -55,6 +55,59 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == oracle)
   }
 
+  test("event-time timeout flushes open sessions as the watermark advances") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // Stage the events as 4 time-ordered files so the stream runs 4
+    // micro-batches and the watermark advances between them.
+    val base = Files.createTempDirectory("graft-stream-multi")
+    val streamDir = base.resolve("in")
+    Files.createDirectory(streamDir)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts")))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val span = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      val part = raw.filter(col("ts") >= lo + i * span &&
+        col("ts") < lo + (i + 1) * span)
+      val outDir = base.resolve(s"w$i")
+      part.coalesce(1).write.parquet(outDir.toString)
+      val f = Files.list(outDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = streamDir.resolve(f"e$i%02d.parquet")
+      Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000L * (i + 1)))
+    }
+
+    val q = StreamOps.sessionize(spark, StreamOps.eventStream(spark, streamDir.toString))
+      .writeStream.format("memory").queryName("session_timeout_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val emitted = spark.table("session_timeout_test")
+      .select("user_id", "session_seq", "n_events", "sum_value")
+      .collect().map(key).toSet
+    val allDf = EventOps.evSessionize(spark, sf)
+    val all = allDf.select("user_id", "session_seq", "n_events", "sum_value")
+      .collect().map(key).toSet
+    assert(emitted.subsetOf(all), "streamed session diverges from batch")
+
+    // Any session whose gap deadline passed the final watermark
+    // (maxTs - 2h) must have been flushed by the event-time timeout.
+    val gapMicros = 1800L * 1000000L
+    val wmMicros = hi / 1000L - 2L * 3600L * 1000000L
+    val mustFlush = allDf
+      .filter(unix_micros(col("session_end")) + gapMicros +
+        1000000L < wmMicros)
+      .select("user_id", "session_seq", "n_events", "sum_value")
+      .collect().map(key).toSet
+    assert(mustFlush.nonEmpty, "test vacuous: no session is past the watermark")
+    assert(mustFlush.subsetOf(emitted),
+      s"${(mustFlush -- emitted).size} timed-out sessions were never flushed")
+  }
+
   test("flatMapGroupsWithState emits closed sessions incrementally") {
     val stream = StreamOps.eventStream(spark, eventsDir)
     val q = StreamOps.sessionize(spark, stream)
