@@ -22,5 +22,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Namespace.oracles ++ Containers.oracles ++
       Entities.oracles ++ EventOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextOps.oracles
+      Similarity.oracles ++ TextOps.oracles ++ Multimodal.oracles
 }

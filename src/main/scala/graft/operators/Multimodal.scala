@@ -59,8 +59,12 @@ object Multimodal {
       .toDF()
   }
 
-  /** mm_decode_stub: features + rollup — rows-only check (no SQL oracle;
-    * the mapPartitions decode is intentionally not SQL-expressible).
+  /** mm_decode_stub: features + rollup. The brightness average goes
+    * through exact integer micro-units (Σ round(mean·1e6) as LONG, divided
+    * once at the end) so the result is FP-order-independent and the
+    * deterministic fake decode can be held to a full DuckDB oracle — the
+    * plumbing (binary payloads, typed mapPartitions, rollup) is gated, not
+    * just row-counted.
     */
   def mmDecodeStub(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, dir)
@@ -68,9 +72,34 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n_images"),
         sum(col("byte_len")).as("total_bytes"),
-        round(avg(col("mean_brightness")), 6).as("avg_brightness"))
+        sum(round(col("mean_brightness") * 1e6).cast("long")).as("micro"))
+      .select(col("shard"), col("n_images"), col("total_bytes"),
+        round(col("micro").cast("double") / col("n_images") / 1e6, 6)
+          .as("avg_brightness"))
       .orderBy(col("shard").asc)
+
+  /** The oracle re-derives the fake decode arithmetically: the corpus is
+    * pure ASCII, so UTF-8 byte_len = length(text) and the byte checksum is
+    * the per-character codepoint sum.
+    */
+  val mmDecodeStubSql: String =
+    """WITH feats AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS byte_len,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |      ELSE CAST(round(CAST(list_sum(list_transform(string_split(text, ''),
+      |        c -> CAST(ascii(c) AS BIGINT))) AS DOUBLE)
+      |        / length(text) * 1000000) AS BIGINT) END AS mb_micro
+      |  FROM documents
+      |)
+      |SELECT doc_id % 10 AS shard, COUNT(*) AS n_images,
+      |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+      |  round(CAST(SUM(mb_micro) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_brightness
+      |FROM feats GROUP BY shard ORDER BY shard ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> mmDecodeStub)
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_stub" -> mmDecodeStubSql)
 }

@@ -11,7 +11,7 @@ class QuerySmokeSpec extends SparkSpec {
     "q_cust_no_orders", "dd_ngram_jaccard", "dd_minhash_lsh")
 
   test("every query key has an oracle or is a documented rows-only check") {
-    val rowsOnly = Set("q_approx_distinct", "mm_decode_stub")
+    val rowsOnly = Set("q_approx_distinct")
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == rowsOnly,
       s"undocumented rows-only queries: ${noOracle -- rowsOnly}")
