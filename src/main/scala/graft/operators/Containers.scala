@@ -160,17 +160,52 @@ object Containers {
        |  CAST(SUM(total_bytes) AS BIGINT) AS hosted_bytes
        |FROM placed GROUP BY node_id ORDER BY node_id ASC""".stripMargin
 
+  // --- ct_pipeline_report: write-pipeline rollup ---------------------------
+  /** Containers with replicas ≥ 1 write through pipeline container_id % 30
+    * (fixed-arithmetic placement; the reference tracks Raft pipelines in
+    * SCM — recon/.../api/PipelineEndpoint.java:74 serves this rollup).
+    * A pipeline is healthy when every container on it has ≥ target
+    * replicas.
+    */
+  def ctPipelineReport(spark: SparkSession, dir: String): DataFrame =
+    containerStats(spark, dir)
+      .filter(col("replicas") >= 1)
+      .withColumn("pipeline_id", col("container_id") % 30)
+      .groupBy(col("pipeline_id"))
+      .agg(
+        count(lit(1)).as("n_containers"),
+        sum(col("n_keys")).as("n_keys"),
+        sum(col("total_bytes")).as("total_bytes"),
+        min(col("replicas")).as("min_replicas"),
+        when(min(col("replicas")) >= Target, "HEALTHY")
+          .otherwise("DEGRADED").as("pipeline_health"))
+      .orderBy(col("pipeline_id").asc)
+
+  val ctPipelineReportSql: String =
+    s"""WITH $containerStatsSql
+       |SELECT container_id % 30 AS pipeline_id,
+       |  COUNT(*) AS n_containers,
+       |  CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+       |  CAST(SUM(total_bytes) AS BIGINT) AS total_bytes,
+       |  MIN(replicas) AS min_replicas,
+       |  CASE WHEN MIN(replicas) >= $Target THEN 'HEALTHY'
+       |    ELSE 'DEGRADED' END AS pipeline_health
+       |FROM cont WHERE replicas >= 1
+       |GROUP BY pipeline_id ORDER BY pipeline_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ct_keys_per_container" -> ctKeysPerContainer,
     "ct_missing_container_keys" -> ctMissingContainerKeys,
     "ct_unhealthy_containers" -> ctUnhealthyContainers,
     "ct_cluster_state" -> ctClusterState,
-    "ct_node_report" -> ctNodeReport)
+    "ct_node_report" -> ctNodeReport,
+    "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
     "ct_keys_per_container" -> ctKeysPerContainerSql,
     "ct_missing_container_keys" -> ctMissingContainerKeysSql,
     "ct_unhealthy_containers" -> ctUnhealthyContainersSql,
     "ct_cluster_state" -> ctClusterStateSql,
-    "ct_node_report" -> ctNodeReportSql)
+    "ct_node_report" -> ctNodeReportSql,
+    "ct_pipeline_report" -> ctPipelineReportSql)
 }

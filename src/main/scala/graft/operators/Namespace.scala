@@ -345,7 +345,45 @@ object Namespace {
        |GROUP BY child, is_dir
        |ORDER BY is_dir DESC, child ASC""".stripMargin
 
+  /** lookupKey: exact-key point read returning the key's info joined with
+    * the containers holding its blocks — reference: OM lookupKey
+    * (common/.../om/protocol/OzoneManagerProtocol.java lookupKey) +
+    * OmKeyLocationInfo block→container resolution. The volume/bucket
+    * equality predicates push to the scan; the single-row key set joins
+    * back by broadcast. Test binding targets the lexicographically first
+    * key of vol0/b0 (exists at every scale factor).
+    */
+  def lookupKey(keys: DataFrame, containerKeys: DataFrame,
+      volume: String, bucket: String): DataFrame = {
+    val scoped = keys.filter(col("volume") === volume && col("bucket") === bucket)
+    val target = scoped.agg(min(col("key")).as("key"))
+    scoped.join(broadcast(target), Seq("key"))
+      .join(containerKeys.select(col("volume"), col("bucket"), col("key"),
+        col("container_id")), Seq("volume", "bucket", "key"))
+      .select("volume", "bucket", "key", "size", "mtime", "replication",
+        "state", "container_id")
+      .orderBy(col("size").asc, col("container_id").asc)
+  }
+
+  def nsLookupKey(spark: SparkSession, dir: String): DataFrame =
+    lookupKey(ObjectStoreView.keys(spark, dir),
+      ObjectStoreView.containerKeys(spark, dir), "vol0", "b0")
+
+  val nsLookupKeySql: String =
+    s"""WITH keys AS ($ks), ck AS (${ObjectStoreView.containerKeysSql}),
+       |scoped AS (
+       |  SELECT * FROM keys WHERE volume = 'vol0' AND bucket = 'b0'
+       |), target AS (SELECT MIN(key) AS key FROM scoped)
+       |SELECT s.volume, s.bucket, s.key, s.size, s.mtime, s.replication,
+       |  s.state, c.container_id
+       |FROM scoped s
+       |JOIN target t ON s.key = t.key
+       |JOIN ck c ON s.volume = c.volume AND s.bucket = c.bucket
+       |  AND s.key = c.key
+       |ORDER BY s.size ASC, c.container_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_lookup_key" -> nsLookupKey,
     "ns_list_prefix" -> nsListPrefix,
     "ns_common_prefixes" -> nsCommonPrefixes,
     "ns_du" -> nsDu,
@@ -361,6 +399,7 @@ object Namespace {
     "ns_liststatus" -> nsListStatus)
 
   val oracles: Map[String, String] = Map(
+    "ns_lookup_key" -> nsLookupKeySql,
     "ns_list_prefix" -> nsListPrefixSql,
     "ns_common_prefixes" -> nsCommonPrefixesSql,
     "ns_du" -> nsDuSql,

@@ -89,11 +89,20 @@ object Similarity {
        |WHERE rk <= $K ORDER BY query_id ASC, rk ASC""".stripMargin
 
   // --- sim_knn_lsh: hyperplane-bucketed approximate search ----------------
+  /** Multi-probe: each query probes its exact bucket plus the 8 buckets at
+    * Hamming distance 1 (one sign bit flipped) — the standard recall fix
+    * for sign-bit LSH without rebucketing the corpus. The probe explode is
+    * bounded (9 rows per query); the corpus is still bucketed exactly
+    * once.
+    */
   def simKnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val nm = Dedup.quantized(spark, dir).withColumn("bkt", bucket(col("q")))
+    val probeArr = array(
+      col("bkt") +: (0 until NumPlanes).map(j =>
+        col("bkt").bitwiseXOR(lit(1L << j))): _*)
     val queries = nm.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("n2").as("nq"), col("bkt"))
+        col("n2").as("nq"), explode(probeArr).as("bkt"))
     val corpus = nm.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
         col("n2").as("nc"), col("bkt"))
@@ -109,14 +118,20 @@ object Similarity {
       .orderBy(col("query_id").asc, col("rk").asc)
   }
 
-  val simKnnLshSql: String =
+  val simKnnLshSql: String = {
+    val probeList = ("a.bkt" +: (0 until NumPlanes)
+      .map(j => s"xor(a.bkt, ${1L << j})")).mkString("[", ", ", "]")
     s"""WITH ${Dedup.quantizedSql}, bk AS (
        |  SELECT vec_id, q, n2, ${bucketSql("q")} AS bkt FROM nm
+       |), probes AS (
+       |  SELECT a.vec_id, a.q, a.n2, u.pbkt
+       |  FROM bk a, UNNEST($probeList) AS u(pbkt)
+       |  WHERE a.vec_id < 10
        |), scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    round(${Dedup.cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6) AS cos_sim
-       |  FROM bk a JOIN bk b ON a.bkt = b.bkt
-       |  WHERE a.vec_id < 10 AND b.vec_id >= 10
+       |  FROM probes a JOIN bk b ON a.pbkt = b.bkt
+       |  WHERE b.vec_id >= 10
        |), ranked AS (
        |  SELECT query_id, neighbor_id, cos_sim,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -125,6 +140,7 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
+  }
 
   // --- sim_knn_ivf: inverted-file ANN (coarse quantizer + probe) ----------
   /** IVF shape (SURVEY §6): corpus vectors are assigned to the nearest of

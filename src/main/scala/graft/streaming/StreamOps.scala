@@ -43,6 +43,26 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming pending-deletion accounting — the trash-emptier / lifecycle
+    * twin of the batch `ns_trash_pending` rollup: deleted-key records
+    * stream in and per-day per-bucket pending counts/bytes aggregate under
+    * a 48-hour watermark, so state is bounded by the retention horizon.
+    * Reference: the OM KeyDeletingService runs this accounting
+    * continuously over the deletedTable.
+    */
+  def trashPendingStream(trash: DataFrame): DataFrame =
+    trash
+      // Parquet round-trips the driver tables' timestamps as NTZ, which
+      // event-time watermarks reject — pin to TimestampType (UTC session).
+      .withColumn("deletion_time", col("deletion_time").cast("timestamp"))
+      .withWatermark("deletion_time", "48 hours")
+      .groupBy(window(col("deletion_time"), "1 day"),
+        col("volume"), col("bucket"))
+      .agg(count(lit(1)).as("n_pending_keys"),
+        sum(col("size")).as("pending_bytes"))
+      .select(col("window.start").as("day"), col("volume"), col("bucket"),
+        col("n_pending_keys"), col("pending_bytes"))
+
   // --- keyed-state sessionization (flatMapGroupsWithState) ---------------
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)

@@ -55,6 +55,31 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == oracle)
   }
 
+  test("streaming trash accounting equals the batch pending-deletion rollup") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trash-stream")
+    val trash = ObjectStoreView.trashKeys(spark, sf)
+    trash.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.trashPendingStream(stream)
+      .writeStream.format("memory").queryName("trash_stream_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.table("trash_stream_test").collect().map(key).toSet
+    val batch = trash
+      .groupBy(date_trunc("day", col("deletion_time")).as("day"),
+        col("volume"), col("bucket"))
+      .agg(count(lit(1)).as("n_pending_keys"),
+        sum(col("size")).as("pending_bytes"))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+  }
+
   test("event-time timeout flushes open sessions as the watermark advances") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
