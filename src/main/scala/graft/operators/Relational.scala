@@ -320,7 +320,40 @@ object Relational {
        |GROUP BY o_orderpriority, lateness
        |ORDER BY o_orderpriority ASC, lateness ASC""".stripMargin
 
+  // --- q_small_qty_revenue: TPC-H Q17 shape (per-group scalar subquery) --
+  /** Revenue from lineitems whose quantity is under 20% of their part's
+    * average — the correlated-scalar-subquery shape. The average test is
+    * rewritten exactly in integers/decimals: qty < 0.2·(sumq/n) ⇔
+    * qty·5·n < sumq, so no division touches the predicate and both
+    * engines agree bit-for-bit. Plan: per-part partial aggregate joined
+    * back to the fact on the same key (one shuffle, co-partitioned).
+    */
+  def qSmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).select(
+      col("l_partkey"), m(col("l_quantity")).as("qty"),
+      m(col("l_extendedprice")).as("price"))
+    val perPart = l.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("sumq"), count(lit(1)).as("nq"))
+    l.join(perPart, "l_partkey")
+      .filter(col("qty") * 5 * col("nq") < col("sumq"))
+      .agg(round(sum(col("price")).cast("double") / 7, 6).as("avg_yearly"))
+  }
+
+  val qSmallQtyRevenueSql: String =
+    s"""WITH l AS (
+       |  SELECT l_partkey, ${mSql("l_quantity")} AS qty,
+       |    ${mSql("l_extendedprice")} AS price
+       |  FROM lineitem
+       |), per_part AS (
+       |  SELECT l_partkey, SUM(qty) AS sumq, COUNT(*) AS nq
+       |  FROM l GROUP BY l_partkey
+       |)
+       |SELECT round(CAST(SUM(l.price) AS DOUBLE) / 7, 6) AS avg_yearly
+       |FROM l JOIN per_part p ON l.l_partkey = p.l_partkey
+       |WHERE l.qty * 5 * p.nq < p.sumq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_small_qty_revenue" -> qSmallQtyRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -335,6 +368,7 @@ object Relational {
     "q_order_lateness" -> qOrderLateness)
 
   val oracles: Map[String, String] = Map(
+    "q_small_qty_revenue" -> qSmallQtyRevenueSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,
