@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.{FoldCodeExpr, StrCodesExpr}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the custom expressions: with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * [[GraftFunctions.register]] on a live session) the compiled hash
+  * kernels are callable from SQL text —
+  *
+  * {{{
+  *   SELECT graft_fold_code(lower(trim(text)), 31, 2147483647) FROM docs
+  *   SELECT graft_str_codes(split(text, ' ')) FROM docs
+  * }}}
+  *
+  * so `spark.sql(...)` pipelines get the same codegen'd hash loops as the
+  * Scala DataFrame API (SURVEY §6).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name, usage)
+
+  private def longLit(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].longValue()
+  }
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_str_codes"),
+      info("graft_str_codes",
+        "graft_str_codes(arr) - 32-codepoint polynomial codes of a string array"),
+      (exprs: Seq[Expression]) => StrCodesExpr(exprs.head)),
+    (FunctionIdentifier("graft_fold_code"),
+      info("graft_fold_code",
+        "graft_fold_code(str, mult, p) - full-string polynomial fold fingerprint"),
+      (exprs: Seq[Expression]) => FoldCodeExpr(exprs.head,
+        longLit(exprs(1), "mult"), longLit(exprs(2), "p"))))
+
+  /** Register on an already-running session (tests, REPL). */
+  def register(spark: SparkSession): Unit = all.foreach { case (id, _, b) =>
+    org.apache.spark.sql.GraftBridge.registerFunction(spark, id.funcName, b)
+  }
+}

@@ -163,8 +163,8 @@ object Dedup {
        |SELECT doc_a, doc_b FROM cand ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
   // --- dd_ngram_jaccard: exact verify over LSH candidates -----------------
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Jaccard-verified near-dup edges (≥ 0.6 over LSH candidates). */
+  private[graft] def verifiedPairs(docs: DataFrame): DataFrame = {
     // Two-stage projection: shingleCodes3's lambda must read an attribute,
     // not an inlined token-code expression (see signatures()).
     val sets = docs
@@ -180,12 +180,11 @@ object Dedup {
       .withColumn("jaccard",
         round(col("n_inter").cast("double") / col("n_union"), 6))
       .filter(col("jaccard") >= 0.6)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
-  val ddNgramJaccardSql: String =
-    s"""WITH $signaturesSql, $lshPairsSql, sets AS (
+  /** Shared CTE chain ending in scored(doc_a, doc_b, jaccard). */
+  private val scoredSqlCtes: String =
+    s"""$signaturesSql, $lshPairsSql, sets AS (
        |  SELECT doc_id, scs AS sg FROM sc
        |), scored AS (
        |  SELECT c.doc_a, c.doc_b,
@@ -194,9 +193,78 @@ object Dedup {
        |  FROM cand c
        |  JOIN sets sa ON c.doc_a = sa.doc_id
        |  JOIN sets sb ON c.doc_b = sb.doc_id
-       |)
+       |)""".stripMargin
+
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(Tables.documents(spark, dir))
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  val ddNgramJaccardSql: String =
+    s"""WITH $scoredSqlCtes
        |SELECT doc_a, doc_b, jaccard FROM scored
        |WHERE jaccard >= 0.6 ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+
+  // --- dd_canonical: cluster canonicalization over verified edges ---------
+  /** Canonical doc per near-dup cluster: min-label propagation over the
+    * verified-pair graph for a FIXED 3 rounds (both engines run the same
+    * horizon, so results agree even on chains that haven't converged; a
+    * production run iterates to fixpoint with checkpoints between rounds).
+    * The per-round edge subplan is byte-identical, so Spark's
+    * ReuseExchange materializes the edge shuffle once across rounds.
+    */
+  def ddCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = verifiedPairs(docs).select("doc_a", "doc_b")
+    // Symmetrize via explode, not union — a union of (a,b) and (b,a)
+    // selects would run the whole verify pipeline twice.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to 3) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      labels = labels
+        .join(nbr.select(col("src").as("doc_id"), col("nbr_min")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_id"))))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val ddCanonicalSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""nm$i AS (
+         |  SELECT e.src, MIN(l.label) AS nbr_min
+         |  FROM edges e JOIN lab${i - 1} l ON e.dst = l.doc_id
+         |  GROUP BY e.src
+         |), lab$i AS (
+         |  SELECT l.doc_id,
+         |    least(l.label, coalesce(n.nbr_min, l.label)) AS label
+         |  FROM lab${i - 1} l LEFT JOIN nm$i n ON l.doc_id = n.src
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $scoredSqlCtes, verified AS (
+       |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.6
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified
+       |), lab0 AS (
+       |  SELECT doc_id, doc_id AS label FROM documents
+       |), $rounds
+       |SELECT doc_id, label AS canonical_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+       |FROM lab3 ORDER BY doc_id ASC""".stripMargin
+  }
 
   // --- dd_simhash: 16-bit simhash + bucket sizes ---------------------------
   /** Array-native: per-doc distinct token-hash array, 16 sign sums as
@@ -338,12 +406,14 @@ object Dedup {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_simhash" -> ddSimhash,
-    "dd_embed_cosine" -> ddEmbedCosine)
+    "dd_embed_cosine" -> ddEmbedCosine,
+    "dd_canonical" -> ddCanonical)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_simhash" -> ddSimhashSql,
-    "dd_embed_cosine" -> ddEmbedCosineSql)
+    "dd_embed_cosine" -> ddEmbedCosineSql,
+    "dd_canonical" -> ddCanonicalSql)
 }

@@ -352,7 +352,43 @@ object Relational {
        |FROM l JOIN per_part p ON l.l_partkey = p.l_partkey
        |WHERE l.qty * 5 * p.nq < p.sumq""".stripMargin
 
+  // --- q_cumulative_revenue: running total window --------------------------
+  /** Monthly revenue per order priority with a running cumulative sum —
+    * the running-total window shape. The cumulative sum stays DECIMAL
+    * through the window (exact, order-fixed by the frame) and casts to
+    * DOUBLE only on emit.
+    */
+  def qCumulativeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val monthly = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(m(col("l_extendedprice"))).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("month").asc)
+      .rowsBetween(Long.MinValue, 0)
+    monthly.select(col("o_orderpriority"), col("month"),
+        col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(w).cast("double").as("cum_revenue"))
+      .orderBy(col("o_orderpriority").asc, col("month").asc)
+  }
+
+  val qCumulativeRevenueSql: String =
+    s"""WITH monthly AS (
+       |  SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+       |    SUM(${mSql("l_extendedprice")}) AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_orderpriority, month
+       |)
+       |SELECT o_orderpriority, month, CAST(rev AS DOUBLE) AS revenue,
+       |  CAST(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY month ASC
+       |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+       |FROM monthly
+       |ORDER BY o_orderpriority ASC, month ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cumulative_revenue" -> qCumulativeRevenue,
     "q_small_qty_revenue" -> qSmallQtyRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -368,6 +404,7 @@ object Relational {
     "q_order_lateness" -> qOrderLateness)
 
   val oracles: Map[String, String] = Map(
+    "q_cumulative_revenue" -> qCumulativeRevenueSql,
     "q_small_qty_revenue" -> qSmallQtyRevenueSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,

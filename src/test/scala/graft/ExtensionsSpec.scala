@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.{CodeKernels, Codes}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL-registered functions evaluate the same kernels as the Scala
+  * Column API.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("graft_fold_code and graft_str_codes are callable from SQL text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_fold_code('abc', 31, 2147483647) AS f,
+        |       graft_str_codes(array('ab', 'c')) AS cs""".stripMargin).head()
+    assert(r.getLong(0) ===
+      CodeKernels.foldCode(UTF8String.fromString("abc"), 31L, 2147483647L))
+    assert(r.getSeq[Long](1) === Seq(
+      CodeKernels.strCode(UTF8String.fromString("ab")),
+      CodeKernels.strCode(UTF8String.fromString("c"))))
+  }
+
+  test("SQL-text dedup fingerprints equal the DataFrame-API dedup keys") {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, sf).createOrReplaceTempView("graft_docs_ext")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_fold_code(lower(trim(text)), 31, 2147483647) AS h1
+        |FROM graft_docs_ext""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaApi = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        Codes.foldCode(lower(trim(col("text"))), 31L, Codes.P).as("h1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaSql === viaApi)
+  }
+}
