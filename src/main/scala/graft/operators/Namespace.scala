@@ -80,6 +80,47 @@ object Namespace {
        |  COUNT(*) AS n_objects, CAST(SUM(size) AS BIGINT) AS total_bytes
        |FROM t GROUP BY common_prefix ORDER BY common_prefix ASC""".stripMargin
 
+  /** One page of the delimiter listing with a continuation token — S3
+    * ListObjectsV2 response semantics (IsTruncated/NextContinuationToken,
+    * s3gateway BucketEndpoint). The token is the last entry of the page;
+    * the next page filters `common_prefix > token` (same pushdown shape as
+    * [[listKeys]]). The token window runs on the already-limited page
+    * (≤ maxEntries rows), not the full listing.
+    */
+  def listObjectsV2Page(keys: DataFrame, prefix: String, token: String,
+      maxEntries: Int): DataFrame = {
+    val page = commonPrefixes(keys, prefix)
+      .filter(col("common_prefix") > token)
+      .orderBy(col("common_prefix").asc)
+      .limit(maxEntries)
+    page.withColumn("next_token",
+      max(col("common_prefix")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .orderBy(col("common_prefix").asc)
+  }
+
+  def nsListV2Page(spark: SparkSession, dir: String): DataFrame =
+    listObjectsV2Page(ObjectStoreView.keys(spark, dir), "data/", "data/1993", 4)
+
+  val nsListV2PageSql: String =
+    s"""WITH keys AS ($ks), t AS (
+       |  SELECT CASE WHEN position('/' in substring(key, 6)) > 0
+       |    THEN 'data/' || split_part(substring(key, 6), '/', 1) || '/'
+       |    ELSE split_part(substring(key, 6), '/', 1) END AS common_prefix,
+       |    size
+       |  FROM keys WHERE key LIKE 'data/%'
+       |), listing AS (
+       |  SELECT common_prefix, common_prefix LIKE '%/' AS is_prefix,
+       |    COUNT(*) AS n_objects, CAST(SUM(size) AS BIGINT) AS total_bytes
+       |  FROM t GROUP BY common_prefix
+       |), page AS (
+       |  SELECT * FROM listing WHERE common_prefix > 'data/1993'
+       |  ORDER BY common_prefix ASC LIMIT 4
+       |)
+       |SELECT common_prefix, is_prefix, n_objects, total_bytes,
+       |  MAX(common_prefix) OVER () AS next_token
+       |FROM page ORDER BY common_prefix ASC""".stripMargin
+
   /** Per-directory namespace summary: file count + bytes, like Recon's
     * NSSummary (numOfFiles, sizeOfFiles) keyed by directory — reference:
     * recon/.../api/types/NSSummary.java:31-83, tasks/NSSummaryTask.java.
@@ -386,6 +427,7 @@ object Namespace {
     "ns_lookup_key" -> nsLookupKey,
     "ns_list_prefix" -> nsListPrefix,
     "ns_common_prefixes" -> nsCommonPrefixes,
+    "ns_list_v2_page" -> nsListV2Page,
     "ns_du" -> nsDu,
     "ns_filesize_histogram" -> nsFileSizeHistogram,
     "ns_table_counts" -> nsTableCounts,
@@ -402,6 +444,7 @@ object Namespace {
     "ns_lookup_key" -> nsLookupKeySql,
     "ns_list_prefix" -> nsListPrefixSql,
     "ns_common_prefixes" -> nsCommonPrefixesSql,
+    "ns_list_v2_page" -> nsListV2PageSql,
     "ns_du" -> nsDuSql,
     "ns_filesize_histogram" -> nsFileSizeHistogramSql,
     "ns_table_counts" -> nsTableCountsSql,
