@@ -54,6 +54,18 @@ object CodeKernels {
     new GenericArrayData(out)
   }
 
+  /** Exact integer dot product of two equal-length long arrays. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Full-string left fold (acc·mult + cp) % p — kernel twin of
     * Codes.foldCode (empty string → 0).
     */
@@ -68,6 +80,24 @@ object CodeKernels {
     }
     acc
   }
+}
+
+/** long dot product of two equal-length long arrays (quantized-embedding
+  * cosine hot path — the zip_with+aggregate form runs interpreted per
+  * candidate pair).
+  */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodeKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.CodeKernels.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_dot_long"
 }
 
 /** array<string> → array<long> of 32-codepoint polynomial codes. */

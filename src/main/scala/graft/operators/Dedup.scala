@@ -320,8 +320,10 @@ object Dedup {
       col("vec_id"), col("label"),
       transform(col("embedding"),
         x => round(x.cast("double") * 1000).cast("long")).as("q"))
-      .withColumn("n2",
-        aggregate(col("q"), lit(0L), (acc, v) => acc + v * v))
+      .withColumn("n2", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.DotLongExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("q")),
+          org.apache.spark.sql.GraftBridge.expression(col("q")))))
 
   private[graft] val quantizedSql: String =
     """qv AS (
@@ -334,8 +336,15 @@ object Dedup {
       |  FROM qv
       |)""".stripMargin
 
+  /** Exact-integer cosine via the compiled dot kernel (the zip_with +
+    * aggregate form evaluates interpreted per candidate pair — the hot
+    * path of every similarity verify).
+    */
   private[graft] def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column = {
-    val dot = aggregate(zip_with(qa, qb, (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    val dot = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DotLongExpr(
+        org.apache.spark.sql.GraftBridge.expression(qa),
+        org.apache.spark.sql.GraftBridge.expression(qb)))
     dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
   }
 
