@@ -29,10 +29,12 @@ object Bench {
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // Warm-up: one scan+agg per table family plus a join — JIT, codegen
-    // cache, and parquet footers are hot before the timed loop.
+    // Warm-up: one scan+agg per table family plus a join, and one query
+    // through each custom kernel expression — JIT, Janino codegen cache,
+    // and parquet footers are hot before the timed loop.
     val warmup = Seq("q1_pricing_summary", "q3_shipping_priority",
-      "ns_filesize_histogram", "ev_user_activity", "tx_tokens")
+      "ns_filesize_histogram", "ev_user_activity", "tx_tokens",
+      "dd_embed_cosine", "dd_minhash_lsh")
     warmup.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn) catch { case _: Throwable => () }

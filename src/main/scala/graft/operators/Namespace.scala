@@ -252,6 +252,42 @@ object Namespace {
        |  FROM keys) t
        |GROUP BY age_bucket ORDER BY age_bucket ASC""".stripMargin
 
+  /** Namespace growth trend: keys/bytes created per month with
+    * month-over-month deltas (Recon utilization-trend style insight).
+    * One scan + one shuffle on month; the lag window rides the same
+    * partitioning.
+    */
+  def growthTrend(keys: DataFrame): DataFrame = {
+    val monthly = keys
+      .groupBy(date_trunc("month", col("mtime")).as("month"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("bytes_added"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy(col("month").asc)
+    monthly
+      .withColumn("keys_delta",
+        col("n_keys") - coalesce(lag(col("n_keys"), 1).over(w), col("n_keys")))
+      .withColumn("bytes_delta",
+        col("bytes_added") -
+          coalesce(lag(col("bytes_added"), 1).over(w), col("bytes_added")))
+      .orderBy(col("month").asc)
+  }
+
+  def nsGrowthTrend(spark: SparkSession, dir: String): DataFrame =
+    growthTrend(ObjectStoreView.keys(spark, dir))
+
+  val nsGrowthTrendSql: String =
+    s"""WITH keys AS ($ks), monthly AS (
+       |  SELECT date_trunc('month', mtime) AS month,
+       |    COUNT(*) AS n_keys, CAST(SUM(size) AS BIGINT) AS bytes_added
+       |  FROM keys GROUP BY month
+       |)
+       |SELECT month, n_keys, bytes_added,
+       |  n_keys - coalesce(lag(n_keys) OVER w, n_keys) AS keys_delta,
+       |  bytes_added - coalesce(lag(bytes_added) OVER w, bytes_added) AS bytes_delta
+       |FROM monthly
+       |WINDOW w AS (ORDER BY month ASC)
+       |ORDER BY month ASC""".stripMargin
+
   /** Snapshot diff: CREATE / DELETE / MODIFY between two namespace states —
     * reference: OM snapshot machinery (ozone-manager/.../om/snapshot/).
     * Shuffled full-outer join on the key identity; at 100 TB both sides are
@@ -428,6 +464,7 @@ object Namespace {
     "ns_list_prefix" -> nsListPrefix,
     "ns_common_prefixes" -> nsCommonPrefixes,
     "ns_list_v2_page" -> nsListV2Page,
+    "ns_growth_trend" -> nsGrowthTrend,
     "ns_du" -> nsDu,
     "ns_filesize_histogram" -> nsFileSizeHistogram,
     "ns_table_counts" -> nsTableCounts,
@@ -445,6 +482,7 @@ object Namespace {
     "ns_list_prefix" -> nsListPrefixSql,
     "ns_common_prefixes" -> nsCommonPrefixesSql,
     "ns_list_v2_page" -> nsListV2PageSql,
+    "ns_growth_trend" -> nsGrowthTrendSql,
     "ns_du" -> nsDuSql,
     "ns_filesize_histogram" -> nsFileSizeHistogramSql,
     "ns_table_counts" -> nsTableCountsSql,

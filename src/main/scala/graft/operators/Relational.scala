@@ -387,7 +387,52 @@ object Relational {
        |FROM monthly
        |ORDER BY o_orderpriority ASC, month ASC""".stripMargin
 
+  // --- q_median_order_value: exact median via window ranks ----------------
+  /** Exact per-segment median order value — sort-based (row_number against
+    * the partition count picks the middle one or two rows; their DECIMAL
+    * mean is exact), NOT percentile_approx: approximate sketches differ
+    * across engines, exact rank arithmetic cannot.
+    */
+  def qMedianOrderValue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_mktsegment"), m(col("o_totalprice")).as("price"),
+        col("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("price").asc, col("o_orderkey").asc)
+    j.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))))
+      .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
+        col("rn") * 2 === col("n") + 2)
+      .groupBy(col("c_mktsegment"))
+      .agg((sum(col("price")).cast("double") / count(lit(1)))
+        .as("median_value"), max(col("n")).as("n_orders"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
+  val qMedianOrderValueSql: String =
+    s"""WITH j AS (
+       |  SELECT c_mktsegment, ${mSql("o_totalprice")} AS price, o_orderkey
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |), ranked AS (
+       |  SELECT c_mktsegment, price,
+       |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY price ASC, o_orderkey ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+       |  FROM j
+       |)
+       |SELECT c_mktsegment,
+       |  CAST(SUM(price) AS DOUBLE) / COUNT(*) AS median_value,
+       |  CAST(MAX(n) AS BIGINT) AS n_orders
+       |FROM ranked
+       |WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_median_order_value" -> qMedianOrderValue,
     "q_cumulative_revenue" -> qCumulativeRevenue,
     "q_small_qty_revenue" -> qSmallQtyRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -404,6 +449,7 @@ object Relational {
     "q_order_lateness" -> qOrderLateness)
 
   val oracles: Map[String, String] = Map(
+    "q_median_order_value" -> qMedianOrderValueSql,
     "q_cumulative_revenue" -> qCumulativeRevenueSql,
     "q_small_qty_revenue" -> qSmallQtyRevenueSql,
     "q1_pricing_summary" -> q1Sql,
