@@ -97,9 +97,84 @@ object Multimodal {
       |  round(CAST(SUM(mb_micro) AS DOUBLE) / COUNT(*) / 1000000, 6) AS avg_brightness
       |FROM feats GROUP BY shard ORDER BY shard ASC""".stripMargin
 
+  // --- mm_frame_sample: strided frame sampling from "video" payloads -----
+  case class Frame(doc_id: Long, frame_idx: Int, frame_checksum: Long)
+
+  private val P = graft.functions.Codes.P
+
+  /** Every 4th frame of each payload, decoded per partition (the real
+    * video path: open codec once per partition, seek by stride). Frame i
+    * covers 16 payload chars at offset (i-1)·16; the STUB "decode" is the
+    * polynomial fold fingerprint of that slice, which makes the whole
+    * typed pipeline oracle-checkable arithmetically.
+    */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        // --- STUB: stands in for codec init (once per partition) ---
+        rows.flatMap { case (id, text) =>
+          val nFrames = text.length % 24 + 1
+          Iterator.range(1, nFrames + 1, 4).map { i =>
+            val start = (i - 1) * 16
+            val slice =
+              if (start >= text.length) ""
+              else text.substring(start, math.min(start + 16, text.length))
+            Frame(id, i, graft.functions.CodeKernels.foldCode(
+              org.apache.spark.unsafe.types.UTF8String.fromString(slice),
+              31L, P))
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id").asc, col("frame_idx").asc)
+  }
+
+  val mmFrameSampleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+       |    substring(text, (u.i - 1) * 16 + 1, 16) AS slice
+       |  FROM documents,
+       |    UNNEST(range(1, length(text) % 24 + 2, 4)) AS u(i)
+       |)
+       |SELECT doc_id, frame_idx,
+       |  ${graft.functions.Codes.foldCodeSql("coalesce(slice, '')", 31L, P)} AS frame_checksum
+       |FROM f ORDER BY doc_id ASC, frame_idx ASC""".stripMargin
+
+  // --- mm_resize_plan: metadata-level resize (aspect-preserving) ----------
+  /** Resize planning over the typed metadata struct: cap width at 256,
+    * scale height by the same integer ratio (floor division both
+    * engines). Pure column arithmetic — the pixel work would ride the
+    * decode stub's per-partition path.
+    */
+  def mmResizePlan(spark: SparkSession, dir: String): DataFrame =
+    payloads(spark, dir)
+      .select(col("doc_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .withColumn("scaled_w", least(col("width"), lit(256)))
+      .withColumn("scaled_h",
+        expr("CAST(height * scaled_w AS BIGINT) DIV greatest(width, 1)")
+          .cast("int"))
+      .orderBy(col("doc_id").asc)
+
+  val mmResizePlanSql: String =
+    """SELECT doc_id,
+      |  CAST(n_chars % 640 AS INTEGER) AS width,
+      |  CAST(n_chars % 480 AS INTEGER) AS height,
+      |  CAST(least(n_chars % 640, 256) AS INTEGER) AS scaled_w,
+      |  CAST((n_chars % 480) * least(n_chars % 640, 256)
+      |    // greatest(n_chars % 640, 1) AS INTEGER) AS scaled_h
+      |FROM documents ORDER BY doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_stub" -> mmDecodeStub)
+    "mm_decode_stub" -> mmDecodeStub,
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_resize_plan" -> mmResizePlan)
 
   val oracles: Map[String, String] = Map(
-    "mm_decode_stub" -> mmDecodeStubSql)
+    "mm_decode_stub" -> mmDecodeStubSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_resize_plan" -> mmResizePlanSql)
 }
