@@ -166,7 +166,58 @@ object EventOps {
       |) t
       |GROUP BY event_type ORDER BY event_type ASC""".stripMargin
 
+  // --- ev_retention_cohorts: weekly cohort retention ----------------------
+  /** Users grouped by first-seen week; per (cohort, weeks-since) the
+    * distinct active users and the retention rate vs the cohort's own
+    * size (week 0 activity is the cohort size by construction). Two
+    * shuffles: per-user first-seen, then the cohort/week rollup.
+    */
+  def evRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val byCohort = activity.join(firstSeen, "user_id")
+      .withColumn("weeks_since",
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week"))
+    byCohort
+      .withColumn("cohort_size",
+        max(when(col("weeks_since") === 0, col("n_active"))).over(w))
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_size"), 6))
+      .orderBy(col("cohort_week").asc, col("weeks_since").asc)
+  }
+
+  val evRetentionCohortsSql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id
+      |), activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+      |), by_cohort AS (
+      |  SELECT f.cohort_week,
+      |    CAST(datediff('day', f.cohort_week, a.week) // 7 AS BIGINT) AS weeks_since,
+      |    COUNT(DISTINCT a.user_id) AS n_active
+      |  FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+      |  GROUP BY f.cohort_week, weeks_since
+      |)
+      |SELECT cohort_week, weeks_since, n_active,
+      |  CAST(MAX(CASE WHEN weeks_since = 0 THEN n_active END)
+      |    OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+      |  round(CAST(n_active AS DOUBLE) /
+      |    MAX(CASE WHEN weeks_since = 0 THEN n_active END)
+      |      OVER (PARTITION BY cohort_week), 6) AS retention
+      |FROM by_cohort
+      |ORDER BY cohort_week ASC, weeks_since ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_retention_cohorts" -> evRetentionCohorts,
     "ev_tumbling_counts" -> evTumblingCounts,
     "ev_sessionize" -> evSessionize,
     "ev_funnel" -> evFunnel,
@@ -174,6 +225,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_retention_cohorts" -> evRetentionCohortsSql,
     "ev_tumbling_counts" -> evTumblingCountsSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_funnel" -> evFunnelSql,
