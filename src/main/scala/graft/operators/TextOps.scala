@@ -155,13 +155,64 @@ object TextOps {
        |  CAST(list_sum(list_transform(range(1, len(cs) + 1), i -> cs[i] * cs[i] % $P * i)) % $P AS BIGINT) AS fp2
        |FROM codes ORDER BY doc_id ASC""".stripMargin
 
+  // --- tx_bigram_freq_score: corpus-statistics quality scoring -----------
+  /** Each document scored by how common its token bigrams are across the
+    * WHOLE corpus — the corpus-statistics filtering shape (rare-bigram
+    * ratio flags gibberish/boilerplate; LLM pipelines filter on exactly
+    * this kind of collection-level signal). Two shuffles: the corpus
+    * bigram-frequency table, then the doc-bigram ↔ frequency join — both
+    * hash-partitioned on the 8-byte bigram code, never on strings.
+    */
+  def txBigramFreqScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // Materialize token codes (attribute) before the bigram lambda — see
+    // Dedup.signatures on CollapseProject inlining.
+    val tcs = docs.select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+    val bigram = when(size(col("tcs")) >= 2,
+      transform(sequence(lit(1), size(col("tcs")) - 1),
+        i => (element_at(col("tcs"), i) * 8191L
+          + element_at(col("tcs"), i + 1)) % P))
+      .otherwise(array().cast("array<long>"))
+    val docBigrams = tcs.select(col("doc_id"), explode(bigram).as("bg"))
+    val corpusCounts = docBigrams.groupBy(col("bg"))
+      .agg(count(lit(1)).as("bg_count"))
+    docBigrams.join(corpusCounts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(sum(col("bg_count")).cast("double") / count(lit(1)), 6)
+          .as("avg_bigram_freq"),
+        round(sum(when(col("bg_count") <= 1, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("rare_ratio"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txBigramFreqScoreSql: String =
+    s"""WITH tc AS (
+       |  SELECT doc_id, ${strCodesSql(tokensSql("text"))} AS tcs FROM documents
+       |), db AS (
+       |  SELECT doc_id, unnest([ (tcs[i] * 8191 + tcs[i+1]) % $P
+       |    for i in range(1, greatest(len(tcs), 1)) ]) AS bg
+       |  FROM tc
+       |), cc AS (
+       |  SELECT bg, COUNT(*) AS bg_count FROM db GROUP BY bg
+       |)
+       |SELECT db.doc_id, COUNT(*) AS n_bigrams,
+       |  round(CAST(SUM(cc.bg_count) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_freq,
+       |  round(CAST(SUM(CASE WHEN cc.bg_count <= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*), 6) AS rare_ratio
+       |FROM db JOIN cc ON db.bg = cc.bg
+       |GROUP BY db.doc_id ORDER BY db.doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bigram_freq_score" -> txBigramFreqScore,
     "tx_langid" -> txLangid,
     "tx_quality" -> txQuality,
     "tx_tokens" -> txTokens,
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_bigram_freq_score" -> txBigramFreqScoreSql,
     "tx_langid" -> txLangidSql,
     "tx_quality" -> txQualitySql,
     "tx_tokens" -> txTokensSql,
