@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{CodeKernels, Codes}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized-property tests pinning the compiled kernels to pure
+  * reference implementations of the oracle-defining arithmetic (ASCII and
+  * full-unicode inputs, seeded so runs are reproducible) — no Spark
+  * session needed.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val P = Codes.P
+  private val pow31m: Array[Long] =
+    Iterator.iterate(1L)(x => x * 31L % P).take(32).toArray
+
+  /** Reference strCode straight from the SQL-twin definition. */
+  private def refStrCode(s: String): Long = {
+    val cps = s.codePoints().toArray
+    val padded = cps.take(32).padTo(32, '_'.toInt)
+    val sum = padded.zipWithIndex.map { case (cp, i) =>
+      cp.toLong * pow31m(i)
+    }.sum
+    ((sum % P) * 64L + cps.length % 64L) % P
+  }
+
+  private def refFoldCode(s: String, mult: Long, p: Long): Long =
+    s.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * mult + cp) % p)
+
+  private val rnd = new scala.util.Random(42)
+
+  private def asciiString(): String =
+    Iterator.fill(rnd.nextInt(80))((32 + rnd.nextInt(95)).toChar).mkString
+
+  private def unicodeString(): String = {
+    val pool = "aZ0 _/é ß中🦊✓"
+    val cps = pool.codePoints().toArray
+    val sb = new java.lang.StringBuilder
+    (0 until rnd.nextInt(60)).foreach(_ =>
+      sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+    sb.toString
+  }
+
+  test("strCode kernel equals the reference on random ASCII strings") {
+    (1 to 300).foreach { _ =>
+      val s = asciiString()
+      assert(CodeKernels.strCode(UTF8String.fromString(s)) === refStrCode(s),
+        s"mismatch for '$s'")
+    }
+  }
+
+  test("foldCode kernel equals the reference on random ASCII strings") {
+    (1 to 300).foreach { _ =>
+      val s = asciiString()
+      assert(CodeKernels.foldCode(UTF8String.fromString(s), 31L, P) ===
+        refFoldCode(s, 31L, P))
+      assert(CodeKernels.foldCode(UTF8String.fromString(s), 131L, Codes.P2) ===
+        refFoldCode(s, 131L, Codes.P2))
+    }
+  }
+
+  test("kernels are codepoint-based on non-ASCII input too") {
+    (1 to 300).foreach { _ =>
+      val s = unicodeString()
+      assert(CodeKernels.strCode(UTF8String.fromString(s)) === refStrCode(s),
+        s"strCode mismatch for '$s'")
+      assert(CodeKernels.foldCode(UTF8String.fromString(s), 31L, P) ===
+        refFoldCode(s, 31L, P), s"foldCode mismatch for '$s'")
+    }
+  }
+
+  test("dotLong equals the reference dot product") {
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextLong() % 2000L)
+      val b = Array.fill(64)(rnd.nextLong() % 2000L)
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+      val bd = new org.apache.spark.sql.catalyst.util.GenericArrayData(b)
+      assert(CodeKernels.dotLong(ad, bd) ===
+        a.zip(b).map { case (x, y) => x * y }.sum)
+    }
+  }
+}
