@@ -14,7 +14,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Namespace.queries ++ Containers.queries ++
       Entities.queries ++ EventOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextOps.queries ++ Multimodal.queries
+      Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -22,5 +23,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Namespace.oracles ++ Containers.oracles ++
       Entities.oracles ++ EventOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextOps.oracles ++ Multimodal.oracles
+      Similarity.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
+      Pipeline.oracles
 }

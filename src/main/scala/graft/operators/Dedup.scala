@@ -38,16 +38,26 @@ object Dedup {
     * document body (VERDICT r2 #2); the hash pair makes a false merge a
     * ~2^-62 event.
     */
-  def ddExact(spark: SparkSession, dir: String): DataFrame = {
-    // Materialize the normalized text in its own projection: foldCode
-    // references it several times (guard, bound, per-char lambda), which
-    // stops CollapseProject from inlining lower(trim(text)) into the
-    // per-character loop.
-    Tables.documents(spark, dir)
+  /** Per-doc dual fold-hash fingerprints of the normalized text. */
+  private[graft] def fingerprints(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), lower(trim(col("text"))).as("norm"))
       .select(col("doc_id"),
         Codes.foldCode(col("norm"), 31L, P).as("h1"),
         Codes.foldCode(col("norm"), 131L, P2).as("h2"))
+
+  private[graft] val fingerprintsSql: String = {
+    val norm = "lower(trim(text))"
+    s"""fp AS (
+       |  SELECT doc_id,
+       |    ${foldCodeSql(norm, 31L, P)} AS h1,
+       |    ${foldCodeSql(norm, 131L, P2)} AS h2
+       |  FROM documents
+       |)""".stripMargin
+  }
+
+  def ddExact(spark: SparkSession, dir: String): DataFrame = {
+    fingerprints(Tables.documents(spark, dir))
       .groupBy(col("h1"), col("h2"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
       .select(col("canonical_id"), col("n_docs"),
@@ -55,17 +65,12 @@ object Dedup {
       .orderBy(col("canonical_id").asc)
   }
 
-  val ddExactSql: String = {
-    val norm = "lower(trim(text))"
-    s"""SELECT canonical_id, n_docs, n_docs - 1 AS n_duplicates FROM (
+  val ddExactSql: String =
+    s"""WITH $fingerprintsSql
+       |SELECT canonical_id, n_docs, n_docs - 1 AS n_duplicates FROM (
        |  SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
-       |  FROM (SELECT doc_id,
-       |    ${foldCodeSql(norm, 31L, P)} AS h1,
-       |    ${foldCodeSql(norm, 131L, P2)} AS h2
-       |  FROM documents) f
-       |  GROUP BY h1, h2
+       |  FROM fp GROUP BY h1, h2
        |) t ORDER BY canonical_id ASC""".stripMargin
-  }
 
   /** Per-doc MinHash signature columns mh0..mh63 over word-3gram shingle
     * codes.
@@ -213,8 +218,8 @@ object Dedup {
     * The per-round edge subplan is byte-identical, so Spark's
     * ReuseExchange materializes the edge shuffle once across rounds.
     */
-  def ddCanonical(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** The label-propagation stage: (doc_id, label) after 3 rounds. */
+  private[graft] def canonicalLabels(docs: DataFrame): DataFrame = {
     val pairs = verifiedPairs(docs).select("doc_a", "doc_b")
     // Symmetrize via explode, not union — a union of (a,b) and (b,a)
     // selects would run the whole verify pipeline twice.
@@ -233,14 +238,21 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
     }
-    labels.select(col("doc_id"), col("label").as("canonical_id"))
+    labels
+  }
+
+  def ddCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalLabels(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("label").as("canonical_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("canonical_id"))))
       .orderBy(col("doc_id").asc)
-  }
 
-  val ddCanonicalSql: String = {
+  /** CTE chain ending in lab3(doc_id, label) — shared with the curation
+    * pipeline oracle.
+    */
+  private[graft] val canonicalCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"""nm$i AS (
          |  SELECT e.src, MIN(l.label) AS nbr_min
@@ -252,7 +264,7 @@ object Dedup {
          |  FROM lab${i - 1} l LEFT JOIN nm$i n ON l.doc_id = n.src
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH $scoredSqlCtes, verified AS (
+    s"""$scoredSqlCtes, verified AS (
        |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.6
        |), edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM verified
@@ -260,11 +272,14 @@ object Dedup {
        |  SELECT doc_b AS src, doc_a AS dst FROM verified
        |), lab0 AS (
        |  SELECT doc_id, doc_id AS label FROM documents
-       |), $rounds
+       |), $rounds""".stripMargin
+  }
+
+  val ddCanonicalSql: String =
+    s"""WITH $canonicalCtes
        |SELECT doc_id, label AS canonical_id,
        |  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
        |FROM lab3 ORDER BY doc_id ASC""".stripMargin
-  }
 
   // --- dd_simhash: 16-bit simhash + bucket sizes ---------------------------
   /** Array-native: per-doc distinct token-hash array, 16 sign sums as
