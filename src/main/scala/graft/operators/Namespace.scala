@@ -332,6 +332,32 @@ object Namespace {
        |FROM joined
        |WHERE (old_size IS NULL OR new_size IS NULL OR old_size <> new_size)""".stripMargin
 
+  /** Snapshot-diff summary: per-bucket counts and byte deltas by diff
+    * type — the report form of the diff (reference: OM SnapshotDiffReport
+    * rolls the full entry list up the same way). Same join as
+    * [[snapshotDiff]], but the output is the bounded rollup rather than
+    * the entry stream.
+    */
+  def snapshotDiffSummary(snapA: DataFrame, snapB: DataFrame): DataFrame =
+    snapshotDiff(snapA, snapB)
+      .groupBy(col("volume"), col("bucket"), col("diff_type"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(coalesce(col("new_size"), lit(0L)) -
+          coalesce(col("old_size"), lit(0L))).as("bytes_delta"))
+      .orderBy(col("volume").asc, col("bucket").asc, col("diff_type").asc)
+
+  def nsSnapshotDiffSummary(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffSummary(ObjectStoreView.snapshotA(spark, dir),
+      ObjectStoreView.snapshotB(spark, dir))
+
+  val nsSnapshotDiffSummarySql: String =
+    s"""WITH diff AS ($nsSnapshotDiffSql)
+       |SELECT volume, bucket, diff_type, COUNT(*) AS n_keys,
+       |  CAST(SUM(coalesce(new_size, 0) - coalesce(old_size, 0)) AS BIGINT)
+       |    AS bytes_delta
+       |FROM diff GROUP BY volume, bucket, diff_type
+       |ORDER BY volume ASC, bucket ASC, diff_type ASC""".stripMargin
+
   /** Open keys older than a cutoff — reference: OM open-key cleanup
     * (ozone-manager/.../OpenKeyCleanupService, getExpiredOpenKeys in
     * KeyManager.java).
@@ -472,6 +498,7 @@ object Namespace {
     "ns_bucket_usage" -> nsBucketUsage,
     "ns_key_age" -> nsKeyAge,
     "ns_snapshot_diff" -> nsSnapshotDiff,
+    "ns_snapshot_diff_summary" -> nsSnapshotDiffSummary,
     "ns_expired_open_keys" -> nsExpiredOpenKeys,
     "ns_mpu_incomplete" -> nsMpuIncomplete,
     "ns_replication_report" -> nsReplicationReport,
@@ -490,6 +517,7 @@ object Namespace {
     "ns_bucket_usage" -> nsBucketUsageSql,
     "ns_key_age" -> nsKeyAgeSql,
     "ns_snapshot_diff" -> nsSnapshotDiffSql,
+    "ns_snapshot_diff_summary" -> nsSnapshotDiffSummarySql,
     "ns_expired_open_keys" -> nsExpiredOpenKeysSql,
     "ns_mpu_incomplete" -> nsMpuIncompleteSql,
     "ns_replication_report" -> nsReplicationReportSql,
