@@ -193,7 +193,65 @@ object Containers {
        |FROM cont WHERE replicas >= 1
        |GROUP BY pipeline_id ORDER BY pipeline_id ASC""".stripMargin
 
+  // --- ct_balancer_report: datanode utilization vs cluster mean -----------
+  /** Per-node utilization deviation — the input SCM's ContainerBalancer
+    * works from (hdds-server-scm/.../container/balancer/
+    * ContainerBalancerTask: over/under-utilized nodes vs cluster average
+    * utilization ± threshold). Reuses the node placement of
+    * [[ctNodeReport]]; the cluster mean is a window over the 20-row node
+    * rollup (a per-node aggregate at real scale — thousands of rows, still
+    * tiny). Threshold ±10%, the balancer's default shape.
+    */
+  def ctBalancerReport(spark: SparkSession, dir: String): DataFrame = {
+    val perNode = containerStats(spark, dir)
+      .filter(col("replicas") >= 1)
+      .select(col("container_id"), col("total_bytes"),
+        explode(sequence(lit(1), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+      .groupBy(col("node_id"))
+      .agg(sum(col("total_bytes")).as("hosted_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    perNode
+      .withColumn("cluster_avg_bytes",
+        (sum(col("hosted_bytes")).over(w) / count(lit(1)).over(w))
+          .cast("double"))
+      .withColumn("utilization_ratio",
+        round(col("hosted_bytes").cast("double") / col("cluster_avg_bytes"), 6))
+      .withColumn("balance_state",
+        when(col("utilization_ratio") > 1.1, "OVER_UTILIZED")
+          .when(col("utilization_ratio") < 0.9, "UNDER_UTILIZED")
+          .otherwise("WITHIN_THRESHOLD"))
+      .select(col("node_id"), col("hosted_bytes"),
+        round(col("cluster_avg_bytes"), 6).as("cluster_avg_bytes"),
+        col("utilization_ratio"), col("balance_state"))
+      .orderBy(col("node_id").asc)
+  }
+
+  val ctBalancerReportSql: String =
+    s"""WITH $containerStatsSql, placed AS (
+       |  SELECT (cont.container_id * 31 + u.r * 17) % 20 AS node_id,
+       |    cont.total_bytes
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  WHERE cont.replicas >= 1
+       |), pernode AS (
+       |  SELECT node_id, CAST(SUM(total_bytes) AS BIGINT) AS hosted_bytes
+       |  FROM placed GROUP BY node_id
+       |), stats AS (
+       |  SELECT node_id, hosted_bytes,
+       |    CAST(SUM(hosted_bytes) OVER () AS DOUBLE) / COUNT(*) OVER () AS avg_b
+       |  FROM pernode
+       |)
+       |SELECT node_id, hosted_bytes,
+       |  round(avg_b, 6) AS cluster_avg_bytes,
+       |  round(CAST(hosted_bytes AS DOUBLE) / avg_b, 6) AS utilization_ratio,
+       |  CASE WHEN round(CAST(hosted_bytes AS DOUBLE) / avg_b, 6) > 1.1 THEN 'OVER_UTILIZED'
+       |    WHEN round(CAST(hosted_bytes AS DOUBLE) / avg_b, 6) < 0.9 THEN 'UNDER_UTILIZED'
+       |    ELSE 'WITHIN_THRESHOLD' END AS balance_state
+       |FROM stats ORDER BY node_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_balancer_report" -> ctBalancerReport,
     "ct_keys_per_container" -> ctKeysPerContainer,
     "ct_missing_container_keys" -> ctMissingContainerKeys,
     "ct_unhealthy_containers" -> ctUnhealthyContainers,
@@ -202,6 +260,7 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_balancer_report" -> ctBalancerReportSql,
     "ct_keys_per_container" -> ctKeysPerContainerSql,
     "ct_missing_container_keys" -> ctMissingContainerKeysSql,
     "ct_unhealthy_containers" -> ctUnhealthyContainersSql,

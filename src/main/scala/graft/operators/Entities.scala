@@ -165,7 +165,76 @@ object Entities {
        |FROM keys GROUP BY volume, bucket
        |ORDER BY volume ASC, bucket ASC""".stripMargin
 
+  // --- ns_content_summary: FS getContentSummary per bucket ----------------
+  /** Hadoop FileSystem getContentSummary for the `data/1997` subtree of
+    * every bucket: directory count (subtree root + its immediate month
+    * dirs), file count, logical length, and space consumed (bytes ×
+    * replication) — ozonefs BasicOzoneClientAdapterImpl.getContentSummary /
+    * Hadoop ContentSummary semantics. One pushed-prefix scan + one shuffle
+    * on (volume, bucket). Keys in this binding always have 4 path segments,
+    * so substring_index(key,'/',3) is exactly the parent dir (the shallow-
+    * key caveat from ADVICE r2 does not arise; the oracle mirrors the same
+    * 3-segment arithmetic).
+    */
+  def nsContentSummary(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.keys(spark, dir)
+      .filter(col("key").startsWith("data/1997/"))
+      .withColumn("parent", substring_index(col("key"), "/", 3))
+      .groupBy(col("volume"), col("bucket"))
+      .agg(
+        (countDistinct(col("parent")) + 1).as("dir_count"),
+        count(lit(1)).as("file_count"),
+        sum(col("size")).as("length_bytes"),
+        sum(col("size") * col("replication")).as("space_consumed"))
+      .orderBy(col("volume").asc, col("bucket").asc)
+
+  val nsContentSummarySql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket,
+       |  COUNT(DISTINCT split_part(key, '/', 1) || '/' ||
+       |    split_part(key, '/', 2) || '/' || split_part(key, '/', 3)) + 1 AS dir_count,
+       |  COUNT(*) AS file_count,
+       |  CAST(SUM(size) AS BIGINT) AS length_bytes,
+       |  CAST(SUM(size * replication) AS BIGINT) AS space_consumed
+       |FROM keys WHERE key LIKE 'data/1997/%'
+       |GROUP BY volume, bucket
+       |ORDER BY volume ASC, bucket ASC""".stripMargin
+
+  // --- ns_mpu_list_uploads: listMultipartUploads with marker + maxUploads -
+  private val UploadMarker = "upload-2"
+  private val MaxUploads = 25
+
+  /** S3 ListMultipartUploads page: in-flight uploads after the key marker,
+    * first [[MaxUploads]] in lexicographic upload order — S3G
+    * ListMultipartUploadsRequest / OM listMultipartUploads. The rollup is
+    * one shuffle on upload_id; the page itself is orderBy+limit, which
+    * Spark executes as TakeOrdered (per-partition top-k + driver merge of
+    * K rows, no global sort shuffle).
+    */
+  def nsMpuListUploads(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.mpuParts(spark, dir)
+      .groupBy(col("upload_id"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(col("part_bytes")).as("total_bytes"),
+        max(col("part_number")).as("max_part_number"))
+      .filter(col("upload_id") > UploadMarker)
+      .orderBy(col("upload_id").asc)
+      .limit(MaxUploads)
+
+  val nsMpuListUploadsSql: String =
+    s"""WITH parts AS (${ObjectStoreView.mpuPartsSql})
+       |SELECT upload_id, COUNT(*) AS n_parts,
+       |  CAST(SUM(part_bytes) AS BIGINT) AS total_bytes,
+       |  MAX(part_number) AS max_part_number
+       |FROM parts GROUP BY upload_id
+       |HAVING upload_id > '$UploadMarker'
+       |ORDER BY upload_id ASC
+       |LIMIT $MaxUploads""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_content_summary" -> nsContentSummary,
+    "ns_mpu_list_uploads" -> nsMpuListUploads,
     "ns_list_volumes" -> nsListVolumes,
     "ns_list_buckets" -> nsListBuckets,
     "ns_trash_pending" -> nsTrashPending,
@@ -173,6 +242,8 @@ object Entities {
     "ns_acl_report" -> nsAclReport)
 
   val oracles: Map[String, String] = Map(
+    "ns_content_summary" -> nsContentSummarySql,
+    "ns_mpu_list_uploads" -> nsMpuListUploadsSql,
     "ns_list_volumes" -> nsListVolumesSql,
     "ns_list_buckets" -> nsListBucketsSql,
     "ns_trash_pending" -> nsTrashPendingSql,

@@ -216,7 +216,35 @@ object EventOps {
       |FROM by_cohort
       |ORDER BY cohort_week ASC, weeks_since ASC""".stripMargin
 
+  // --- ev_heatmap: day-of-week × hour activity heatmap --------------------
+  /** Activity heatmap cells (event_type × dow × hour): counts + distinct
+    * users + exact-decimal value sums. Single scan, map-side partial agg,
+    * one shuffle on the (type, dow, hour) cell key — ~840 cells regardless
+    * of input size. dow is emitted 0=Sunday..6 (Spark's dayofweek() is
+    * 1-based; DuckDB's dayofweek() is already 0-based).
+    */
+  def evHeatmap(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"),
+        (dayofweek(col("ts")) - 1).cast("bigint").as("dow"),
+        hour(col("ts")).cast("bigint").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumValue(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc, col("dow").asc, col("hour").asc)
+
+  val evHeatmapSql: String =
+    s"""SELECT event_type,
+       |  CAST(dayofweek(ts) AS BIGINT) AS dow,
+       |  CAST(hour(ts) AS BIGINT) AS hour,
+       |  COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  $sumValueSql AS sum_value
+       |FROM events GROUP BY event_type, dow, hour
+       |ORDER BY event_type ASC, dow ASC, hour ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_heatmap" -> evHeatmap,
     "ev_retention_cohorts" -> evRetentionCohorts,
     "ev_tumbling_counts" -> evTumblingCounts,
     "ev_sessionize" -> evSessionize,
@@ -225,6 +253,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_heatmap" -> evHeatmapSql,
     "ev_retention_cohorts" -> evRetentionCohortsSql,
     "ev_tumbling_counts" -> evTumblingCountsSql,
     "ev_sessionize" -> evSessionizeSql,

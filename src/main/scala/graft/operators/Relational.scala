@@ -431,7 +431,83 @@ object Relational {
        |WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
        |GROUP BY c_mktsegment ORDER BY c_mktsegment ASC""".stripMargin
 
+  // --- q_promo_revenue: promo revenue share per month (TPC-H Q14 shape) --
+  /** Monthly promo-type revenue share over 1995: fact scan with a pushed
+    * shipdate range filter, broadcast join to `part`, conditional decimal
+    * aggregation; the share division runs AFTER exact aggregation with
+    * identical double arithmetic on both engines.
+    */
+  def qPromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    val rev = m(col("l_extendedprice")) * f(lit(1) - col("l_discount"))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(month(col("l_shipdate")).as("month"))
+      .agg(
+        sumMoney(when(col("p_type") === "PROMO", rev).otherwise(m(lit(0))))
+          .as("promo_revenue"),
+        sumMoney(rev).as("total_revenue"))
+      .withColumn("promo_pct",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy(col("month").asc)
+  }
+
+  val qPromoRevenueSql: String = {
+    val rev = mSql("l_extendedprice") + " * " + fSql("1 - l_discount")
+    s"""SELECT CAST(month(l_shipdate) AS INTEGER) AS month,
+       |  ${sumMoneySql(s"CASE WHEN p_type = 'PROMO' THEN $rev ELSE ${mSql("0")} END")} AS promo_revenue,
+       |  ${sumMoneySql(rev)} AS total_revenue,
+       |  round(100.0 * ${sumMoneySql(s"CASE WHEN p_type = 'PROMO' THEN $rev ELSE ${mSql("0")} END")}
+       |    / ${sumMoneySql(rev)}, 6) AS promo_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+       |  AND l_shipdate < TIMESTAMP '1996-01-01'
+       |GROUP BY month ORDER BY month ASC""".stripMargin
+  }
+
+  // --- q_disjunctive_revenue: OR-of-conjunctions predicate (Q19 shape) ----
+  /** Discounted revenue under a disjunction of brand/size/quantity
+    * conjunctions — the predicate Catalyst can't turn into a single range,
+    * exercising disjunctive filter pushdown through a broadcast join.
+    */
+  def qDisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .filter(cond)
+      .groupBy(col("p_brand"))
+      .agg(
+        sumMoney(m(col("l_extendedprice")) * f(lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand").asc)
+  }
+
+  val qDisjunctiveRevenueSql: String =
+    s"""SELECT p_brand,
+       |  ${sumMoneySql(mSql("l_extendedprice") + " * " + fSql("1 - l_discount"))} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |    AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |    AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity BETWEEN 20 AND 30)
+       |GROUP BY p_brand ORDER BY p_brand ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_promo_revenue" -> qPromoRevenue,
+    "q_disjunctive_revenue" -> qDisjunctiveRevenue,
     "q_median_order_value" -> qMedianOrderValue,
     "q_cumulative_revenue" -> qCumulativeRevenue,
     "q_small_qty_revenue" -> qSmallQtyRevenue,
@@ -449,6 +525,8 @@ object Relational {
     "q_order_lateness" -> qOrderLateness)
 
   val oracles: Map[String, String] = Map(
+    "q_promo_revenue" -> qPromoRevenueSql,
+    "q_disjunctive_revenue" -> qDisjunctiveRevenueSql,
     "q_median_order_value" -> qMedianOrderValueSql,
     "q_cumulative_revenue" -> qCumulativeRevenueSql,
     "q_small_qty_revenue" -> qSmallQtyRevenueSql,
