@@ -281,6 +281,84 @@ object Dedup {
        |  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
        |FROM lab3 ORDER BY doc_id ASC""".stripMargin
 
+  // --- dd_components: fixpoint connected components over verified edges ---
+  /** Connected components of the verified near-dup graph to FIXPOINT
+    * (SURVEY §6's open item; [[ddCanonical]] runs a fixed 3-round horizon).
+    * Min-label propagation iterates until no label changes; every round
+    * `localCheckpoint`s the label frame, truncating the lineage so round N
+    * replans against a materialized N-1 (the Pregel discipline — without
+    * it the plan doubles per round and the driver OOMs on analysis long
+    * before the executors move data). The edge set is checkpointed once —
+    * the whole MinHash/LSH/Jaccard verify pipeline runs exactly once, not
+    * once per round. Convergence needs ≤ graph-diameter rounds; the
+    * emptiness probe per round is a count on an id-keyed join, and labels
+    * only ever decrease, so the loop terminates deterministically with the
+    * exact per-component minimum — which is what the oracle's recursive
+    * transitive closure computes.
+    */
+  private[graft] def componentLabels(docs: DataFrame): DataFrame = {
+    val pairs = verifiedPairs(docs).select("doc_a", "doc_b")
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbr.select(col("src").as("doc_id"), col("nbr_min")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
+  }
+
+  def ddComponents(spark: SparkSession, dir: String): DataFrame =
+    componentLabels(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("label").as("component_id"))
+      .withColumn("component_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("component_id"))))
+      .orderBy(col("doc_id").asc)
+
+  /** Oracle: exact components via recursive transitive closure — the
+    * fixpoint the Spark loop converges to, stated declaratively.
+    */
+  val ddComponentsSql: String =
+    s"""WITH RECURSIVE $scoredSqlCtes, verified AS (
+       |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.6
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM verified
+       |), reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+       |), comp AS (
+       |  SELECT d.doc_id,
+       |    least(d.doc_id, coalesce(MIN(r.dst), d.doc_id)) AS component_id
+       |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+       |  GROUP BY d.doc_id
+       |)
+       |SELECT doc_id, component_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
+       |FROM comp ORDER BY doc_id ASC""".stripMargin
+
   // --- dd_simhash: 16-bit simhash + bucket sizes ---------------------------
   /** Array-native: per-doc distinct token-hash array, 16 sign sums as
     * array aggregates — map-only until the bucket-size window (the one
@@ -431,7 +509,8 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cosine" -> ddEmbedCosine,
-    "dd_canonical" -> ddCanonical)
+    "dd_canonical" -> ddCanonical,
+    "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
@@ -439,5 +518,6 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
-    "dd_canonical" -> ddCanonicalSql)
+    "dd_canonical" -> ddCanonicalSql,
+    "dd_components" -> ddComponentsSql)
 }

@@ -221,12 +221,141 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
 
+  // --- sim_knn_ivf_trained: IVF with Lloyd-trained centroids --------------
+  private val TrainRounds = 2
+
+  /** Exact-integer self dot product (norm²) of a quantized vector. */
+  private def dotSelf(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DotLongExpr(
+        org.apache.spark.sql.GraftBridge.expression(c),
+        org.apache.spark.sql.GraftBridge.expression(c)))
+
+  /** IVF with TRAINED coarse centroids (closes SURVEY §6's k-means item):
+    * [[TrainRounds]] Lloyd iterations of spherical k-means, seeded from the
+    * first 16 corpus vectors. The centroid update keeps the element-wise
+    * SUM of member vectors instead of the mean — a sum has the same
+    * direction as the mean, so cosine assignment is identical, and integer
+    * sums stay exact on both engines (a mean would need division, whose
+    * rounding could drift cross-engine). Each iteration: one broadcast of
+    * the 16-row centroid set against the corpus (linear scan), one shuffle
+    * of (cell, dim, component) rows for the update — the classic
+    * driver-side iterate / executor-side aggregate k-means shape. Probe
+    * phase is identical to [[simKnnIvf]]: queries probe their 2 best
+    * trained cells, exact cosine only inside them.
+    */
+  def simKnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qv"), col("n2").as("nv"))
+    var centroids = nm.filter(col("vec_id").between(10, 25))
+      .select(col("vec_id").as("c_id"), col("q").as("qc"), col("n2").as("nc"))
+
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    def assign(cents: DataFrame): DataFrame =
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("cos_c",
+          Dedup.cosine(col("qv"), col("qc"), col("nv"), col("nc")))
+        .withColumn("crk", row_number().over(wAssign))
+        .filter(col("crk") === 1)
+
+    for (_ <- 1 to TrainRounds) {
+      val sums = assign(centroids)
+        .select(col("c_id").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("qc"))
+      centroids = sums
+        .select(col("cell").as("c_id"), col("qc"), dotSelf(col("qc")).as("nc"))
+    }
+
+    val assigned = assign(centroids)
+      .select(col("neighbor_id"), col("qv"), col("nv"), col("c_id").as("cell"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val probes = nm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c", Dedup.cosine(col("qq"), col("qc"), col("nq"), col("nc")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 2)
+      .select(col("query_id"), col("qq"), col("nq"), col("c_id").as("cell"))
+
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos_sim",
+        round(Dedup.cosine(col("qq"), col("qv"), col("nq"), col("nv")), 6))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast("bigint").as("rk"), col("cos_sim"))
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  val simKnnIvfTrainedSql: String = {
+    def assignSql(cent: String, asg: String): String =
+      s"""$asg AS (
+         |  SELECT * FROM (
+         |    SELECT v.vec_id AS neighbor_id, v.q AS qv, v.n2 AS nv, c.c_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${Dedup.cosineSql("v.q", "c.qc", "v.n2", "c.nc")} DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM nm v CROSS JOIN $cent c WHERE v.vec_id >= 10
+         |  ) t WHERE crk = 1
+         |)""".stripMargin
+    def updateSql(asg: String, cent: String): String =
+      s"""$cent AS (
+         |  SELECT c_id, qc,
+         |    CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS nc
+         |  FROM (
+         |    SELECT cell AS c_id, list(s ORDER BY pos) AS qc FROM (
+         |      SELECT cell, pos, CAST(SUM(val) AS BIGINT) AS s FROM (
+         |        SELECT cell, unnest(qv) AS val,
+         |          unnest(range(1, len(qv) + 1)) AS pos
+         |        FROM $asg
+         |      ) exploded GROUP BY cell, pos
+         |    ) sums GROUP BY cell
+         |  ) lists
+         |)""".stripMargin
+    s"""WITH ${Dedup.quantizedSql}, cent0 AS (
+       |  SELECT vec_id AS c_id, q AS qc, n2 AS nc FROM nm
+       |  WHERE vec_id BETWEEN 10 AND 25
+       |), ${assignSql("cent0", "asg1")}, ${updateSql("asg1", "cent1")},
+       |${assignSql("cent1", "asg2")}, ${updateSql("asg2", "cent2")},
+       |${assignSql("cent2", "asgf")}, probes AS (
+       |  SELECT * FROM (
+       |    SELECT s.vec_id AS query_id, s.q AS qq, s.n2 AS nq, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        ${Dedup.cosineSql("s.q", "c.qc", "s.n2", "c.nc")} DESC,
+       |        c.c_id ASC) AS prk
+       |    FROM nm s CROSS JOIN cent2 c WHERE s.vec_id < 10
+       |  ) t WHERE prk <= 2
+       |), scored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    round(${Dedup.cosineSql("p.qq", "a.qv", "p.nq", "a.nv")}, 6) AS cos_sim
+       |  FROM probes p JOIN asgf a ON p.cell = a.cell
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
+       |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_ivf_trained" -> simKnnIvfTrained,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_knn_lsh" -> simKnnLsh,
     "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_ivf_trained" -> simKnnIvfTrainedSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_knn_ivf" -> simKnnIvfSql)

@@ -204,7 +204,121 @@ object TextOps {
        |FROM db JOIN cc ON db.bg = cc.bg
        |GROUP BY db.doc_id ORDER BY db.doc_id ASC""".stripMargin
 
+  // --- tx_repetition: Gopher-style repetition signals --------------------
+  /** Repetition filtering signals per document (the Gopher/MassiveText
+    * rule family: repeated-token and duplicate-n-gram fractions flag
+    * low-quality generated/boilerplate text). Array-native HOFs over the
+    * token array — map-only, no shuffle except output ordering. The
+    * distinct-token scan is O(distinct × tokens) per doc, bounded by the
+    * document length, not the corpus.
+    */
+  def txRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("ts", tokens(col("text")))
+      .withColumn("n_tokens", size(col("ts")).cast("bigint"))
+    val repeatPairs = when(col("n_tokens") >= 2,
+      size(filter(sequence(lit(1), size(col("ts")) - 1),
+        i => element_at(col("ts"), i) === element_at(col("ts"), i + 1))))
+      .otherwise(0).cast("bigint")
+    val topCount = array_max(transform(array_distinct(col("ts")),
+      t => size(filter(col("ts"), x => x === t))))
+    val bigrams = when(col("n_tokens") >= 2,
+      transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", element_at(col("ts"), i),
+          element_at(col("ts"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    d.withColumn("n_repeat_pairs", repeatPairs)
+      .withColumn("top_token_ratio",
+        round(topCount.cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+      .withColumn("dup_bigram_ratio",
+        when(col("n_tokens") >= 2,
+          round(lit(1.0) - size(array_distinct(bigrams)).cast("double")
+            / (col("n_tokens") - 1), 6)).otherwise(0.0))
+      .withColumn("repetitive_flag",
+        when(col("top_token_ratio") > 0.2 || col("dup_bigram_ratio") > 0.3, 1L)
+          .otherwise(0L))
+      .select("doc_id", "n_tokens", "n_repeat_pairs", "top_token_ratio",
+        "dup_bigram_ratio", "repetitive_flag")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txRepetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS ts FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    CAST(len(ts) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(range(1, greatest(len(ts), 1)),
+       |      i -> ts[i] = ts[i+1])) AS BIGINT) AS n_repeat_pairs,
+       |    list_max(list_transform(list_distinct(ts),
+       |      tk -> len(list_filter(ts, x -> x = tk)))) AS top_count,
+       |    CASE WHEN len(ts) >= 2 THEN len(list_distinct(
+       |      [ ts[i] || ' ' || ts[i+1] for i in range(1, len(ts)) ]))
+       |      ELSE 0 END AS n_distinct_bigrams
+       |  FROM t
+       |), r AS (
+       |  SELECT doc_id, n_tokens, n_repeat_pairs,
+       |    round(CAST(top_count AS DOUBLE) / greatest(n_tokens, 1), 6) AS top_token_ratio,
+       |    CASE WHEN n_tokens >= 2 THEN
+       |      round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / (n_tokens - 1), 6)
+       |      ELSE 0.0 END AS dup_bigram_ratio
+       |  FROM s
+       |)
+       |SELECT doc_id, n_tokens, n_repeat_pairs, top_token_ratio,
+       |  dup_bigram_ratio,
+       |  CAST(CASE WHEN top_token_ratio > 0.2 OR dup_bigram_ratio > 0.3
+       |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive_flag
+       |FROM r ORDER BY doc_id ASC""".stripMargin
+
+  // --- tx_tfidf_top_terms: corpus-IDF top term per document ---------------
+  /** Highest-TF-IDF term per document. IDF is the rational surrogate
+    * 1000/df (monotone in the usual log(N/df), but exact in integer/double
+    * arithmetic on both engines — log is not correctly-rounded in either,
+    * so cross-engine hashes could drift on boundary values). Shuffle plan:
+    * doc-term counts (one shuffle on (doc_id, term)), document frequency
+    * (one on term), count↔df join on term, and the per-doc top-1 window on
+    * doc_id — every key is a token or id, never document text.
+    */
+  def txTfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score",
+        round(col("tf").cast("double") * 1000 / col("df"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txTfidfTopTermsSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |    round(CAST(tf.tf AS DOUBLE) * 1000 / df.df, 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY round(CAST(tf.tf AS DOUBLE) * 1000 / df.df, 6) DESC,
+       |        tf.term ASC) AS rk
+       |  FROM tf JOIN df ON tf.term = df.term
+       |)
+       |SELECT doc_id, term AS top_term, tf, df, score FROM scored
+       |WHERE rk = 1 ORDER BY doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_repetition" -> txRepetition,
+    "tx_tfidf_top_terms" -> txTfidfTopTerms,
     "tx_bigram_freq_score" -> txBigramFreqScore,
     "tx_langid" -> txLangid,
     "tx_quality" -> txQuality,
@@ -212,6 +326,8 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_repetition" -> txRepetitionSql,
+    "tx_tfidf_top_terms" -> txTfidfTopTermsSql,
     "tx_bigram_freq_score" -> txBigramFreqScoreSql,
     "tx_langid" -> txLangidSql,
     "tx_quality" -> txQualitySql,

@@ -16,7 +16,8 @@ class PlanShapeSpec extends SparkSpec {
     * 16-row centroid set for cell assignment. Both are linear corpus scans
     * by design, not accidents.
     */
-  private val allowedNestedLoop = Set("sim_topk_bruteforce", "sim_knn_ivf")
+  private val allowedNestedLoop =
+    Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained")
 
   test("no CartesianProduct in any registered query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
