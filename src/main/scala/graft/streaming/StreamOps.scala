@@ -63,6 +63,27 @@ object StreamOps {
       .select(col("window.start").as("day"), col("volume"), col("bucket"),
         col("n_pending_keys"), col("pending_bytes"))
 
+  /** Streaming first-seen-wins exact dedup — the incremental twin of
+    * [[graft.operators.Dedup.ddExact]] (SURVEY §6): documents stream in,
+    * each row is fingerprinted with the same dual full-text fold hashes,
+    * and `dropDuplicatesWithinWatermark` keeps only the first arrival per
+    * fingerprint. State is one 16-byte key per distinct fingerprint inside
+    * the watermark horizon — bounded by the dedup window, not by all
+    * documents ever seen; the raw text never enters the state store.
+    * Expects an event-time column `ts` on the input (arrival time in
+    * production).
+    */
+  def dedupStream(docs: DataFrame): DataFrame = {
+    import graft.functions.Codes
+    docs
+      .select(col("doc_id"), col("ts"), lower(trim(col("text"))).as("norm"))
+      .select(col("doc_id"), col("ts"),
+        Codes.foldCode(col("norm"), 31L, Codes.P).as("h1"),
+        Codes.foldCode(col("norm"), 131L, Codes.P2).as("h2"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h1", "h2")
+  }
+
   // --- keyed-state sessionization (flatMapGroupsWithState) ---------------
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)

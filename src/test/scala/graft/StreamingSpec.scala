@@ -153,4 +153,35 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.subsetOf(all))
     assert(emitted.nonEmpty)
   }
+
+  test("streaming first-seen dedup keeps exactly the batch fingerprint set") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    // Stage documents with a synthetic arrival time into 3 doc-id-ranged
+    // files so the stream deduplicates across micro-batches, not just
+    // within one.
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(base.toString)
+
+    val schema = spark.read.parquet(base.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(base.toString)
+    val q = StreamOps.dedupStream(stream)
+      .writeStream.format("memory").queryName("dedup_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("dedup_stream_test")
+      .select("h1", "h2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val batchFps = graft.operators.Dedup.fingerprints(
+        Tables.documents(spark, sf))
+      .select("h1", "h2").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // One emission per distinct fingerprint, covering them all.
+    assert(streamed.length === batchFps.size, "duplicate survived the stream")
+    assert(streamed.toSet === batchFps)
+  }
 }
