@@ -54,9 +54,80 @@ object Pipeline {
        |JOIN quality q ON e.doc_id = q.doc_id
        |ORDER BY e.doc_id ASC""".stripMargin
 
+  // --- pipe_split: deterministic hash-based train/val/test split ----------
+  /** Content-hash dataset split — assignment depends only on the document
+    * text (stable across reshuffles, re-ingests and cluster sizes, unlike
+    * random splits), using the same dual fold-hash fingerprint as exact
+    * dedup so identical texts always land in the same split. Map-only.
+    * 90/5/5 on h1 mod 1000.
+    */
+  def pipeSplit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprints(Tables.documents(spark, dir))
+      .withColumn("split_bucket", col("h1") % 1000)
+      .withColumn("split",
+        when(col("split_bucket") < 900, "train")
+          .when(col("split_bucket") < 950, "val")
+          .otherwise("test"))
+      .select("doc_id", "split_bucket", "split")
+      .orderBy(col("doc_id").asc)
+
+  val pipeSplitSql: String =
+    s"""WITH ${Dedup.fingerprintsSql}
+       |SELECT doc_id, h1 % 1000 AS split_bucket,
+       |  CASE WHEN h1 % 1000 < 900 THEN 'train'
+       |    WHEN h1 % 1000 < 950 THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM fp ORDER BY doc_id ASC""".stripMargin
+
+  // --- pipe_pack_plan: token-stream packing layout per shard --------------
+  private val ChunkTokens = 512
+
+  /** Sequence-packing plan: documents are concatenated per shard (source)
+    * in doc_id order into a token stream cut into [[ChunkTokens]]-token
+    * context chunks — each doc's stream offset and starting chunk. The
+    * prefix sum runs per shard (`PARTITION BY source`), so shards pack in
+    * parallel; a global single-partition running sum would serialize the
+    * corpus through one task at 100 TB.
+    */
+  def pipePackPlan(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Codes.tokens(col("text"))).cast("bigint")
+          .as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.withColumn("offset_in_shard",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("chunk_id",
+        floor(col("offset_in_shard") / ChunkTokens.toDouble).cast("bigint"))
+      .select("doc_id", "source", "n_tokens", "offset_in_shard", "chunk_id")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val pipePackPlanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(${graft.functions.Codes.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), off AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS offset_in_shard
+       |  FROM d
+       |)
+       |SELECT doc_id, source, n_tokens, offset_in_shard,
+       |  CAST(floor(offset_in_shard / ${ChunkTokens.toDouble}) AS BIGINT) AS chunk_id
+       |FROM off ORDER BY doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe_curate" -> pipeCurate)
+    "pipe_curate" -> pipeCurate,
+    "pipe_split" -> pipeSplit,
+    "pipe_pack_plan" -> pipePackPlan)
 
   val oracles: Map[String, String] = Map(
-    "pipe_curate" -> pipeCurateSql)
+    "pipe_curate" -> pipeCurateSql,
+    "pipe_split" -> pipeSplitSql,
+    "pipe_pack_plan" -> pipePackPlanSql)
 }

@@ -316,7 +316,61 @@ object TextOps {
        |SELECT doc_id, term AS top_term, tf, df, score FROM scored
        |WHERE rk = 1 ORDER BY doc_id ASC""".stripMargin
 
+  // --- tx_contamination: benchmark n-gram decontamination -----------------
+  /** Benchmark-overlap detection — the decontamination pass every training
+    * corpus runs before release: flag documents sharing any word-3gram
+    * with the held-out benchmark set (here the `src0` slice stands in for
+    * the benchmark). The benchmark's distinct shingle-code set is
+    * broadcast (benchmarks are tiny next to the corpus); the corpus side
+    * is one explode + broadcast-join + per-doc aggregation over 8-byte
+    * codes — no string shuffles, no corpus self-join. Docs with < 3
+    * tokens have no shingles and drop out (mirrored in the oracle).
+    */
+  def txContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), col("source"), shingleCodes3(col("tcs")).as("sg"))
+    val bench = sh.filter(col("source") === "src0")
+      .select(explode(col("sg")).as("code")).distinct()
+      .withColumn("hit", lit(1L))
+    val corpus = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("sg")).as("code"))
+    corpus.join(broadcast(bench), Seq("code"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .withColumn("contaminated_flag",
+        when(col("n_contaminated") > 0, 1L).otherwise(0L))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txContaminationSql: String =
+    s"""WITH tc AS (
+       |  SELECT doc_id, source, ${strCodesSql(tokensSql("text"))} AS tcs
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, source, ${shingleCodes3Sql("tcs")} AS sg FROM tc
+       |), bench AS (
+       |  SELECT DISTINCT unnest(sg) AS code FROM sh WHERE source = 'src0'
+       |), corpus AS (
+       |  SELECT doc_id, unnest(sg) AS code FROM sh WHERE source <> 'src0'
+       |), agg AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN b.code IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_contaminated
+       |  FROM corpus c LEFT JOIN bench b ON c.code = b.code
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT doc_id, n_shingles, n_contaminated,
+       |  round(CAST(n_contaminated AS DOUBLE) / n_shingles, 6) AS contamination_ratio,
+       |  CAST(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated_flag
+       |FROM agg ORDER BY doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_contamination" -> txContamination,
     "tx_repetition" -> txRepetition,
     "tx_tfidf_top_terms" -> txTfidfTopTerms,
     "tx_bigram_freq_score" -> txBigramFreqScore,
@@ -326,6 +380,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_contamination" -> txContaminationSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_tfidf_top_terms" -> txTfidfTopTermsSql,
     "tx_bigram_freq_score" -> txBigramFreqScoreSql,
