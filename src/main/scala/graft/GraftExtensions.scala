@@ -19,8 +19,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Scala DataFrame API (SURVEY §6).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // Scale-safety rewrite: naive `p BETWEEN lo AND hi` range joins become
+    // bucket-blocked equi-joins instead of nested-loop products.
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
 
 object GraftFunctions {

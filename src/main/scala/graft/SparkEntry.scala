@@ -13,16 +13,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Namespace.queries ++ Containers.queries ++
-      Entities.queries ++ EventOps.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextOps.queries ++ Multimodal.queries ++
-      Pipeline.queries
+      Entities.queries ++ EventOps.queries ++ Temporal.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
+      Multimodal.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Namespace.oracles ++ Containers.oracles ++
-      Entities.oracles ++ EventOps.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
-      Pipeline.oracles
+      Entities.oracles ++ EventOps.oracles ++ Temporal.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
+      Multimodal.oracles ++ Pipeline.oracles
 }

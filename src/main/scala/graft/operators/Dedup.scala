@@ -21,13 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val Bands = 16 // 16 bands x 4 rows = 64 hashes
+  private[graft] val Bands = 16 // 16 bands x 4 rows = 64 hashes
   private val RowsPerBand = NumHashes / Bands
 
   /** Skew guard: LSH buckets larger than this emit no pairs (a bucket this
     * size at 100 TB is a degenerate shingle set, not a dedup signal).
     */
-  private val MaxBucket = 100
+  private[graft] val MaxBucket = 100
 
   /** Embed-cosine bucket cap (per 8-bit sign bucket and band). */
   private val EmbedMaxBucket = 500
@@ -111,7 +111,7 @@ object Dedup {
   }
 
   /** Band signature: the 4 row hashes of band b folded into one value. */
-  private def bandSig(b: Int): Column =
+  private[graft] def bandSig(b: Int): Column =
     (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}"))
       .reduce((acc, h) => (acc * 31L + h) % P)
 

@@ -121,13 +121,45 @@ object Pipeline {
        |  CAST(floor(offset_in_shard / ${ChunkTokens.toDouble}) AS BIGINT) AS chunk_id
        |FROM off ORDER BY doc_id ASC""".stripMargin
 
+  // --- pipe_sample: deterministic stratified sampling ---------------------
+  /** Language-stratified deterministic sampling: the majority language (en)
+    * keeps 10%, every other stratum keeps 50% — the rebalancing step of a
+    * training-mix recipe. Membership depends only on the document's
+    * content hash (same dual fold-hash as exact dedup), so the sample is
+    * reproducible across reshuffles, re-ingests and cluster sizes, and
+    * identical texts are sampled identically. Map-only — no shuffle
+    * except output ordering; at 100 TB this is a projection + filter
+    * pushed over the corpus scan.
+    */
+  def pipeSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), lower(trim(col("text"))).as("norm"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.Codes.foldCode(col("norm"), 31L,
+          graft.functions.Codes.P) % 100).as("sample_bucket"))
+      .withColumn("keep_rate", when(col("lang") === "en", 10L).otherwise(50L))
+      .withColumn("sampled", col("sample_bucket") < col("keep_rate"))
+      .select("doc_id", "lang", "sample_bucket", "keep_rate", "sampled")
+      .orderBy(col("doc_id").asc)
+
+  val pipeSampleSql: String = {
+    val h1 = graft.functions.Codes.foldCodeSql("lower(trim(text))", 31L,
+      graft.functions.Codes.P)
+    s"""SELECT doc_id, lang, $h1 % 100 AS sample_bucket,
+       |  CAST(CASE WHEN lang = 'en' THEN 10 ELSE 50 END AS BIGINT) AS keep_rate,
+       |  ($h1 % 100) < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END) AS sampled
+       |FROM documents ORDER BY doc_id ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_curate" -> pipeCurate,
     "pipe_split" -> pipeSplit,
-    "pipe_pack_plan" -> pipePackPlan)
+    "pipe_pack_plan" -> pipePackPlan,
+    "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
     "pipe_curate" -> pipeCurateSql,
     "pipe_split" -> pipeSplitSql,
-    "pipe_pack_plan" -> pipePackPlanSql)
+    "pipe_pack_plan" -> pipePackPlanSql,
+    "pipe_sample" -> pipeSampleSql)
 }

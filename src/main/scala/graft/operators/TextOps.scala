@@ -377,7 +377,65 @@ object TextOps {
        |  CAST(CASE WHEN n_contaminated > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated_flag
        |FROM agg ORDER BY doc_id ASC""".stripMargin
 
+  // --- tx_pii: PII detection + redaction accounting -----------------------
+  /** Patterns shared verbatim by both engines: Java regex and RE2 agree on
+    * these constructs (ASCII classes, bounded repetition, \b, \d). Kept
+    * deliberately simple — the point is the operator shape (map-only scan,
+    * counts + redacted length), not NER-grade recall.
+    */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val DigitRunRe = "\\d{7,}"
+
+  /** PII scan for compliance/curation: per-doc counts of email / IPv4 /
+    * long-digit-run matches, a has_pii flag, and the text length after
+    * redacting all three (the cost delta a scrubbing pass would apply).
+    * Pure map work — no shuffle except output ordering; at 100 TB this is
+    * a single codegen'd projection over the corpus scan.
+    */
+  /** Generic core over any (doc_id, text) frame — the registered query
+    * binds it to the documents table; PiiSpec drives it with synthetic
+    * literals (the testdata corpus contains no PII, so the detection
+    * logic itself needs its own gate).
+    */
+  private[graft] def piiStats(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")),
+      lit(DigitRunRe), lit("<NUM>"))
+    docs
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0)))
+          .cast("bigint").as("n_ipv4"),
+        size(regexp_extract_all(col("text"), lit(DigitRunRe), lit(0)))
+          .cast("bigint").as("n_digit_runs"),
+        length(redacted).cast("bigint").as("redacted_len"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ipv4") + col("n_digit_runs") > 0)
+      .orderBy(col("doc_id").asc)
+  }
+
+  def txPii(spark: SparkSession, dir: String): DataFrame =
+    piiStats(Tables.documents(spark, dir))
+
+  val txPiiSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$Ipv4Re')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(text, '$DigitRunRe')) AS BIGINT) AS n_digit_runs,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+       |    '$DigitRunRe', '<NUM>', 'g')) AS BIGINT) AS redacted_len,
+       |  (len(regexp_extract_all(text, '$EmailRe'))
+       |    + len(regexp_extract_all(text, '$Ipv4Re'))
+       |    + len(regexp_extract_all(text, '$DigitRunRe'))) > 0 AS has_pii
+       |FROM documents ORDER BY doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_pii" -> txPii,
     "tx_contamination" -> txContamination,
     "tx_repetition" -> txRepetition,
     "tx_tfidf_top_terms" -> txTfidfTopTerms,
@@ -388,6 +446,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_pii" -> txPiiSql,
     "tx_contamination" -> txContaminationSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_tfidf_top_terms" -> txTfidfTopTermsSql,

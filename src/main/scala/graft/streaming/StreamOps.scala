@@ -84,6 +84,103 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("h1", "h2")
   }
 
+  // --- streaming near-dup (MinHash/LSH) candidate emission ----------------
+
+  case class BandRow(band: Int, sig: Long, doc_id: Long, ts: Timestamp)
+
+  /** Per-band-bucket state: member ids (capped), latest event time. */
+  case class BucketState(ids: List[Long], lastTs: Long)
+
+  case class CandPair(doc_a: Long, doc_b: Long, band: Int, saturated: Boolean)
+
+  private val NearDupHorizonMs = 3600L * 1000L
+
+  /** Per-row MinHash band signatures — the same hash family and band fold
+    * as the batch [[graft.operators.Dedup]] pipeline, but computed with
+    * per-row array expressions (a streaming query can't run the batch
+    * path's grouped aggregate over exploded shingles without another
+    * stateful stage). min over the same shingle-code set under the same
+    * (a_i x + b_i) mod P family ⇒ identical signatures, so streamed
+    * candidates agree with batch candidates by construction.
+    */
+  private[graft] def bandRows(docs: DataFrame): DataFrame = {
+    import graft.functions.Codes
+    // Two-stage projection: the shingle lambda must read an attribute, not
+    // an inlined token-code expression (same CollapseProject trap as the
+    // batch signatures — see Dedup.signatures).
+    val tcs = docs.select(col("doc_id"), col("ts"),
+      Codes.strCodes(Codes.tokens(col("text"))).as("tcs"))
+    val sh = tcs
+      .select(col("doc_id"), col("ts"), Codes.shingleCodes3(col("tcs")).as("scs"))
+      .filter(size(col("scs")) > 0)
+    val mins = (0 until Codes.NumHashes).map(i =>
+      array_min(transform(col("scs"), x => Codes.hash(i, x))).as(s"mh$i"))
+    val sigs = sh.select(col("doc_id") +: col("ts") +: mins: _*)
+    val bandStructs = array((0 until graft.operators.Dedup.Bands).map(b =>
+      struct(lit(b).as("band"),
+        graft.operators.Dedup.bandSig(b).as("sig"))): _*)
+    sigs.select(col("doc_id"), col("ts"), explode(bandStructs).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.sig").as("sig"),
+        col("doc_id"), col("ts"))
+  }
+
+  /** Streaming near-dup candidate detection — the incremental twin of
+    * [[graft.operators.Dedup.ddMinhashLsh]] (SURVEY §6's last open item).
+    * Documents stream in; each lands in its 16 LSH band buckets; a keyed
+    * state per (band, sig) bucket holds the member doc_ids (8 bytes each,
+    * capped at the batch path's MaxBucket skew guard) and each arrival
+    * emits candidate pairs against the bucket's existing members — so
+    * every batch candidate pair appears exactly once per shared band, as
+    * soon as its second member arrives.
+    *
+    * Bounded state: per-bucket ids are capped (a saturated bucket emits
+    * a tombstone row and stops pairing — the streaming analogue of the
+    * batch path DROPPING oversize buckets) and the whole bucket's state is
+    * evicted by event-time timeout once the watermark passes its last
+    * arrival + 1 h. Raw text never enters the state store.
+    */
+  def nearDupStream(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import graft.operators.Dedup.MaxBucket
+    bandRows(docs)
+      .withWatermark("ts", "1 hour")
+      .as[BandRow]
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val st0 = state.getOption.getOrElse(BucketState(Nil, 0L))
+            var ids = st0.ids
+            var lastTs = st0.lastTs
+            val out = scala.collection.mutable.ArrayBuffer[CandPair]()
+            for (r <- rows.toSeq.sortBy(_.doc_id)) {
+              lastTs = math.max(lastTs, r.ts.getTime)
+              if (!ids.contains(r.doc_id)) {
+                if (ids.size < MaxBucket) {
+                  for (old <- ids)
+                    out += CandPair(math.min(old, r.doc_id),
+                      math.max(old, r.doc_id), band, saturated = false)
+                  ids = r.doc_id :: ids
+                } else {
+                  // Skew guard hit: report saturation once, pair no further.
+                  if (ids.size == MaxBucket) {
+                    out += CandPair(-1L, -1L, band, saturated = true)
+                    ids = -1L :: ids // sentinel marks "already reported"
+                  }
+                }
+              }
+            }
+            state.update(BucketState(ids, lastTs))
+            state.setTimeoutTimestamp(lastTs + NearDupHorizonMs)
+            out.iterator
+          }
+      }.toDF()
+  }
+
   // --- keyed-state sessionization (flatMapGroupsWithState) ---------------
 
   case class Ev(user_id: Long, ts: Timestamp, value: Double)

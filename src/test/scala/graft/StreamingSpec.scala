@@ -154,6 +154,41 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.nonEmpty)
   }
 
+  test("streaming near-dup candidates equal the batch LSH pairs") {
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
+    // 3 doc-id-ranged files → 3 micro-batches: pairs whose members arrive
+    // in different batches must match through the keyed bucket state.
+    val docs = Tables.documents(spark, sf)
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(base.toString)
+
+    val schema = spark.read.parquet(base.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(base.toString)
+    val q = StreamOps.nearDupStream(spark, stream)
+      .writeStream.format("memory").queryName("neardup_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = spark.table("neardup_stream_test")
+    assert(out.filter(col("saturated")).isEmpty,
+      "test vacuous under saturation: an LSH bucket hit the skew cap")
+    val streamed = out.select("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.ddMinhashLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "test vacuous: no near-dup pairs at this sf")
+
+    // Exactly once per shared band: no (pair, band) emitted twice.
+    val perBand = spark.table("neardup_stream_test")
+      .groupBy("doc_a", "doc_b", "band").count()
+      .filter(col("count") > 1)
+    assert(perBand.isEmpty, "a (pair, band) was emitted more than once")
+  }
+
   test("streaming first-seen dedup keeps exactly the batch fingerprint set") {
     val base = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
     // Stage documents with a synthetic arrival time into 3 doc-id-ranged
