@@ -505,7 +505,105 @@ object Relational {
        |    AND l_quantity BETWEEN 20 AND 30)
        |GROUP BY p_brand ORDER BY p_brand ASC""".stripMargin
 
+  // --- q_cheapest_supplier: TPC-H Q2 shape (min-per-group + dim join) -----
+  /** Cheapest supplier per part, derived from observed lineitem unit
+    * prices (this schema carries no partsupp table — the fact table IS the
+    * price source, which also makes the min-per-group run over the big
+    * side: one shuffle on l_partkey for the window min, then a broadcast
+    * supplier join for the name). Ties on price break to the smallest
+    * suppkey — deterministic on both engines. Unit price is a per-row
+    * IEEE double division (identical bits cross-engine); only the final
+    * output is rounded.
+    */
+  def qCheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val up = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+    val best = up
+      .withColumn("min_price", min(col("unit_price")).over(w))
+      .filter(col("unit_price") === col("min_price"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("l_suppkey")).as("best_suppkey"),
+        min(col("min_price")).as("best_unit_price"))
+    best
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("best_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("best_suppkey"),
+        round(col("best_unit_price"), 6).as("best_unit_price"), col("s_name"))
+      .orderBy(col("l_partkey").asc)
+  }
+
+  val qCheapestSupplierSql: String =
+    """WITH up AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    l_extendedprice / l_quantity AS unit_price
+      |  FROM lineitem
+      |), m AS (
+      |  SELECT l_partkey, l_suppkey, unit_price,
+      |    MIN(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+      |  FROM up
+      |), best AS (
+      |  SELECT l_partkey, MIN(l_suppkey) AS best_suppkey,
+      |    MIN(min_price) AS best_unit_price
+      |  FROM m WHERE unit_price = min_price GROUP BY l_partkey
+      |)
+      |SELECT b.l_partkey, b.best_suppkey,
+      |  round(b.best_unit_price, 6) AS best_unit_price, s.s_name
+      |FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
+      |ORDER BY b.l_partkey ASC""".stripMargin
+
+  // --- q_idle_rich_custs: TPC-H Q22 shape (scalar subquery + anti join) ---
+  /** Customers with above-average positive balance, rolled up per nation
+    * with the count of those who never ordered (the Q22 "idle rich"
+    * segment). The global average is a 1-row aggregate broadcast back
+    * over the customer scan (the scale-correct scalar-subquery plan:
+    * map-side partial agg → 1 row → broadcast; never a single-partition
+    * window over the full table). The comparison is division-free —
+    * `bal * n_pos > total_pos` in exact decimal — so both engines decide
+    * membership identically.
+    */
+  def qIdleRichCusts(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val stats = cust.filter(col("bal") > 0)
+      .agg(sum(col("bal")).as("total_pos"), count(lit(1)).as("n_pos"))
+    val rich = cust.crossJoin(broadcast(stats))
+      .filter(col("bal") * col("n_pos") > col("total_pos"))
+    rich
+      .join(Tables.orders(spark, dir).select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rich"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_idle_rich"),
+        sum(col("bal")).cast("double").as("total_bal"))
+      .orderBy(col("c_nationkey").asc)
+  }
+
+  val qIdleRichCustsSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer
+      |), s AS (
+      |  SELECT SUM(bal) AS total_pos, COUNT(*) AS n_pos FROM c WHERE bal > 0
+      |), rich AS (
+      |  SELECT c.c_custkey, c.c_nationkey, c.bal
+      |  FROM c, s WHERE c.bal * s.n_pos > s.total_pos
+      |), o AS (
+      |  SELECT DISTINCT o_custkey FROM orders
+      |)
+      |SELECT c_nationkey, COUNT(*) AS n_rich,
+      |  CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_idle_rich,
+      |  CAST(SUM(bal) AS DOUBLE) AS total_bal
+      |FROM rich r LEFT JOIN o ON r.c_custkey = o.o_custkey
+      |GROUP BY c_nationkey ORDER BY c_nationkey ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cheapest_supplier" -> qCheapestSupplier,
+    "q_idle_rich_custs" -> qIdleRichCusts,
     "q_promo_revenue" -> qPromoRevenue,
     "q_disjunctive_revenue" -> qDisjunctiveRevenue,
     "q_median_order_value" -> qMedianOrderValue,
@@ -525,6 +623,8 @@ object Relational {
     "q_order_lateness" -> qOrderLateness)
 
   val oracles: Map[String, String] = Map(
+    "q_cheapest_supplier" -> qCheapestSupplierSql,
+    "q_idle_rich_custs" -> qIdleRichCustsSql,
     "q_promo_revenue" -> qPromoRevenueSql,
     "q_disjunctive_revenue" -> qDisjunctiveRevenueSql,
     "q_median_order_value" -> qMedianOrderValueSql,
