@@ -1,22 +1,34 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line for the driver.
   *
-  * Measurement discipline (VERDICT r2 finding #5):
+  * Measurement discipline:
   *  - results are written to the `noop` sink, not `.count()`ed — count lets
   *    Catalyst drop unreferenced projections, so map-only queries (tx_*)
   *    would measure a row-count scan instead of their real expression work;
   *  - a warm-up pass (same queries, untimed-pool subset) absorbs the
   *    first-query JIT/codegen/parquet-footer spike before any timing;
-  *  - per-query failures surface on stderr and as value -1, never silently
-  *    folded into a timing.
+  *  - the whole suite runs SPARK_GRAFT_BENCH_PASSES times (default 3) and
+  *    each query reports its MINIMUM across passes. The box is a shared VM
+  *    with bursty host CPU steal (observed: the same warm query at 2.6 s
+  *    and 45 s minutes apart); a burst poisons one contiguous stretch of
+  *    one pass, and the min across time-separated passes recovers the true
+  *    cost. Per-query failures surface on stderr and as value -1, never
+  *    silently folded into a timing;
+  *  - the driver keeps only the last ~2000 chars of stdout and parses the
+  *    final line as JSON, so stdout carries ONE compact line: all-query
+  *    total plus the slowest per-query times, dropping the fastest entries
+  *    until the line fits a 1800-char budget ("omitted" counts them). The
+  *    full-precision per-query map goes to stderr for humans.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,21 +53,50 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val sec =
-        try { exec(fn); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
-      name -> sec
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (pass <- 1 to passes) {
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val sec =
+          try { exec(fn); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              -1.0
+          }
+        val prev = best.getOrElse(name, Double.MaxValue)
+        // A failure never overwrites a success; otherwise keep the min.
+        if (sec >= 0 && (prev < 0 || sec < prev)) best(name) = sec
+        else if (!best.contains(name)) best(name) = sec
+      }
+      System.err.println(s"[bench] pass $pass/$passes done")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+    val results = names.map { case (n, _) => n -> best(n) }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision detail for humans (stderr keeps stdout single-line).
+    System.err.println(results.map { case (k, v) => s""""$k":$v""" }
+      .mkString("[bench] detail {", ",", "}"))
+
+    // Compact stdout line: drop the fastest queries until it fits.
+    def line(included: Seq[(String, Double)], omitted: Int): String = {
+      val qs = included.sortBy(_._1)
+        .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
+        s""""n_queries":${results.size},"omitted":$omitted,"passes":$passes,"sf":"$sfDir"}"""
+    }
+    var included = results
+    while (line(included, results.size - included.size).length > 1800 &&
+        included.nonEmpty) {
+      // Drop the fastest remaining entry (failures sort as +inf — kept).
+      val dropIdx = included.zipWithIndex
+        .minBy { case ((_, v), _) => if (v < 0) Double.MaxValue else v }._2
+      included = included.patch(dropIdx, Nil, 1)
+    }
+    println(line(included, results.size - included.size))
     spark.stop()
   }
 }
