@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Namespace.queries ++ Containers.queries ++
+    Relational.queries ++ RelationalExt.queries ++
+      Namespace.queries ++ Containers.queries ++
       Entities.queries ++ EventOps.queries ++ Temporal.queries ++
       Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
       Multimodal.queries ++ Pipeline.queries
@@ -21,7 +22,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Namespace.oracles ++ Containers.oracles ++
+    Relational.oracles ++ RelationalExt.oracles ++
+      Namespace.oracles ++ Containers.oracles ++
       Entities.oracles ++ EventOps.oracles ++ Temporal.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
       Multimodal.oracles ++ Pipeline.oracles

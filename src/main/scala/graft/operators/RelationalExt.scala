@@ -1,0 +1,396 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extended relational query surface (SURVEY §2.B, round 5): the remaining
+  * classic TPC-H shapes expressible over the reduced testdata schema (no
+  * partsupp / shipmode / commitdate columns, so Q9/Q16 are adapted), plus a
+  * lag-window gap analysis. Reference query surface: these are the shapes a
+  * Spark/Hive user runs over data in the reference store via its Hadoop
+  * FileSystem facade (/root/reference/hadoop-ozone/ozonefs/).
+  *
+  * Scale notes (100 TB discipline, same as Relational.scala):
+  *  - every dimension join (nation/region/supplier/customer/part) is an
+  *    explicit `broadcast` — the fact scan (lineitem/orders) never shuffles
+  *    for a dim lookup;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle once on the order key,
+  *    with date filters pushed to the parquet scan before the shuffle;
+  *  - global extrema (Q15's max) are 1-row aggregates broadcast back over
+  *    the per-key aggregate, never a single-partition window;
+  *  - money aggregates follow the §4 oracle discipline: exact DECIMAL
+  *    products summed associatively, cast to DOUBLE only at output.
+  */
+object RelationalExt {
+
+  private def m(c: Column) = c.cast("decimal(12,2)")
+  private def f(c: Column) = c.cast("decimal(4,2)")
+  private def sumMoney(c: Column) = sum(c).cast("double")
+  private def mSql(e: String) = s"CAST($e AS DECIMAL(12,2))"
+  private def fSql(e: String) = s"CAST($e AS DECIMAL(4,2))"
+  private def sumMoneySql(e: String) = s"CAST(SUM($e) AS DOUBLE)"
+  private def revenue: Column = m(col("l_extendedprice")) * f(lit(1) - col("l_discount"))
+  private def revenueSql: String = mSql("l_extendedprice") + " * " + fSql("1 - l_discount")
+
+  // --- q7_nation_trade: TPC-H Q7 volume-shipping shape ------------------
+
+  /** Bilateral trade volume between two nations by ship year: lineitem
+    * joined to its supplier's nation and (via orders) its customer's
+    * nation, keeping only the two directed pairs. One fact-fact shuffle
+    * (lineitem ⋈ orders on orderkey); supplier/customer/nation are
+    * broadcast; the year filter is pushed to the lineitem scan.
+    */
+  def q7NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sumMoney(revenue).as("revenue"))
+      .orderBy(col("supp_nation").asc, col("cust_nation").asc, col("l_year").asc)
+  }
+
+  val q7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${sumMoneySql(revenueSql)} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+       |    l_extendedprice, l_discount
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01'
+       |    AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+       |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+       |) t
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation ASC, cust_nation ASC, l_year ASC""".stripMargin
+
+  // --- q8_market_share: TPC-H Q8 national-market-share shape ------------
+
+  /** NATION_5's share of ECONOMY-part revenue sold into the ASIA market
+    * per order year. Numerator and denominator are exact decimal sums in
+    * ONE aggregate pass (conditional sum, no self-join); the share is a
+    * single double division at output, bit-identical across engines.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val nCust = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("cn_nk"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val nSupp = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cn_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("sn_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", revenue)
+          .otherwise(m(lit(0)) * f(lit(0)))).as("nation_vol_d"),
+        sum(revenue).as("total_vol_d"))
+      .select(col("o_year"),
+        (col("nation_vol_d").cast("double") / col("total_vol_d").cast("double"))
+          .as("mkt_share"),
+        col("total_vol_d").cast("double").as("total_volume"))
+      .orderBy(col("o_year").asc)
+  }
+
+  val q8Sql: String =
+    s"""SELECT o_year,
+       |  CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+       |    ELSE ${mSql("0")} * ${fSql("0")} END) AS DOUBLE)
+       |    / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       |  ${sumMoneySql("vol")} AS total_volume
+       |FROM (
+       |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       |    n2.n_name AS supp_nation, $revenueSql AS vol
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01'
+       |) t
+       |GROUP BY o_year
+       |ORDER BY o_year ASC""".stripMargin
+
+  // --- q9_product_profit: TPC-H Q9 shape (cost adapted) -----------------
+
+  /** Profit per supplier nation and year for parts whose name contains
+    * 'gear'. The schema has no partsupp.ps_supplycost, so cost is adapted
+    * to half the part's retail price per unit — the shape (5-way join,
+    * LIKE-filtered part dim, two-term exact-decimal amount) is Q9's.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val p = Tables.part(spark, dir).filter(col("p_name").contains("gear"))
+      .select("p_partkey", "p_retailprice")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val amount = revenue -
+      m(col("p_retailprice")) * f(lit(0.5)) * m(col("l_quantity"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sumMoney(amount).as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    s"""SELECT nation, o_year,
+       |  ${sumMoneySql("amount")} AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation,
+       |    CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+       |    $revenueSql
+       |      - ${mSql("p_retailprice")} * ${fSql("0.5")} * ${mSql("l_quantity")}
+       |      AS amount
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE p_name LIKE '%gear%'
+       |) t
+       |GROUP BY nation, o_year
+       |ORDER BY nation ASC, o_year DESC""".stripMargin
+
+  // --- q10_returned_items: TPC-H Q10 shape ------------------------------
+
+  /** Top 20 customers by revenue lost to returns for orders placed in
+    * 1996-Q4. Customer/nation are broadcast onto the one lineitem⋈orders
+    * shuffle; the top-20 is a global sort of the (small) per-customer
+    * aggregate with a deterministic custkey tie-break.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sumMoney(revenue).as("revenue"),
+        max(m(col("c_acctbal")).cast("double")).as("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${sumMoneySql(revenueSql)} AS revenue,
+       |  CAST(MAX(${mSql("c_acctbal")}) AS DOUBLE) AS c_acctbal
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
+
+  // --- q13_order_count_dist: TPC-H Q13 shape ----------------------------
+
+  /** Distribution of customers by how many non-urgent orders they placed,
+    * including zero-order customers (the left join). Two aggregations:
+    * per-customer count (shuffle on custkey), then the tiny histogram.
+    */
+  def q13OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer c
+      |  LEFT JOIN orders ON c_custkey = o_custkey
+      |    AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey
+      |) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // --- q15_top_supplier: TPC-H Q15 shape --------------------------------
+
+  /** Supplier(s) with the maximum revenue over 1996-Q1 shipments. The max
+    * is a 1-row aggregate of the per-supplier rollup, broadcast back as a
+    * cross join — the scalar-subquery plan that scales (never a global
+    * window). Membership compares exact decimals; doubles only at output.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val perSupp = l.groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("total_rev_d"))
+    val maxRev = perSupp.agg(max(col("total_rev_d")).as("max_rev_d"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    perSupp.crossJoin(broadcast(maxRev))
+      .filter(col("total_rev_d") === col("max_rev_d"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev_d").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  val q15Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey, SUM($revenueSql) AS total_rev_d
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey
+       |)
+       |SELECT s_suppkey, s_name, CAST(total_rev_d AS DOUBLE) AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev_d = (SELECT MAX(total_rev_d) FROM rev)
+       |ORDER BY s_suppkey ASC""".stripMargin
+
+  // --- q16_supplier_variety: TPC-H Q16 shape (adapted) ------------------
+
+  /** How many distinct suppliers have shipped each (brand, type, size)
+    * part group, excluding one brand and PROMO parts. The schema has no
+    * partsupp, so supply relationships are observed from lineitem. The
+    * distinct-agg is a two-phase shuffle (dedup on the full grouping key +
+    * suppkey, then count) — Catalyst plans this via expand/partial-agg.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val l = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin
+
+  // --- q_order_gap: lag-window inter-order gap --------------------------
+
+  /** Mean days between a customer's consecutive orders, rolled up per
+    * market segment. The lag window partitions by custkey — parallel
+    * across customers, no global sort. Gaps are integer day diffs; the
+    * mean is one double division at output.
+    */
+  def qOrderGap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_orderdate")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    o.withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")).cast("long"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_days")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_gap_days"))
+      .orderBy(col("c_mktsegment").asc)
+  }
+
+  val qOrderGapSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_gaps,
+      |  CAST(SUM(gap_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+      |    AS avg_gap_days
+      |FROM (
+      |  SELECT o_custkey,
+      |    CAST(DATEDIFF('day',
+      |      LAG(o_orderdate) OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate ASC, o_orderkey ASC),
+      |      o_orderdate) AS BIGINT) AS gap_days
+      |  FROM orders
+      |) g
+      |JOIN customer ON g.o_custkey = c_custkey
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_nation_trade" -> q7NationTrade,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q13_order_count_dist" -> q13OrderCountDist,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_supplier_variety" -> q16SupplierVariety,
+    "q_order_gap" -> qOrderGap)
+
+  val oracles: Map[String, String] = Map(
+    "q7_nation_trade" -> q7Sql,
+    "q8_market_share" -> q8Sql,
+    "q9_product_profit" -> q9Sql,
+    "q10_returned_items" -> q10Sql,
+    "q13_order_count_dist" -> q13Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q16_supplier_variety" -> q16Sql,
+    "q_order_gap" -> qOrderGapSql)
+}
