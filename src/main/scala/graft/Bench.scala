@@ -28,7 +28,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val passesRaw = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3")
+    // Clamp to >=1 (0 passes would leave `best` empty and crash at report
+    // time); fail with context on non-numeric input.
+    val passes = math.max(1, try passesRaw.toInt catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_BENCH_PASSES must be an integer, got '$passesRaw'")
+    })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,6 +82,9 @@ object Bench {
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
     val results = names.map { case (n, _) => n -> best(n) }
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Queries that failed in every pass: excluded from `value`, so the count
+    // makes the total's coverage explicit round-over-round.
+    val failed = results.count(_._2 < 0)
 
     // Full-precision detail for humans (stderr keeps stdout single-line).
     System.err.println(results.map { case (k, v) => s""""$k":$v""" }
@@ -86,7 +95,8 @@ object Bench {
       val qs = included.sortBy(_._1)
         .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
-        s""""n_queries":${results.size},"omitted":$omitted,"passes":$passes,"sf":"$sfDir"}"""
+        s""""n_queries":${results.size},"failed":$failed,"omitted":$omitted,""" +
+        s""""passes":$passes,"sf":"$sfDir"}"""
     }
     var included = results
     while (line(included, results.size - included.size).length > 1800 &&

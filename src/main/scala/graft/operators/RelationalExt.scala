@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB discipline, same as Relational.scala):
   *  - every dimension join (nation/region/supplier/customer/part) is an
-  *    explicit `broadcast` — the fact scan (lineitem/orders) never shuffles
-  *    for a dim lookup;
+  *    explicit `broadcast`, so the fact scan (lineitem/orders) avoids a
+  *    shuffle for a dim lookup. Caveat: customer/part grow with scale
+  *    factor — the broadcast assumes they fit the driver/executor
+  *    broadcast threshold; at full 100 TB scale those two would exceed it
+  *    and Spark would (correctly) fall back to a shuffled hash join;
   *  - fact-fact joins (lineitem ⋈ orders) shuffle once on the order key,
   *    with date filters pushed to the parquet scan before the shuffle;
   *  - global extrema (Q15's max) are 1-row aggregates broadcast back over
@@ -280,8 +283,14 @@ object RelationalExt {
     val l = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    // Materialized once: maxRev derives from perSupp, so without this Spark
+    // executes the filtered lineitem scan + per-supplier aggregation twice.
+    // localCheckpoint (not persist) so repeated invocations don't silently
+    // share a plan-keyed cache entry; the stored result is one row per
+    // supplier — tiny at any scale.
     val perSupp = l.groupBy(col("l_suppkey"))
       .agg(sum(revenue).as("total_rev_d"))
+      .localCheckpoint()
     val maxRev = perSupp.agg(max(col("total_rev_d")).as("max_rev_d"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     perSupp.crossJoin(broadcast(maxRev))
