@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: stage-level timing probe for hotspot queries (not part of the
-  * driver contract; run with `runMain graft.DevProbe <sfDir>`).
+  * driver contract; run with `runMain graft.DevProbe <sfDir> [name ...]`).
+  * With query names as args, times exactly those registered queries (two
+  * passes each, min reported); with none, times the round's hotspot list.
   */
 object DevProbe {
   def main(args: Array[String]): Unit = {
@@ -18,42 +20,28 @@ object DevProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def time[A](label: String)(body: => A): A = {
-      val t0 = System.nanoTime()
-      val r = body
-      println(f"[probe] $label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    def time1(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
 
-    // Warm up.
+    val hotspots = Seq("dd_canonical", "dd_components", "ev_range_join",
+      "q16_supplier_variety", "pipe_curate", "q9_product_profit",
+      "ns_snapshot_diff", "ns_list_v2_page", "q15_top_supplier")
+    val names = if (args.length > 1) args.drop(1).toSeq else hotspots
+
+    // Warm up: JIT + codegen cache + parquet footers.
     noop(operators.Dedup.ddMinhashLsh(spark, sfDir))
+    noop(operators.Relational.q1PricingSummary(spark, sfDir))
 
-    val docs = Tables.documents(spark, sfDir)
-    time("signatures+lshPairs (ddMinhashLsh)") {
-      noop(operators.Dedup.ddMinhashLsh(spark, sfDir))
-    }
-    time("verifiedPairs (ddNgramJaccard)") {
-      noop(operators.Dedup.ddNgramJaccard(spark, sfDir))
-    }
-    val edges = time("edge materialization (checkpoint)") {
-      operators.Dedup.canonicalLabels(docs)
-    }
-    time("dd_canonical full") {
-      noop(operators.Dedup.ddCanonical(spark, sfDir))
-    }
-    time("dd_components full") {
-      noop(operators.Dedup.ddComponents(spark, sfDir))
-    }
-    time("q_cheapest_supplier full") {
-      noop(operators.Relational.qCheapestSupplier(spark, sfDir))
-    }
-    time("ct_balancer_report full") {
-      noop(operators.Containers.ctBalancerReport(spark, sfDir))
-    }
-    time("ct_cluster_state full") {
-      noop(operators.Containers.ctClusterState(spark, sfDir))
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          val secs = (1 to 2).map(_ => time1(noop(fn(spark, sfDir))))
+          println(f"[probe] $n%-28s min ${secs.min}%.2f s  runs ${secs.map(s => f"$s%.2f").mkString(" ")}")
+        case None => println(s"[probe] $n: not registered")
+      }
     }
     spark.stop()
   }

@@ -364,6 +364,51 @@ object Dedup {
        |  CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS component_size
        |FROM comp ORDER BY doc_id ASC""".stripMargin
 
+  // --- dd_minhash_est: signature-agreement Jaccard estimate ----------------
+  /** Estimated Jaccard for every LSH candidate pair straight from the
+    * MinHash signatures: the fraction of the 64 components that agree is
+    * an unbiased Jaccard estimator, so candidates can be thresholded
+    * WITHOUT touching the shingle sets again — at 100 TB the verify step
+    * reads 64 longs per doc instead of re-shuffling full shingle arrays
+    * (cf. [[ddNgramJaccard]], which computes the exact value). The
+    * signature frame is checkpointed once and feeds both the LSH bucketing
+    * and the per-pair lookup; agreement counts are integers, so the
+    * estimate is bit-identical across engines.
+    */
+  def ddMinhashEst(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(Tables.documents(spark, dir)).localCheckpoint()
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    lshPairs(sigs)
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .withColumn("n_eq", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("est_jaccard",
+        round(col("n_eq").cast("double") / NumHashes, 6))
+      .select("doc_a", "doc_b", "n_eq", "est_jaccard")
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  val ddMinhashEstSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $signaturesSql, $lshPairsSql
+       |SELECT doc_a, doc_b, n_eq,
+       |  round(CAST(n_eq AS DOUBLE) / $NumHashes, 6) AS est_jaccard
+       |FROM (
+       |  SELECT c.doc_a, c.doc_b, CAST($agree AS BIGINT) AS n_eq
+       |  FROM cand c
+       |  JOIN sigs a ON c.doc_a = a.doc_id
+       |  JOIN sigs b ON c.doc_b = b.doc_id
+       |) t ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+  }
+
   // --- dd_simhash: 16-bit simhash + bucket sizes ---------------------------
   /** Array-native: per-doc distinct token-hash array, 16 sign sums as
     * array aggregates — map-only until the bucket-size window (the one
@@ -511,6 +556,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_minhash_est" -> ddMinhashEst,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cosine" -> ddEmbedCosine,
@@ -520,6 +566,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_minhash_est" -> ddMinhashEstSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,

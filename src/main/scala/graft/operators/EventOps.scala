@@ -243,7 +243,83 @@ object EventOps {
        |FROM events GROUP BY event_type, dow, hour
        |ORDER BY event_type ASC, dow ASC, hour ASC""".stripMargin
 
+  // --- ev_top_per_hour: top event types per tumbling hour -----------------
+  /** Top-2 event types per hour window by event count (the "trending"
+    * rollup). The rank runs over the already-aggregated per-hour cells —
+    * a window over ~types-per-hour rows, never the raw stream; ties break
+    * deterministically on event_type.
+    */
+  def evTopPerHour(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    hourly.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .orderBy(col("window_start").asc, col("rank").asc)
+  }
+
+  val evTopPerHourSql: String =
+    """SELECT window_start, event_type, n_events, rank FROM (
+      |  SELECT window_start, event_type, n_events,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+      |      ORDER BY n_events DESC, event_type ASC) AS INT) AS rank
+      |  FROM (
+      |    SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |      COUNT(*) AS n_events
+      |    FROM events GROUP BY window_start, event_type
+      |  ) h
+      |) r WHERE rank <= 2
+      |ORDER BY window_start ASC, rank ASC""".stripMargin
+
+  // --- ev_dau_wau: daily/weekly active users + stickiness -----------------
+  /** DAU, trailing-7-day WAU, and the DAU/WAU stickiness ratio per day.
+    * The sliding distinct-count never self-joins the stream: activity
+    * dedupes to (user, day) once, then each user-day fans out to the ≤7
+    * target days it supports — integer blocking identical in both engines,
+    * with counts exact (not sketches). Days past the observed range drop
+    * via the inner join with the DAU set.
+    */
+  def evDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val userDays = events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val dau = userDays.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(col("day"),
+        col("day") + expr("INTERVAL '6' DAY"),
+        expr("INTERVAL '1' DAY"))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy(col("day").asc)
+  }
+
+  val evDauWauSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      |), dau AS (
+      |  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+      |), wau AS (
+      |  SELECT g.day AS day, COUNT(DISTINCT u.user_id) AS wau
+      |  FROM ud u, unnest(generate_series(u.day, u.day + INTERVAL 6 DAY,
+      |    INTERVAL 1 DAY)) AS g(day)
+      |  GROUP BY g.day
+      |)
+      |SELECT d.day, d.dau, w.wau,
+      |  round(CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6) AS stickiness
+      |FROM dau d JOIN wau w ON d.day = w.day
+      |ORDER BY d.day ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_top_per_hour" -> evTopPerHour,
+    "ev_dau_wau" -> evDauWau,
     "ev_heatmap" -> evHeatmap,
     "ev_retention_cohorts" -> evRetentionCohorts,
     "ev_tumbling_counts" -> evTumblingCounts,
@@ -253,6 +329,8 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_top_per_hour" -> evTopPerHourSql,
+    "ev_dau_wau" -> evDauWauSql,
     "ev_heatmap" -> evHeatmapSql,
     "ev_retention_cohorts" -> evRetentionCohortsSql,
     "ev_tumbling_counts" -> evTumblingCountsSql,

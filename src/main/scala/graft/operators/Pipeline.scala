@@ -151,13 +151,61 @@ object Pipeline {
        |FROM documents ORDER BY doc_id ASC""".stripMargin
   }
 
+  // --- pipe_mixture_weights: training-mix composition table ---------------
+  /** The dataset-mixture table a training run samples from: per
+    * (language, length-class) stratum — document count, token count, and
+    * the stratum's sampling weight in parts-per-million. The weight is
+    * integer floor division (exact in both engines; no float share), and
+    * the global total is a 1-row aggregate of the tiny stratum rollup
+    * broadcast back — the corpus is scanned once.
+    */
+  def pipeMixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"),
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 400, "medium")
+          .otherwise("long").as("len_class"),
+        size(graft.functions.Codes.tokens(col("text"))).cast("bigint")
+          .as("n_tokens"))
+    val grp = d.groupBy(col("lang"), col("len_class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = grp.agg(sum(col("n_docs")).as("total_docs"))
+    grp.crossJoin(broadcast(tot))
+      .withColumn("weight_ppm", expr("n_docs * 1000000 DIV total_docs"))
+      .select("lang", "len_class", "n_docs", "n_tokens", "weight_ppm")
+      .orderBy(col("lang").asc, col("len_class").asc)
+  }
+
+  val pipeMixtureWeightsSql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CASE WHEN n_chars < 200 THEN 'short'
+       |      WHEN n_chars < 400 THEN 'medium'
+       |      ELSE 'long' END AS len_class,
+       |    CAST(len(${graft.functions.Codes.tokensSql("text")}) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents
+       |), grp AS (
+       |  SELECT lang, len_class, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY lang, len_class
+       |), tot AS (
+       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM grp
+       |)
+       |SELECT lang, len_class, n_docs, n_tokens,
+       |  CAST((n_docs * 1000000) // total_docs AS BIGINT) AS weight_ppm
+       |FROM grp, tot
+       |ORDER BY lang ASC, len_class ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_mixture_weights" -> pipeMixtureWeights,
     "pipe_curate" -> pipeCurate,
     "pipe_split" -> pipeSplit,
     "pipe_pack_plan" -> pipePackPlan,
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
+    "pipe_mixture_weights" -> pipeMixtureWeightsSql,
     "pipe_curate" -> pipeCurateSql,
     "pipe_split" -> pipeSplitSql,
     "pipe_pack_plan" -> pipePackPlanSql,

@@ -342,6 +342,194 @@ object RelationalExt {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin
 
+  // --- q4_order_priority: TPC-H Q4 shape (late-shipment EXISTS) ---------
+
+  /** Orders placed in 1996-Q3 with at least one lineitem shipped more than
+    * 60 days after the order date, counted per priority. The schema has no
+    * commitdate/receiptdate, so "late" is adapted to ship-lag > 60 days.
+    * The EXISTS is a left-semi hash join on orderkey with the date
+    * comparison as the join residual — one fact-fact shuffle, no pair
+    * expansion, and the quarter filter is pushed to the orders scan.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority ASC""".stripMargin
+
+  // --- q6_forecast_revenue: TPC-H Q6 shape ------------------------------
+
+  /** Revenue increase from hypothetically eliminating mid-range discounts
+    * on small quantities in 1996. Pure scan + filter + 1-row aggregate —
+    * every predicate pushes to the parquet scan; the sum is an exact
+    * decimal partial aggregate (no shuffle beyond the 1-row combine).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(sumMoney(m(col("l_extendedprice")) * f(col("l_discount")))
+        .as("revenue"))
+
+  val q6Sql: String =
+    s"""SELECT CAST(SUM(${mSql("l_extendedprice")} * ${fSql("l_discount")})
+       |  AS DOUBLE) AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  // --- q11_revenue_concentration: TPC-H Q11 shape (adapted) -------------
+
+  /** Parts whose observed revenue exceeds 1.5x the per-part mean — Q11's
+    * "important stock" fraction predicate restated over lineitem (no
+    * partsupp in the schema). The comparison is division-free in exact
+    * BIGINT tenth-milli units (the revenue sum has scale 4, so x10000 is
+    * integral — x100 would truncate in Spark but round in DuckDB): a
+    * chained decimal product would overflow Spark's 38-digit precision.
+    * The global total and part count form a 1-row aggregate broadcast back
+    * over the per-part rollup — never a global window.
+    */
+  def q11RevenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(revenue) * 10000).cast("long").as("rev_u"))
+    val tot = perPart.agg(sum(col("rev_u")).as("tot_u"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("rev_u") * 2 * col("n_parts") > col("tot_u") * 3)
+      .select(col("l_partkey"),
+        (col("rev_u").cast("double") / 10000).as("part_revenue"))
+      .orderBy(col("part_revenue").desc, col("l_partkey").asc)
+  }
+
+  val q11Sql: String =
+    s"""WITH pp AS (
+       |  SELECT l_partkey,
+       |    CAST(SUM($revenueSql) * 10000 AS BIGINT) AS rev_u
+       |  FROM lineitem GROUP BY l_partkey
+       |), t AS (
+       |  SELECT CAST(SUM(rev_u) AS BIGINT) AS tot_u,
+       |    COUNT(*) AS n_parts FROM pp
+       |)
+       |SELECT l_partkey, CAST(rev_u AS DOUBLE) / 10000 AS part_revenue
+       |FROM pp, t
+       |WHERE rev_u * 2 * n_parts > tot_u * 3
+       |ORDER BY part_revenue DESC, l_partkey ASC""".stripMargin
+
+  // --- q18_large_volume: TPC-H Q18 shape --------------------------------
+
+  /** Customers who placed orders totalling more than 250 units. Per-order
+    * quantity rollup (one shuffle on orderkey), HAVING filter shrinks the
+    * set before the orders join (second shuffle) and the broadcast
+    * customer lookup. Quantities sum as exact decimals.
+    */
+  def q18LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(m(col("l_quantity"))).as("total_qty_d"))
+      .filter(col("total_qty_d") > 250)
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"),
+        m(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("total_qty_d").cast("double").as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       |  CAST(${mSql("o_totalprice")} AS DOUBLE) AS o_totalprice,
+       |  CAST(total_qty_d AS DOUBLE) AS total_qty
+       |FROM (
+       |  SELECT l_orderkey, SUM(${mSql("l_quantity")}) AS total_qty_d
+       |  FROM lineitem GROUP BY l_orderkey HAVING total_qty_d > 250
+       |) po
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin
+
+  // --- q21_waiting_supplier: TPC-H Q21 shape (adapted) ------------------
+
+  /** Suppliers who were the SOLE late shipper on multi-supplier orders
+    * ("kept orders waiting"), top 20 by such orders. Q21's correlated
+    * EXISTS / NOT EXISTS pair collapses into ONE per-order aggregate:
+    * distinct-supplier count, distinct-late-supplier count, and (via
+    * min-if) the identity of the single late supplier — one fact-fact
+    * shuffle on orderkey plus one tiny rollup, instead of three
+    * self-joins of lineitem. "Late" = shipped > 60 days after order date.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val g = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
+    val perOrder = g.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+    perOrder.filter(col("n_supp") > 1 && col("n_late") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(s), col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
+  val q21Sql: String =
+    """SELECT s_suppkey, s_name, numwait
+      |FROM (
+      |  SELECT late_supp, COUNT(*) AS numwait
+      |  FROM (
+      |    SELECT l_orderkey,
+      |      COUNT(DISTINCT l_suppkey) AS n_supp,
+      |      COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+      |      MIN(CASE WHEN late THEN l_suppkey END) AS late_supp
+      |    FROM (
+      |      SELECT l_orderkey, l_suppkey,
+      |        l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      |      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    ) g GROUP BY l_orderkey
+      |  ) po
+      |  WHERE n_supp > 1 AND n_late = 1
+      |  GROUP BY late_supp
+      |) w
+      |JOIN supplier ON late_supp = s_suppkey
+      |ORDER BY numwait DESC, s_suppkey ASC
+      |LIMIT 20""".stripMargin
+
   // --- q_order_gap: lag-window inter-order gap --------------------------
 
   /** Mean days between a customer's consecutive orders, rolled up per
@@ -384,6 +572,11 @@ object RelationalExt {
       |ORDER BY c_mktsegment ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> q4OrderPriority,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q11_revenue_concentration" -> q11RevenueConcentration,
+    "q18_large_volume" -> q18LargeVolume,
+    "q21_waiting_supplier" -> q21WaitingSupplier,
     "q7_nation_trade" -> q7NationTrade,
     "q8_market_share" -> q8MarketShare,
     "q9_product_profit" -> q9ProductProfit,
@@ -394,6 +587,11 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q4_order_priority" -> q4Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q11_revenue_concentration" -> q11Sql,
+    "q18_large_volume" -> q18Sql,
+    "q21_waiting_supplier" -> q21Sql,
     "q7_nation_trade" -> q7Sql,
     "q8_market_share" -> q8Sql,
     "q9_product_profit" -> q9Sql,

@@ -81,7 +81,11 @@ object Temporal {
 
   // --- ev_range_join: events inside each error's impact window ------------
   private val WindowUs = 600L * 1000000L // 10-minute impact window
-  private val BucketUs = 3600L * 1000000L // hour blocking buckets
+  // Blocking-bucket width = window width: each interval still spans at most
+  // ceil(window/bucket)+1 = 2 buckets, but each bucket now holds ~6x fewer
+  // points than an hour bucket would — the candidate-pair expansion before
+  // the exact range filter shrinks proportionally at any data scale.
+  private val BucketUs = WindowUs
 
   /** Incident-impact range join: for each error event, the count of ALL
     * events (any user, any type — including the error itself) whose

@@ -434,7 +434,31 @@ object TextOps {
        |    + len(regexp_extract_all(text, '$DigitRunRe'))) > 0 AS has_pii
        |FROM documents ORDER BY doc_id ASC""".stripMargin
 
+  // --- tx_length_histogram: power-of-2 corpus length distribution ---------
+  /** Document-length distribution in power-of-2 buckets (the corpus-stats
+    * twin of ns_filesize_histogram): `bucket_exp` is the exponent of the
+    * bucket's upper bound, via integer bit-length arithmetic so both
+    * engines agree exactly. Single scan, map-side partial aggregate, tiny
+    * shuffle — the plan that holds at any corpus size.
+    */
+  def txLengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket_exp",
+        when(col("n_chars") <= 1, 0)
+          .otherwise(length(bin(col("n_chars") - 1))))
+      .groupBy(col("bucket_exp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("bucket_exp").asc)
+
+  val txLengthHistogramSql: String =
+    """SELECT
+      |  CASE WHEN n_chars <= 1 THEN 0 ELSE length(bin(n_chars - 1)) END
+      |    AS bucket_exp,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY bucket_exp ORDER BY bucket_exp ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_length_histogram" -> txLengthHistogram,
     "tx_pii" -> txPii,
     "tx_contamination" -> txContamination,
     "tx_repetition" -> txRepetition,
@@ -446,6 +470,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_length_histogram" -> txLengthHistogramSql,
     "tx_pii" -> txPiiSql,
     "tx_contamination" -> txContaminationSql,
     "tx_repetition" -> txRepetitionSql,

@@ -16,13 +16,14 @@ class PlanShapeSpec extends SparkSpec {
     * 16-row centroid set for cell assignment. Both are linear corpus scans
     * by design, not accidents.
     */
-  /** q_idle_rich_custs and q15_top_supplier broadcast a 1-ROW global
-    * aggregate back over a scan (the scalar-subquery plan) — bounded by
-    * construction.
+  /** q_idle_rich_custs, q15_top_supplier, q11_revenue_concentration and
+    * pipe_mixture_weights broadcast a 1-ROW global aggregate back over a
+    * scan (the scalar-subquery plan) — bounded by construction.
     */
   private val allowedNestedLoop =
     Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained",
-      "q_idle_rich_custs", "q15_top_supplier")
+      "q_idle_rich_custs", "q15_top_supplier", "q11_revenue_concentration",
+      "pipe_mixture_weights")
 
   test("no CartesianProduct in any registered query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
