@@ -168,13 +168,136 @@ object Multimodal {
       |    // greatest(n_chars % 640, 1) AS INTEGER) AS scaled_h
       |FROM documents ORDER BY doc_id ASC""".stripMargin
 
+  // --- mm_ahash: average-hash perceptual fingerprint ----------------------
+  case class AHash(doc_id: Long, ahash: Long)
+
+  /** 16-bit average-hash of each payload: the byte stream is cut into 16
+    * equal blocks (the stand-in for a 4x4 downsampled image), each block
+    * sets its bit when its mean exceeds the global mean. The comparison is
+    * integer cross-multiplication (blockSum*len > total*blockLen) — no
+    * float division, so the fake decode is held to a full oracle. Buckets
+    * of equal hashes are near-dup candidates (the perceptual twin of
+    * dd_simhash); one map pass + one shuffle on the 16-bit key.
+    */
+  def mmAhash(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    payloads(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // --- STUB: stands in for decode + 4x4 downsample per partition ---
+        rows.map { case (id, bytes) =>
+          val len = bytes.length
+          var total = 0L
+          var i = 0
+          while (i < len) { total += bytes(i) & 0xff; i += 1 }
+          var hash = 0L
+          var b = 0
+          while (b < 16) {
+            val start = len * b / 16
+            val end = len * (b + 1) / 16
+            var bs = 0L
+            var j = start
+            while (j < end) { bs += bytes(j) & 0xff; j += 1 }
+            if (bs * len > total * (end - start)) hash |= 1L << b
+            b += 1
+          }
+          AHash(id, hash)
+        }
+      }
+      .toDF()
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("ahash"))))
+      .orderBy(col("doc_id").asc)
+  }
+
+  /** ASCII corpus: byte sums are codepoint sums, block [b] covers
+    * character positions [len*b//16, len*(b+1)//16).
+    */
+  val mmAhashSql: String = {
+    def asum(s: String) =
+      s"COALESCE(CAST(list_sum(list_transform(string_split($s, ''), " +
+        s"c -> CAST(ascii(c) AS BIGINT))) AS BIGINT), 0)"
+    val blockSum = asum("substring(text, (len*b)//16 + 1, " +
+      "(len*(b+1))//16 - (len*b)//16)")
+    val blockLen = "((len*(b+1))//16 - (len*b)//16)"
+    s"""WITH t AS (
+       |  SELECT doc_id, text, length(text) AS len, ${asum("text")} AS total
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 16), b ->
+       |    CASE WHEN $blockSum * len > total * $blockLen
+       |      THEN 1 << b ELSE 0 END)) AS BIGINT) AS ahash
+       |  FROM t
+       |)
+       |SELECT doc_id, ahash,
+       |  CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS bucket_size
+       |FROM h ORDER BY doc_id ASC""".stripMargin
+  }
+
+  // --- mm_audio_energy: windowed energy over "PCM" payloads ---------------
+  case class AudioWindow(doc_id: Long, window_idx: Int, energy: Long,
+    silent: Boolean)
+
+  private val AudioWindowBytes = 32
+  private val SilenceThreshold = 200000L
+
+  /** Windowed audio-energy extraction: each payload is treated as a PCM
+    * sample stream cut into 32-byte windows; per window the integer
+    * sum-of-squares energy plus a silence flag (the voice-activity-
+    * detection shape). Per-partition typed decode like the other mm_ ops;
+    * all-integer features make the stub fully oracle-checkable.
+    */
+  def mmAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val ss = spark
+    import ss.implicits._
+    payloads(spark, dir)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // --- STUB: stands in for audio codec init (once per partition) ---
+        rows.flatMap { case (id, bytes) =>
+          val nWin = (bytes.length + AudioWindowBytes - 1) / AudioWindowBytes
+          Iterator.range(0, nWin).map { w =>
+            var e = 0L
+            var j = w * AudioWindowBytes
+            val end = math.min(j + AudioWindowBytes, bytes.length)
+            while (j < end) { val v = (bytes(j) & 0xff).toLong; e += v * v; j += 1 }
+            AudioWindow(id, w, e, e < SilenceThreshold)
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id").asc, col("window_idx").asc)
+  }
+
+  val mmAudioEnergySql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(u.w AS INTEGER) AS window_idx,
+       |    COALESCE(CAST(list_sum(list_transform(
+       |      string_split(substring(text, u.w * $AudioWindowBytes + 1,
+       |        $AudioWindowBytes), ''),
+       |      c -> CAST(ascii(c) AS BIGINT) * CAST(ascii(c) AS BIGINT)))
+       |      AS BIGINT), 0) AS energy
+       |  FROM documents,
+       |    UNNEST(range(0, (length(text) + ${AudioWindowBytes - 1})
+       |      // $AudioWindowBytes)) AS u(w)
+       |)
+       |SELECT doc_id, window_idx, energy,
+       |  energy < $SilenceThreshold AS silent
+       |FROM w ORDER BY doc_id ASC, window_idx ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_resize_plan" -> mmResizePlan)
+    "mm_resize_plan" -> mmResizePlan,
+    "mm_ahash" -> mmAhash,
+    "mm_audio_energy" -> mmAudioEnergy)
 
   val oracles: Map[String, String] = Map(
     "mm_decode_stub" -> mmDecodeStubSql,
     "mm_frame_sample" -> mmFrameSampleSql,
-    "mm_resize_plan" -> mmResizePlanSql)
+    "mm_resize_plan" -> mmResizePlanSql,
+    "mm_ahash" -> mmAhashSql,
+    "mm_audio_energy" -> mmAudioEnergySql)
 }

@@ -434,6 +434,78 @@ object TextOps {
        |    + len(regexp_extract_all(text, '$DigitRunRe'))) > 0 AS has_pii
        |FROM documents ORDER BY doc_id ASC""".stripMargin
 
+  // --- tx_countmin_freq: count-min sketch vs exact token frequency --------
+  private val CmRows = 4
+  private val CmWidth = 1024
+
+  /** Count-min sketch demonstration over the token stream: 4 hash rows x
+    * 1024 counters (the [[graft.functions.Codes]] arithmetic family, so
+    * both engines build bit-identical counter tables), probed for the
+    * exact top-20 tokens. `cm_est >= exact_n` always; the overestimate
+    * column shows the collision error. At 100 TB the counter table is a
+    * FIXED 4x1024 aggregate — frequency estimation without a per-token
+    * groupBy — while the exact side here exists to gate the sketch.
+    */
+  def txCountminFreq(spark: SparkSession, dir: String): DataFrame = {
+    val tks = tokens(col("text"))
+    // Token string + code zipped per occurrence; the kernel runs once per
+    // document array, not per exploded row.
+    val tc = Tables.documents(spark, dir)
+      .select(explode(zip_with(tks, strCodes(tks),
+        (t, c) => struct(t.as("tok"), c.as("x")))).as("z"))
+      .select(col("z.tok").as("tok"), col("z.x").as("x"))
+    val rowBuckets = (0 until CmRows).map(r =>
+      struct(lit(r).as("r"),
+        (graft.functions.Codes.hash(r, col("x")) % CmWidth).as("bkt")))
+    val counters = tc
+      .select(explode(array(rowBuckets: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = tc.groupBy(col("tok"))
+      .agg(count(lit(1)).as("exact_n"), min(col("x")).as("x"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
+      .limit(20)
+    val probeRows = probes
+      .select(col("tok"), col("exact_n"), explode(array(rowBuckets: _*)).as("rb"))
+      .select(col("tok"), col("exact_n"),
+        col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+    counters.join(broadcast(probeRows), Seq("r", "bkt"))
+      .groupBy(col("tok"), col("exact_n"))
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("tok"), col("exact_n"), col("cm_est"),
+        (col("cm_est") - col("exact_n")).as("overestimate"))
+      .orderBy(col("exact_n").desc, col("tok").asc)
+  }
+
+  val txCountminFreqSql: String = {
+    val counterRows = (0 until CmRows)
+      .map(r => s"SELECT $r AS r, ${hashSql(r, "x")} % $CmWidth AS bkt FROM tc")
+      .mkString("\n  UNION ALL\n  ")
+    val probeRows = (0 until CmRows)
+      .map(r => s"SELECT tok, exact_n, $r AS r, " +
+        s"${hashSql(r, "x")} % $CmWidth AS bkt FROM probes")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH toks AS (
+       |  SELECT unnest(${tokensSql("text")}) AS tok FROM documents
+       |), tc AS (
+       |  SELECT tok, ${strCodeSql("tok")} AS x FROM toks
+       |), counters AS (
+       |  SELECT r, bkt, COUNT(*) AS cnt FROM (
+       |  $counterRows
+       |  ) u GROUP BY r, bkt
+       |), probes AS (
+       |  SELECT tok, COUNT(*) AS exact_n, MIN(x) AS x FROM tc GROUP BY tok
+       |  ORDER BY exact_n DESC, tok ASC LIMIT 20
+       |), pr AS (
+       |  $probeRows
+       |)
+       |SELECT p.tok, p.exact_n, CAST(MIN(c.cnt) AS BIGINT) AS cm_est,
+       |  CAST(MIN(c.cnt) - p.exact_n AS BIGINT) AS overestimate
+       |FROM pr p JOIN counters c ON p.r = c.r AND p.bkt = c.bkt
+       |GROUP BY p.tok, p.exact_n
+       |ORDER BY exact_n DESC, tok ASC""".stripMargin
+  }
+
   // --- tx_length_histogram: power-of-2 corpus length distribution ---------
   /** Document-length distribution in power-of-2 buckets (the corpus-stats
     * twin of ns_filesize_histogram): `bucket_exp` is the exponent of the
@@ -458,6 +530,7 @@ object TextOps {
       |FROM documents GROUP BY bucket_exp ORDER BY bucket_exp ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_countmin_freq" -> txCountminFreq,
     "tx_length_histogram" -> txLengthHistogram,
     "tx_pii" -> txPii,
     "tx_contamination" -> txContamination,
@@ -470,6 +543,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_countmin_freq" -> txCountminFreqSql,
     "tx_length_histogram" -> txLengthHistogramSql,
     "tx_pii" -> txPiiSql,
     "tx_contamination" -> txContaminationSql,
