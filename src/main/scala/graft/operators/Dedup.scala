@@ -376,7 +376,11 @@ object Dedup {
     * estimate is bit-identical across engines.
     */
   def ddMinhashEst(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(Tables.documents(spark, dir)).localCheckpoint()
+    // The signature subplan feeds both the LSH bucketing and the per-pair
+    // lookup; its exchange is byte-identical in both branches, so
+    // ReuseExchange materializes the MinHash scan+partial-agg once (no
+    // blocking checkpoint needed — measured faster without one).
+    val sigs = signatures(Tables.documents(spark, dir))
     val sigArr = sigs.select(col("doc_id"),
       array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
     lshPairs(sigs)

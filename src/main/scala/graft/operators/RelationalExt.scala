@@ -481,11 +481,12 @@ object RelationalExt {
 
   /** Suppliers who were the SOLE late shipper on multi-supplier orders
     * ("kept orders waiting"), top 20 by such orders. Q21's correlated
-    * EXISTS / NOT EXISTS pair collapses into ONE per-order aggregate:
-    * distinct-supplier count, distinct-late-supplier count, and (via
-    * min-if) the identity of the single late supplier — one fact-fact
-    * shuffle on orderkey plus one tiny rollup, instead of three
-    * self-joins of lineitem. "Late" = shipped > 60 days after order date.
+    * EXISTS / NOT EXISTS pair collapses into a two-level aggregate:
+    * dedup to (order, supplier, ever-late) first — a map-side-combinable
+    * aggregate, unlike an expand-based COUNT DISTINCT — then one tiny
+    * per-order rollup picks orders with >1 supplier exactly 1 of whom was
+    * late (min-if identifies them). One fact-fact shuffle on orderkey, no
+    * lineitem self-joins. "Late" = shipped > 60 days after order date.
     */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
@@ -493,11 +494,14 @@ object RelationalExt {
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
     val g = l.join(o, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
-    val perOrder = g.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"),
+          1L).otherwise(0L))
+    val perSupp = g.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("late")).as("n_late"),
+        min(when(col("late") === 1, col("l_suppkey"))).as("late_supp"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     perOrder.filter(col("n_supp") > 1 && col("n_late") === 1)
       .groupBy(col("late_supp"))
