@@ -218,7 +218,16 @@ object Dedup {
     * The per-round edge subplan is byte-identical, so Spark's
     * ReuseExchange materializes the edge shuffle once across rounds.
     */
-  /** The label-propagation stage: (doc_id, label) after 3 rounds. */
+  /** The label-propagation stage: (doc_id, label) after 3 rounds.
+    *
+    * Propagation runs ONLY over edge-endpoint docs: a doc with no verified
+    * edge never receives a neighbor minimum, so its label provably stays
+    * `doc_id` through every round. At 100 TB the near-dup graph touches a
+    * small fraction of the corpus, so the 3 rounds operate on a frame
+    * orders of magnitude smaller than the corpus (AQE turns the round
+    * joins into broadcasts), and the full corpus is joined exactly once at
+    * the end to attach identity labels.
+    */
   private[graft] def canonicalLabels(docs: DataFrame): DataFrame = {
     val pairs = verifiedPairs(docs).select("doc_a", "doc_b")
     // Symmetrize via explode, not union — a union of (a,b) and (b,a)
@@ -232,7 +241,8 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to 3) {
       val nbr = edges
         .join(labels.select(col("doc_id").as("dst"), col("label")), "dst")
@@ -243,7 +253,9 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
     }
-    labels
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("label", "lp"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lp"), col("doc_id")).as("label"))
   }
 
   def ddCanonical(spark: SparkSession, dir: String): DataFrame =
@@ -308,7 +320,11 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // Fixpoint iteration over edge-endpoint docs only (isolated docs can
+    // never change label — see canonicalLabels); the convergence probe and
+    // every round's joins run on the small endpoint frame.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
     var converged = false
     var rounds = 0
@@ -329,7 +345,9 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    labels
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("label", "lp"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lp"), col("doc_id")).as("label"))
   }
 
   def ddComponents(spark: SparkSession, dir: String): DataFrame =
