@@ -317,7 +317,70 @@ object EventOps {
       |FROM dau d JOIN wau w ON d.day = w.day
       |ORDER BY d.day ASC""".stripMargin
 
+  // --- ev_anomaly: trailing z-score spike detection ----------------------
+  /** Hourly volume anomaly flags per event type: an hour is anomalous when
+    * its count exceeds the trailing-24-hour mean by 3 standard deviations.
+    * The z-test runs in EXACT integers — with n, s=Σc, q=Σc² over the
+    * trailing window, `c > mean + 3σ` is equivalent to
+    * `c·n − s > 0 ∧ (c·n − s)² > 9·(n·q − s²)` (multiply through by n²) —
+    * so both engines agree bit-for-bit with no floating-point mean/stddev.
+    * Shape: one scan → hourly cell aggregate (map-side combinable, cell
+    * count bounded by types × hours) → per-type window pass. Requires at
+    * least 12 trailing hours of history before flagging. Counts up to ~1e9
+    * per cell stay within BIGINT through the squared terms.
+    */
+  def evAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour").asc)
+      .rowsBetween(-24, -1)
+    val n = count(col("c")).over(w)
+    val s = coalesce(sum(col("c")).over(w), lit(0L))
+    val q = coalesce(sum(col("c") * col("c")).over(w), lit(0L))
+    hourly
+      .withColumn("trailing_n", n)
+      .withColumn("trailing_sum", s)
+      .withColumn("trailing_sumsq", q)
+      .withColumn("anomaly_flag",
+        when(col("trailing_n") >= 12 &&
+          (col("c") * col("trailing_n") - col("trailing_sum")) > 0 &&
+          (col("c") * col("trailing_n") - col("trailing_sum")) *
+            (col("c") * col("trailing_n") - col("trailing_sum")) >
+            lit(9L) * (col("trailing_n") * col("trailing_sumsq") -
+              col("trailing_sum") * col("trailing_sum")), 1L).otherwise(0L))
+      .select(col("event_type"), col("hour"), col("c").as("n_events"),
+        col("trailing_n"), col("trailing_sum"), col("anomaly_flag"))
+      .orderBy(col("event_type").asc, col("hour").asc)
+  }
+
+  val evAnomalySql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY hour, event_type
+      |), t AS (
+      |  SELECT event_type, hour, c,
+      |    COUNT(c) OVER w AS trailing_n,
+      |    COALESCE(SUM(c) OVER w, 0) AS trailing_sum,
+      |    COALESCE(SUM(c * c) OVER w, 0) AS trailing_sumsq
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY hour ASC
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, hour, c AS n_events,
+      |  CAST(trailing_n AS BIGINT) AS trailing_n,
+      |  CAST(trailing_sum AS BIGINT) AS trailing_sum,
+      |  CAST(CASE WHEN trailing_n >= 12
+      |    AND c * trailing_n - trailing_sum > 0
+      |    AND (c * trailing_n - trailing_sum) * (c * trailing_n - trailing_sum)
+      |      > 9 * (trailing_n * trailing_sumsq - trailing_sum * trailing_sum)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly_flag
+      |FROM t ORDER BY event_type ASC, hour ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_anomaly" -> evAnomaly,
     "ev_top_per_hour" -> evTopPerHour,
     "ev_dau_wau" -> evDauWau,
     "ev_heatmap" -> evHeatmap,
@@ -329,6 +392,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_anomaly" -> evAnomalySql,
     "ev_top_per_hour" -> evTopPerHourSql,
     "ev_dau_wau" -> evDauWauSql,
     "ev_heatmap" -> evHeatmapSql,

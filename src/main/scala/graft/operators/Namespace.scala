@@ -89,7 +89,13 @@ object Namespace {
     */
   def listObjectsV2Page(keys: DataFrame, prefix: String, token: String,
       maxEntries: Int): DataFrame = {
-    val page = commonPrefixes(keys, prefix)
+    // Token pushdown: every key of a group extends its common_prefix, so
+    // common_prefix > token implies key > token — pre-filtering the scan
+    // drops everything before the token WITHOUT changing any surviving
+    // group's aggregates (a group past the token keeps all its keys). At
+    // scale a deep page therefore aggregates only the tail of the listing,
+    // not the whole bucket.
+    val page = commonPrefixes(keys.filter(col("key") > token), prefix)
       .filter(col("common_prefix") > token)
       .orderBy(col("common_prefix").asc)
       .limit(maxEntries)
@@ -485,7 +491,61 @@ object Namespace {
        |  AND s.key = c.key
        |ORDER BY s.size ASC, c.container_id ASC""".stripMargin
 
+  // --- ns_compaction_plan: small-object compaction layout -----------------
+
+  /** Compaction plan: pack each bucket's objects (key order) into target-
+    * size output files — the small-files problem every object store /
+    * table-maintenance service has (the reference packs small objects into
+    * shared storage containers the same way; Iceberg/Delta `OPTIMIZE` is
+    * the table-format twin). Greedy assignment by cumulative offset:
+    * object → group floor(bytes_before / target), so groups are contiguous
+    * key ranges and only the straddling object spills a group past target.
+    * One shuffle (the per-bucket sort window); the group rollup reuses the
+    * same partitioning. Per-bucket sort is the semantic requirement —
+    * a giant bucket is AQE's skew case, and the window is a single
+    * sequential pass, not a self-join.
+    */
+  def compactionPlan(keys: DataFrame, targetBytes: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("volume"), col("bucket"))
+      .orderBy(col("key").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    keys
+      .withColumn("bytes_before", coalesce(sum(col("size")).over(w), lit(0L)))
+      // floor(), not a bare cast: DuckDB casts double→BIGINT by rounding
+      // to nearest while Spark truncates — floor first agrees everywhere
+      // (the division is exact in double up to 2^53).
+      .withColumn("group_id", floor(col("bytes_before") / targetBytes).cast("bigint"))
+      .groupBy(col("volume"), col("bucket"), col("group_id"))
+      .agg(count(lit(1)).as("n_objects"),
+        sum(col("size")).as("group_bytes"),
+        min(col("key")).as("first_key"),
+        max(col("key")).as("last_key"))
+      .orderBy(col("volume").asc, col("bucket").asc, col("group_id").asc)
+  }
+
+  def nsCompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    compactionPlan(ObjectStoreView.keys(spark, dir), 1000000000L)
+
+  val nsCompactionPlanSql: String =
+    s"""WITH keys AS ($ks), cum AS (
+       |  SELECT volume, bucket, key, size,
+       |    COALESCE(SUM(size) OVER (PARTITION BY volume, bucket
+       |      ORDER BY key ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS bytes_before
+       |  FROM keys
+       |)
+       |SELECT volume, bucket,
+       |  CAST(FLOOR(bytes_before / 1000000000) AS BIGINT) AS group_id,
+       |  COUNT(*) AS n_objects, CAST(SUM(size) AS BIGINT) AS group_bytes,
+       |  MIN(key) AS first_key, MAX(key) AS last_key
+       |FROM cum
+       |GROUP BY volume, bucket, CAST(FLOOR(bytes_before / 1000000000) AS BIGINT)
+       |ORDER BY volume ASC, bucket ASC, group_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_compaction_plan" -> nsCompactionPlan,
     "ns_lookup_key" -> nsLookupKey,
     "ns_list_prefix" -> nsListPrefix,
     "ns_common_prefixes" -> nsCommonPrefixes,
@@ -505,6 +565,7 @@ object Namespace {
     "ns_liststatus" -> nsListStatus)
 
   val oracles: Map[String, String] = Map(
+    "ns_compaction_plan" -> nsCompactionPlanSql,
     "ns_lookup_key" -> nsLookupKeySql,
     "ns_list_prefix" -> nsListPrefixSql,
     "ns_common_prefixes" -> nsCommonPrefixesSql,

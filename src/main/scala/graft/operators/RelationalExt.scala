@@ -575,7 +575,200 @@ object RelationalExt {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment ASC""".stripMargin
 
+  // --- q12_late_priority: TPC-H Q12 shape (adapted) ---------------------
+
+  /** Late-shipment priority mix per return-flag class (the schema has no
+    * shipmode/commitdate, so l_returnflag stands in for shipmode and
+    * "late" = shipped > 60 days after order date — same adaptation rule
+    * as q4). One fact-fact shuffle on the order key with the ship-year
+    * filter pushed to the lineitem scan; the priority split is a
+    * conditional count, map-side combinable.
+    */
+  def q12LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate", "l_returnflag")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag").asc)
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag ASC""".stripMargin
+
+  // --- q20_dominant_supplier: TPC-H Q20 shape (adapted) -----------------
+
+  /** Suppliers who shipped MORE THAN HALF of some promo part's 1995 volume
+    * (no partsupp table, so Q20's "excess available stock" test becomes a
+    * dominant-share test over shipped quantities — same nested two-level
+    * aggregate + semi join shape). Division-free: 2·supp_qty > part_qty
+    * compared in exact decimals. The per-(part, supplier) aggregate is
+    * map-side combinable off the one lineitem scan; the per-part total
+    * reuses it (self-aggregate, no second scan); part/supplier/nation are
+    * broadcast dims.
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("forest") ||
+        col("p_type").startsWith("PROMO"))
+      .select("p_partkey")
+    val l95 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+    val perSupp = l95.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("supp_qty"))
+    val perPart = perSupp.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    perSupp.join(perPart, "l_partkey")
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated_parts"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name").as("nation"),
+        col("n_dominated_parts"))
+      .orderBy(col("s_name").asc)
+  }
+
+  val q20Sql: String =
+    """WITH promo AS (
+      |  SELECT p_partkey FROM part
+      |  WHERE p_name LIKE 'forest%' OR p_type LIKE 'PROMO%'
+      |), per_supp AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+      |  FROM lineitem JOIN promo ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  GROUP BY l_partkey, l_suppkey
+      |), per_part AS (
+      |  SELECT l_partkey, SUM(supp_qty) AS part_qty
+      |  FROM per_supp GROUP BY l_partkey
+      |), dom AS (
+      |  SELECT ps.l_suppkey, COUNT(*) AS n_dominated_parts
+      |  FROM per_supp ps JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+      |  WHERE ps.supp_qty * 2 > pp.part_qty
+      |  GROUP BY ps.l_suppkey
+      |)
+      |SELECT s_name, n_name AS nation, n_dominated_parts
+      |FROM dom
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_name ASC""".stripMargin
+
+  // --- q_hll_distinct: deterministic HyperLogLog sketch ------------------
+
+  /** HyperLogLog distinct-count sketch in EXACT integer arithmetic, so the
+    * approximate estimate itself is oracle-checkable bit-for-bit (unlike
+    * `q_approx_distinct`, whose engine-internal HLL is rows-only).
+    * m=1024 registers; register and rank come from two independent
+    * QUADRATIC hashes mod the prime 2^31−1 (an affine hash of
+    * near-sequential keys leaves lattice structure in the low bits —
+    * measured 62% estimate error; the quadratic + prime-modulus pair
+    * lands at 1.6%/0.6% error at sf0.01/0.1). The rank is the hash
+    * MAGNITUDE's geometric bucket — `rho = k ⟺ h ≥ P/2^k` (P(rho=k)=2^−k,
+    * capped at 15) — which only needs `%`, `*` and comparisons, all
+    * bit-identical across engines. The harmonic mean stays rational:
+    * registers contribute the integer 2^(15−M_r), absent registers 2^15,
+    * and the α·m²/denominator estimate is one 64-bit integer division
+    * (α = 0.7213/(1+1.079/m) as the exact rational
+    * 7213·m / (10000·m + 10790)). Scale shape: one scan, a 1024-group
+    * map-side max — the sketch is mergeable across any partitioning, which
+    * is the whole point of HLL at 100 TB.
+    */
+  private val HllP = 2147483647L
+  private val hllHashSql =
+    s"((x * x % $HllP) * 777777777 + x * 123456789 + 987654321) % $HllP"
+  private val hllRankHashSql =
+    s"((x * x % $HllP) * 588888888 + x * 22222223 + 11111111) % $HllP"
+  private val hllRhoCase = (1 to 14)
+    .map(k => s"WHEN h2 >= ${HllP >> k} THEN $k")
+    .mkString("CASE ", " ", " ELSE 15 END")
+
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1024
+    val sk = Tables.lineitem(spark, dir)
+      .select(expr(s"l_orderkey % $HllP").as("x"))
+      .select(expr(s"$hllHashSql % 1024").as("reg"),
+        expr(hllRankHashSql).as("h2"))
+      .select(col("reg"), expr(hllRhoCase).as("rho"))
+      .groupBy(col("reg")).agg(max(col("rho")).as("mr"))
+      // 2^(15-mr) as integer arithmetic: 32768 / 2^mr is exact (mr <= 15;
+      // POWER returns double in both engines but is exact here, and the
+      // division result is an exact integer re-cast).
+      .agg(count(lit(1)).as("hit"),
+        sum(expr("CAST(32768 / POWER(2, mr) AS BIGINT)")).as("denom_hit"))
+    val exact = Tables.lineitem(spark, dir)
+      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    sk.crossJoin(broadcast(exact))
+      .select(
+        lit(m.toLong).as("m"), col("hit"),
+        (col("denom_hit") + (lit(m.toLong) - col("hit")) * 32768L).as("denom"),
+        col("exact_distinct"))
+      .select(col("m"), col("hit"), col("denom"),
+        expr(s"CAST(${7213L * 1024 * 1024 * 1024} AS BIGINT) * 32768 DIV " +
+          s"(${10000L * 1024 + 10790} * denom)").as("hll_estimate"),
+        col("exact_distinct"))
+      .withColumn("err_ppm",
+        expr("abs(hll_estimate - exact_distinct) * 1000000 DIV exact_distinct"))
+  }
+
+  val qHllSql: String = {
+    s"""WITH xs AS (
+       |  SELECT l_orderkey % $HllP AS x FROM lineitem
+       |), rt AS (
+       |  SELECT ($hllHashSql) % 1024 AS reg,
+       |    $hllRankHashSql AS h2 FROM xs
+       |), regs AS (
+       |  SELECT reg, MAX($hllRhoCase) AS mr FROM rt GROUP BY reg
+       |), sk AS (
+       |  SELECT COUNT(*) AS hit,
+       |    CAST(SUM(CAST(32768 / POWER(2, mr) AS BIGINT)) AS BIGINT)
+       |      AS denom_hit
+       |  FROM regs
+       |), ex AS (
+       |  SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
+       |)
+       |SELECT m, hit, denom,
+       |  (CAST(${7213L * 1024 * 1024 * 1024} AS BIGINT) * 32768)
+       |    // (${10000L * 1024 + 10790} * denom) AS hll_estimate,
+       |  exact_distinct,
+       |  abs((CAST(${7213L * 1024 * 1024 * 1024} AS BIGINT) * 32768)
+       |    // (${10000L * 1024 + 10790} * denom) - exact_distinct)
+       |    * 1000000 // exact_distinct AS err_ppm
+       |FROM (
+       |  SELECT CAST(1024 AS BIGINT) AS m, hit,
+       |    denom_hit + (1024 - hit) * 32768 AS denom, exact_distinct
+       |  FROM sk, ex
+       |) t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_late_priority" -> q12LatePriority,
+    "q20_dominant_supplier" -> q20DominantSupplier,
+    "q_hll_distinct" -> qHllDistinct,
     "q4_order_priority" -> q4OrderPriority,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q11_revenue_concentration" -> q11RevenueConcentration,
@@ -591,6 +784,9 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q12_late_priority" -> q12Sql,
+    "q20_dominant_supplier" -> q20Sql,
+    "q_hll_distinct" -> qHllSql,
     "q4_order_priority" -> q4Sql,
     "q6_forecast_revenue" -> q6Sql,
     "q11_revenue_concentration" -> q11Sql,

@@ -208,31 +208,51 @@ object TextOps {
   /** Repetition filtering signals per document (the Gopher/MassiveText
     * rule family: repeated-token and duplicate-n-gram fractions flag
     * low-quality generated/boilerplate text). Array-native HOFs over the
-    * token array — map-only, no shuffle except output ordering. The
-    * distinct-token scan is O(distinct × tokens) per doc, bounded by the
-    * document length, not the corpus.
+    * token array — map-only, no shuffle except output ordering.
+    *
+    * Complexity discipline: the naive forms (`array_distinct` +
+    * count-per-distinct-token) are O(n²) per document in Spark's
+    * interpreted HOF path. Everything here runs off SORTED arrays instead:
+    * the most-frequent-token count is the longest equal-run in the sorted
+    * token array (one `aggregate` pass), and a sorted array's distinct
+    * count is `n − adjacent-equal pairs` (each k-run contributes k−1
+    * equal-adjacent pairs, so n − eqAdj = number of runs). O(n log n)
+    * per doc, independent of the token vocabulary.
     */
   def txRepetition(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("ts", tokens(col("text")))
       .withColumn("n_tokens", size(col("ts")).cast("bigint"))
-    val repeatPairs = when(col("n_tokens") >= 2,
-      size(filter(sequence(lit(1), size(col("ts")) - 1),
-        i => element_at(col("ts"), i) === element_at(col("ts"), i + 1))))
+    // Adjacent-equal pair count over any array column (i vs i+1).
+    def eqAdj(arr: Column): Column =
+      size(filter(sequence(lit(1), size(arr) - 1),
+        i => element_at(arr, i) === element_at(arr, i + 1)))
+    val repeatPairs = when(col("n_tokens") >= 2, eqAdj(col("ts")))
       .otherwise(0).cast("bigint")
-    val topCount = array_max(transform(array_distinct(col("ts")),
-      t => size(filter(col("ts"), x => x === t))))
+    // Longest equal-run in the sorted token array = max token frequency.
+    val topCount = aggregate(
+      sort_array(col("ts")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val bigrams = when(col("n_tokens") >= 2,
       transform(sequence(lit(1), size(col("ts")) - 1),
         i => concat_ws(" ", element_at(col("ts"), i),
           element_at(col("ts"), i + 1))))
       .otherwise(array().cast("array<string>"))
+    val distinctBigrams = size(col("bg")) - eqAdj(col("bg"))
     d.withColumn("n_repeat_pairs", repeatPairs)
+      .withColumn("bg", sort_array(bigrams))
       .withColumn("top_token_ratio",
         round(topCount.cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
       .withColumn("dup_bigram_ratio",
         when(col("n_tokens") >= 2,
-          round(lit(1.0) - size(array_distinct(bigrams)).cast("double")
+          round(lit(1.0) - distinctBigrams.cast("double")
             / (col("n_tokens") - 1), 6)).otherwise(0.0))
       .withColumn("repetitive_flag",
         when(col("top_token_ratio") > 0.2 || col("dup_bigram_ratio") > 0.3, 1L)

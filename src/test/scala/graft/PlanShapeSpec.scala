@@ -18,12 +18,13 @@ class PlanShapeSpec extends SparkSpec {
     */
   /** q_idle_rich_custs, q15_top_supplier, q11_revenue_concentration and
     * pipe_mixture_weights broadcast a 1-ROW global aggregate back over a
-    * scan (the scalar-subquery plan) — bounded by construction.
+    * scan (the scalar-subquery plan) — bounded by construction;
+    * q_hll_distinct combines two 1-row aggregates (sketch + exact count).
     */
   private val allowedNestedLoop =
     Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained",
       "q_idle_rich_custs", "q15_top_supplier", "q11_revenue_concentration",
-      "pipe_mixture_weights")
+      "pipe_mixture_weights", "q_hll_distinct")
 
   test("no CartesianProduct in any registered query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
