@@ -197,7 +197,81 @@ object Pipeline {
        |FROM grp, tot
        |ORDER BY lang ASC, len_class ASC""".stripMargin
 
+  // --- pipe_dataset_stats: the dataset card ------------------------------
+
+  /** Per-(source, lang) dataset-card statistics: doc/char/token totals,
+    * EXACT median document length (window ranks, not a percentile sketch —
+    * cross-engine exact, same discipline as q_median_order_value), and the
+    * stratum's corpus share in integer ppm. One scan feeds both the
+    * aggregate and the median ranking (same (source, lang) shuffle key);
+    * the corpus total for the share is a window over the ~|sources×langs|
+    * aggregated rows, never a second corpus pass. This is the summary a
+    * training-mix report prints per shard at 100 TB.
+    */
+  def pipeDatasetStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        size(Codes.tokens(col("text"))).cast("bigint").as("tc"))
+    val agg = d.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("tc")).as("total_tokens"),
+        max(col("n_chars")).as("max_chars"))
+    val wRank = Window.partitionBy(col("source"), col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val wGrp = Window.partitionBy(col("source"), col("lang"))
+    val med = d
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wGrp))
+      .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
+        col("rn") * 2 === col("n") + 2)
+      .groupBy(col("source"), col("lang"))
+      .agg((sum(col("n_chars")).cast("double") / count(lit(1)))
+        .as("median_chars"))
+    agg.join(med, Seq("source", "lang"))
+      .withColumn("corpus_docs",
+        sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("share_ppm", expr("n_docs * 1000000 DIV corpus_docs"))
+      .select("source", "lang", "n_docs", "total_chars", "total_tokens",
+        "max_chars", "median_chars", "share_ppm")
+      .orderBy(col("source").asc, col("lang").asc)
+  }
+
+  val pipeDatasetStatsSql: String = {
+    import graft.functions.Codes
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang, n_chars,
+       |    CAST(len(${Codes.tokensSql("text")}) AS BIGINT) AS tc
+       |  FROM documents
+       |), agg AS (
+       |  SELECT source, lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(SUM(tc) AS BIGINT) AS total_tokens,
+       |    MAX(n_chars) AS max_chars
+       |  FROM d GROUP BY source, lang
+       |), ranked AS (
+       |  SELECT source, lang, n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY source, lang
+       |      ORDER BY n_chars ASC, doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY source, lang) AS n
+       |  FROM d
+       |), med AS (
+       |  SELECT source, lang,
+       |    CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS median_chars
+       |  FROM ranked
+       |  WHERE rn * 2 = n OR rn * 2 = n + 1 OR rn * 2 = n + 2
+       |  GROUP BY source, lang
+       |)
+       |SELECT a.source, a.lang, n_docs, total_chars, total_tokens,
+       |  max_chars, median_chars,
+       |  CAST(n_docs * 1000000 // SUM(n_docs) OVER () AS BIGINT) AS share_ppm
+       |FROM agg a JOIN med m ON a.source = m.source AND a.lang = m.lang
+       |ORDER BY a.source ASC, a.lang ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dataset_stats" -> pipeDatasetStats,
     "pipe_mixture_weights" -> pipeMixtureWeights,
     "pipe_curate" -> pipeCurate,
     "pipe_split" -> pipeSplit,
@@ -205,6 +279,7 @@ object Pipeline {
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
+    "pipe_dataset_stats" -> pipeDatasetStatsSql,
     "pipe_mixture_weights" -> pipeMixtureWeightsSql,
     "pipe_curate" -> pipeCurateSql,
     "pipe_split" -> pipeSplitSql,

@@ -252,6 +252,80 @@ object StreamOps {
       }.toDF()
   }
 
+  // --- streaming anomaly detection (trailing z-score) ---------------------
+
+  case class TypedEv(event_type: String, ts: Timestamp)
+  /** Per-type state: open hour counts + the ring of the last 24 FINALIZED
+    * (hourMs, count) cells, ascending.
+    */
+  case class AnomalyState(pending: Map[Long, Long], ring: List[(Long, Long)])
+  case class AnomalyOut(event_type: String, hour: Timestamp, n_events: Long,
+    trailing_n: Long, trailing_sum: Long, anomaly_flag: Long)
+
+  private val HourMs = 3600L * 1000L
+
+  /** Streaming twin of EventOps.evAnomaly: per event type, each hour's
+    * count is tested against the trailing 24 finalized hours with the same
+    * integer-exact 3σ inequality. An hour FINALIZES when the watermark
+    * passes its end (its count can no longer change); finalization is
+    * strictly ascending, so the ring state — at most 24 (hour, count)
+    * pairs plus the open hours inside the watermark horizon — reproduces
+    * the batch window semantics exactly. State per key is O(24 + horizon),
+    * independent of stream length; an event-time timeout drains pending
+    * hours when a type goes quiet.
+    */
+  def anomalyStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+
+    def flagOf(c: Long, ring: List[(Long, Long)]): (Long, Long, Long) = {
+      val n = ring.size.toLong
+      val s = ring.map(_._2).sum
+      val q = ring.map(x => x._2 * x._2).sum
+      val d = c * n - s
+      val flag = if (n >= 12 && d > 0 && d * d > 9L * (n * q - s * s)) 1L else 0L
+      (n, s, flag)
+    }
+
+    events.select(col("event_type"), col("ts"))
+      .withWatermark("ts", "2 hours")
+      .as[TypedEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (typ: String, rows: Iterator[TypedEv], state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
+          // Accumulate incoming rows into open hour cells (commutative —
+          // micro-batch ordering is irrelevant). Hours already finalized
+          // (ts behind the watermark) are genuinely late data: dropped,
+          // standard watermark semantics.
+          val finalizedFloor = st.ring.lastOption.map(_._1).getOrElse(Long.MinValue)
+          for (e <- rows) {
+            val h = Math.floorDiv(e.ts.getTime, HourMs) * HourMs
+            if (h > finalizedFloor)
+              st = st.copy(pending = st.pending.updated(h,
+                st.pending.getOrElse(h, 0L) + 1L))
+          }
+          // Finalize every pending hour the watermark has passed, ascending.
+          val wm = state.getCurrentWatermarkMs()
+          val (done, open) = st.pending.partition(_._1 + HourMs <= wm)
+          val out = done.toSeq.sortBy(_._1).map { case (h, c) =>
+            val (n, s, flag) = flagOf(c, st.ring)
+            st = st.copy(ring = (st.ring :+ (h, c)).takeRight(24))
+            AnomalyOut(typ, new Timestamp(h), c, n, s, flag)
+          }
+          st = st.copy(pending = open)
+          if (st.pending.isEmpty && st.ring.isEmpty) state.remove()
+          else {
+            state.update(st)
+            // Wake when the earliest open hour can finalize (or keep the
+            // ring around until another batch arrives).
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.keys.min + HourMs)
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** Flush remaining open sessions from the final state (test helper for
     * end-of-stream semantics — the streaming path reaches the same flush
     * via event-time timeout in [[sessionize]]).

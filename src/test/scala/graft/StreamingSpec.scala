@@ -189,6 +189,58 @@ class StreamingSpec extends SparkSpec {
     assert(perBand.isEmpty, "a (pair, band) was emitted more than once")
   }
 
+  test("streaming anomaly flags equal the batch z-score flags for finalized hours") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // 4 time-ordered files → the watermark advances across micro-batches
+    // and hours finalize incrementally through the keyed ring state.
+    val base = Files.createTempDirectory("graft-anomaly-stream")
+    val streamDir = base.resolve("in")
+    Files.createDirectory(streamDir)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts")))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val span = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      val part = raw.filter(col("ts") >= lo + i * span &&
+        col("ts") < lo + (i + 1) * span)
+      val outDir = base.resolve(s"w$i")
+      part.coalesce(1).write.parquet(outDir.toString)
+      val f = Files.list(outDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = streamDir.resolve(f"e$i%02d.parquet")
+      Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000L * (i + 1)))
+    }
+
+    val q = StreamOps.anomalyStream(spark,
+        StreamOps.eventStream(spark, streamDir.toString))
+      .writeStream.format("memory").queryName("anomaly_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    val cols = Seq("event_type", "hour", "n_events", "trailing_n",
+      "trailing_sum", "anomaly_flag")
+    val streamed = spark.table("anomaly_stream_test")
+      .select(cols.map(col): _*).collect().map(key).toSet
+    val batch = EventOps.evAnomaly(spark, sf)
+      .select(cols.map(col): _*).collect().map(key).toSet
+    assert(streamed.subsetOf(batch),
+      s"${(streamed -- batch).size} streamed cells diverge from batch")
+
+    // Every hour that ended before the final watermark must have emitted.
+    val wmMs = hi / 1000000L - 2L * 3600L * 1000L
+    val mustEmit = EventOps.evAnomaly(spark, sf)
+      .filter(unix_millis(col("hour")) + 3600L * 1000L <= wmMs)
+      .select(cols.map(col): _*).collect().map(key).toSet
+    assert(mustEmit.nonEmpty, "test vacuous: no hour finalized")
+    assert(mustEmit.subsetOf(streamed),
+      s"${(mustEmit -- streamed).size} finalized hours never emitted")
+  }
+
   test("streaming first-seen dedup keeps exactly the batch fingerprint set") {
     val base = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
     // Stage documents with a synthetic arrival time into 3 doc-id-ranged
