@@ -108,7 +108,10 @@ object Multimodal {
     * polynomial fold fingerprint of that slice, which makes the whole
     * typed pipeline oracle-checkable arithmetically.
     */
-  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+  /** The sampled-frame stream (unordered) — shared by mm_frame_sample and
+    * mm_scene_cut.
+    */
+  private def frames(spark: SparkSession, dir: String): DataFrame = {
     val ss = spark
     import ss.implicits._
     Tables.documents(spark, dir)
@@ -129,8 +132,11 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy(col("doc_id").asc, col("frame_idx").asc)
   }
+
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame =
+    frames(spark, dir)
+      .orderBy(col("doc_id").asc, col("frame_idx").asc)
 
   val mmFrameSampleSql: String =
     s"""WITH f AS (
@@ -142,6 +148,55 @@ object Multimodal {
        |SELECT doc_id, frame_idx,
        |  ${graft.functions.Codes.foldCodeSql("coalesce(slice, '')", 31L, P)} AS frame_checksum
        |FROM f ORDER BY doc_id ASC, frame_idx ASC""".stripMargin
+
+  // --- mm_scene_cut: frame-difference scene segmentation ------------------
+  /** Scene-cut detection over the sampled frame stream: a cut lands where
+    * consecutive sampled frames' feature values jump by more than half the
+    * feature range (real pipeline: luma histogram distance; here the
+    * 12-bit slice of the frame fingerprint stands in, keeping the whole
+    * path integer-exact). Per-payload LAG window over frame_idx — the
+    * frames of one payload co-locate under the doc_id partition, so the
+    * window never crosses payloads and the shuffle is one pass. Emits the
+    * per-video segmentation summary a video-curation pipeline shards by.
+    */
+  def mmSceneCut(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx").asc)
+    frames(spark, dir)
+      .withColumn("luma", col("frame_checksum") % 4096)
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNotNull && abs(col("luma") - col("prev")) > 2048,
+          1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("is_cut")).as("n_cuts"),
+        min(when(col("is_cut") === 1, col("frame_idx"))).as("first_cut_idx"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val mmSceneCutSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+       |    substring(text, (u.i - 1) * 16 + 1, 16) AS slice
+       |  FROM documents,
+       |    UNNEST(range(1, length(text) % 24 + 2, 4)) AS u(i)
+       |), lm AS (
+       |  SELECT doc_id, frame_idx,
+       |    ${graft.functions.Codes.foldCodeSql("coalesce(slice, '')", 31L, P)}
+       |      % 4096 AS luma
+       |  FROM f
+       |), d AS (
+       |  SELECT doc_id, frame_idx, luma,
+       |    LAG(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx ASC) AS prev
+       |  FROM lm
+       |)
+       |SELECT doc_id, COUNT(*) AS n_frames,
+       |  CAST(SUM(CASE WHEN prev IS NOT NULL AND abs(luma - prev) > 2048
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       |  MIN(CASE WHEN prev IS NOT NULL AND abs(luma - prev) > 2048
+       |    THEN frame_idx END) AS first_cut_idx
+       |FROM d GROUP BY doc_id ORDER BY doc_id ASC""".stripMargin
 
   // --- mm_resize_plan: metadata-level resize (aspect-preserving) ----------
   /** Resize planning over the typed metadata struct: cap width at 256,
@@ -290,6 +345,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_scene_cut" -> mmSceneCut,
     "mm_resize_plan" -> mmResizePlan,
     "mm_ahash" -> mmAhash,
     "mm_audio_energy" -> mmAudioEnergy)
@@ -297,6 +353,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "mm_decode_stub" -> mmDecodeStubSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_scene_cut" -> mmSceneCutSql,
     "mm_resize_plan" -> mmResizePlanSql,
     "mm_ahash" -> mmAhashSql,
     "mm_audio_energy" -> mmAudioEnergySql)
