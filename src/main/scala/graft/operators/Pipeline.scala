@@ -270,7 +270,46 @@ object Pipeline {
        |ORDER BY a.source ASC, a.lang ASC""".stripMargin
   }
 
+  // --- pipe_curriculum: quality-quantile training phases ------------------
+
+  /** Curriculum assignment: docs split into 4 equal-size quality quartiles
+    * (NTILE over (quality_score, doc_id) — the unique tie-break makes the
+    * assignment deterministic; scores are cross-engine bit-identical, see
+    * tx_quality). phase 1 = lowest quality (train first / drop), 4 =
+    * highest. Per-doc assignment plus the per-phase score range. The
+    * global NTILE is a single total-order window — at 100 TB the same
+    * assignment would run on the (tiny) per-shard quality histogram via
+    * range boundaries; the semantic here is the reference cut.
+    */
+  def pipeCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextOps.txQuality(spark, dir).select("doc_id", "quality_score")
+    val w = Window.orderBy(col("quality_score").asc, col("doc_id").asc)
+    q.withColumn("phase", ntile(4).over(w).cast("bigint"))
+      .withColumn("phase_min",
+        min(col("quality_score")).over(Window.partitionBy(col("phase"))))
+      .withColumn("phase_max",
+        max(col("quality_score")).over(Window.partitionBy(col("phase"))))
+      .select("doc_id", "quality_score", "phase", "phase_min", "phase_max")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val pipeCurriculumSql: String = {
+    val qualityCte = TextOps.txQualitySql
+      .replace("ORDER BY doc_id ASC", "")
+    s"""WITH q AS ($qualityCte), p AS (
+       |  SELECT doc_id, quality_score,
+       |    CAST(NTILE(4) OVER (ORDER BY quality_score ASC, doc_id ASC)
+       |      AS BIGINT) AS phase
+       |  FROM q
+       |)
+       |SELECT doc_id, quality_score, phase,
+       |  MIN(quality_score) OVER (PARTITION BY phase) AS phase_min,
+       |  MAX(quality_score) OVER (PARTITION BY phase) AS phase_max
+       |FROM p ORDER BY doc_id ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curriculum" -> pipeCurriculum,
     "pipe_dataset_stats" -> pipeDatasetStats,
     "pipe_mixture_weights" -> pipeMixtureWeights,
     "pipe_curate" -> pipeCurate,
@@ -279,6 +318,7 @@ object Pipeline {
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
+    "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_dataset_stats" -> pipeDatasetStatsSql,
     "pipe_mixture_weights" -> pipeMixtureWeightsSql,
     "pipe_curate" -> pipeCurateSql,
