@@ -379,7 +379,51 @@ object EventOps {
       |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly_flag
       |FROM t ORDER BY event_type ASC, hour ASC""".stripMargin
 
+  // --- ev_transitions: event-type Markov transition matrix ----------------
+  /** First-order transition counts between consecutive events per user
+    * (the Markov matrix behind "what do users do after an error"), with
+    * the per-source transition probability in exact integer ppm. One
+    * shuffle on user_id for the LEAD window (ties broken by event_id —
+    * deterministic both engines), then a tiny (≤ types²) aggregate.
+    */
+  def evTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("from_total",
+        sum(col("n_transitions")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+      .withColumn("prob_ppm",
+        expr("n_transitions * 1000000 DIV from_total"))
+      .select("event_type", "next_type", "n_transitions", "prob_ppm")
+      .orderBy(col("event_type").asc, col("next_type").asc)
+  }
+
+  val evTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS next_type
+      |  FROM events
+      |), pairs AS (
+      |  SELECT event_type, next_type, COUNT(*) AS n_transitions
+      |  FROM seq WHERE next_type IS NOT NULL
+      |  GROUP BY event_type, next_type
+      |)
+      |SELECT event_type, next_type, n_transitions,
+      |  CAST(n_transitions * 1000000 //
+      |    SUM(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS prob_ppm
+      |FROM pairs ORDER BY event_type ASC, next_type ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_transitions" -> evTransitions,
     "ev_anomaly" -> evAnomaly,
     "ev_top_per_hour" -> evTopPerHour,
     "ev_dau_wau" -> evDauWau,
@@ -392,6 +436,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_transitions" -> evTransitionsSql,
     "ev_anomaly" -> evAnomalySql,
     "ev_top_per_hour" -> evTopPerHourSql,
     "ev_dau_wau" -> evDauWauSql,

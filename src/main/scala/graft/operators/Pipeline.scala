@@ -308,7 +308,57 @@ object Pipeline {
        |FROM p ORDER BY doc_id ASC""".stripMargin
   }
 
+  // --- pipe_vocab_coverage: tokenizer-vocabulary OOV report ---------------
+
+  /** Vocabulary coverage: build the top-1000 corpus vocabulary (count
+    * desc, token asc — unique tie-break), then report per doc how many
+    * tokens fall outside it (the OOV rate a tokenizer change ships with).
+    * Shape: one explode → token-count aggregate (map-side combinable;
+    * shuffle carries distinct tokens only), top-K via TakeOrdered (never a
+    * global sort of the vocabulary), then the exploded corpus joins the
+    * 1000-row vocab BY BROADCAST — the fact-side token stream is never
+    * shuffled for the membership test; the per-doc rollup reuses the
+    * doc_id partitioning. OOV rate emitted as exact integer ppm.
+    */
+  def pipeVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Codes.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(1000)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0))).cast("bigint").as("n_in_vocab"))
+      .withColumn("oov_ppm",
+        expr("(n_tokens - n_in_vocab) * 1000000 DIV n_tokens"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val pipeVocabCoverageSql: String = {
+    import graft.functions.Codes
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${Codes.tokensSql("text")}) AS tok
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT tok, 1 AS in_vocab FROM (
+       |    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+       |    ORDER BY cnt DESC, tok ASC LIMIT 1000
+       |  ) v
+       |)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(COALESCE(v.in_vocab, 0)) AS BIGINT) AS n_in_vocab,
+       |  CAST((COUNT(*) - SUM(COALESCE(v.in_vocab, 0))) * 1000000
+       |    // COUNT(*) AS BIGINT) AS oov_ppm
+       |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+       |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_vocab_coverage" -> pipeVocabCoverage,
     "pipe_curriculum" -> pipeCurriculum,
     "pipe_dataset_stats" -> pipeDatasetStats,
     "pipe_mixture_weights" -> pipeMixtureWeights,
@@ -318,6 +368,7 @@ object Pipeline {
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
+    "pipe_vocab_coverage" -> pipeVocabCoverageSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_dataset_stats" -> pipeDatasetStatsSql,
     "pipe_mixture_weights" -> pipeMixtureWeightsSql,
