@@ -707,10 +707,12 @@ object RelationalExt {
     .map(k => s"WHEN h2 >= ${HllP >> k} THEN $k")
     .mkString("CASE ", " ", " ELSE 15 END")
 
-  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val m = 1024
-    val sk = Tables.lineitem(spark, dir)
-      .select(expr(s"l_orderkey % $HllP").as("x"))
+  /** The HLL sketch of a keyed frame (column `x` = the key mod [[HllP]]):
+    * one row (hit, denom_hit). Mergeable under ANY partitioning — the
+    * per-register MAX is associative+commutative, which HllMergeSpec pins.
+    */
+  private[graft] def hllSketch(keyed: DataFrame): DataFrame =
+    keyed
       .select(expr(s"$hllHashSql % 1024").as("reg"),
         expr(hllRankHashSql).as("h2"))
       .select(col("reg"), expr(hllRhoCase).as("rho"))
@@ -720,6 +722,11 @@ object RelationalExt {
       // division result is an exact integer re-cast).
       .agg(count(lit(1)).as("hit"),
         sum(expr("CAST(32768 / POWER(2, mr) AS BIGINT)")).as("denom_hit"))
+
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val m = 1024
+    val sk = hllSketch(Tables.lineitem(spark, dir)
+      .select(expr(s"l_orderkey % $HllP").as("x")))
     val exact = Tables.lineitem(spark, dir)
       .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
     sk.crossJoin(broadcast(exact))

@@ -348,13 +348,65 @@ object Similarity {
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
   }
 
+  // --- sim_recall_report: ANN quality measurement -------------------------
+  /** Recall audit for the approximate searches: per query vector, how many
+    * of each method's returned neighbors are true top-K neighbors (per the
+    * exact brute-force baseline). The number every ANN deployment watches
+    * — here as ONE query: the 50-row truth set broadcasts against each
+    * method's result, hit rate in exact integer ppm. At 100 TB the same
+    * report runs over a sampled query set; the expensive exact baseline is
+    * the sample-sized broadcast side, never a corpus×corpus product.
+    */
+  def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val truth = simTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    def report(approx: DataFrame, method: String): DataFrame =
+      approx.select(col("query_id"), col("neighbor_id"))
+        .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_approx"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("method", lit(method))
+    report(simKnnLsh(spark, dir), "lsh")
+      .unionByName(report(simKnnIvf(spark, dir), "ivf"))
+      .withColumn("hit_ppm", expr("n_hits * 1000000 DIV n_approx"))
+      .select("method", "query_id", "n_approx", "n_hits", "hit_ppm")
+      .orderBy(col("method").asc, col("query_id").asc)
+  }
+
+  val simRecallReportSql: String = {
+    def rep(cte: String, method: String): String =
+      s"""SELECT '$method' AS method, a.query_id, COUNT(*) AS n_approx,
+         |    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM $cte a LEFT JOIN tr t ON a.query_id = t.query_id
+         |    AND a.neighbor_id = t.neighbor_id
+         |  GROUP BY a.query_id""".stripMargin
+    s"""WITH tr AS (
+       |  SELECT query_id, neighbor_id FROM ($simTopkBruteforceSql) bf
+       |), lsh AS (
+       |  SELECT query_id, neighbor_id FROM ($simKnnLshSql) l
+       |), ivf AS (
+       |  SELECT query_id, neighbor_id FROM ($simKnnIvfSql) i
+       |), rep AS (
+       |  ${rep("lsh", "lsh")}
+       |  UNION ALL
+       |  ${rep("ivf", "ivf")}
+       |)
+       |SELECT method, query_id, n_approx, n_hits,
+       |  CAST(n_hits * 1000000 // n_approx AS BIGINT) AS hit_ppm
+       |FROM rep ORDER BY method ASC, query_id ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_recall_report" -> simRecallReport,
     "sim_knn_ivf_trained" -> simKnnIvfTrained,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_knn_lsh" -> simKnnLsh,
     "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "sim_recall_report" -> simRecallReportSql,
     "sim_knn_ivf_trained" -> simKnnIvfTrainedSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_knn_lsh" -> simKnnLshSql,

@@ -24,7 +24,7 @@ class PlanShapeSpec extends SparkSpec {
   private val allowedNestedLoop =
     Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained",
       "q_idle_rich_custs", "q15_top_supplier", "q11_revenue_concentration",
-      "pipe_mixture_weights", "q_hll_distinct")
+      "pipe_mixture_weights", "q_hll_distinct", "sim_recall_report")
 
   test("no CartesianProduct in any registered query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
