@@ -95,8 +95,20 @@ object Namespace {
     // group's aggregates (a group past the token keeps all its keys). At
     // scale a deep page therefore aggregates only the tail of the listing,
     // not the whole bucket.
+    //
+    // The group filter below must stay ABOVE the aggregate: the row-level
+    // token filter already pruned the scan, so this only trims boundary
+    // groups (= the token's own group). Referencing an aggregate output
+    // blocks Catalyst from pushing the predicate through the groupBy —
+    // pushed down it re-evaluates the common_prefix derivation chain per
+    // ROW instead of per group (the key column is itself an expression in
+    // the derived-keys binding, and inlining re-materializes it several
+    // times per row). total_bytes is sum(size), which the type system
+    // keeps nullable, so the isNull disjunct survives constant folding
+    // (count(1) would fold to non-null and the barrier would vanish);
+    // a group always has ≥ 1 non-null size, so the disjunct never fires.
     val page = commonPrefixes(keys.filter(col("key") > token), prefix)
-      .filter(col("common_prefix") > token)
+      .filter(col("common_prefix") > token || col("total_bytes").isNull)
       .orderBy(col("common_prefix").asc)
       .limit(maxEntries)
     page.withColumn("next_token",

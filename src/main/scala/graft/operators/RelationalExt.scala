@@ -326,7 +326,14 @@ object RelationalExt {
     val p = Tables.part(spark, dir)
       .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO")
       .select("p_partkey", "p_brand", "p_type", "p_size")
-    val l = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    // Observed supply relationships, deduplicated BEFORE the part join:
+    // lineitem repeats each (part, supplier) pair many times, and the
+    // distinct here runs with map-side partial dedup — so the join and the
+    // downstream distinct-agg expand see one row per relationship, not one
+    // per lineitem (at 100 TB that's orders of magnitude fewer rows into
+    // the countDistinct shuffle).
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").dropDuplicates("l_partkey", "l_suppkey")
     l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
