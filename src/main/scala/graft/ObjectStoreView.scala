@@ -212,4 +212,56 @@ object ObjectStoreView {
       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS part_bytes
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderstatus = 'O'""".stripMargin
+
+  /** FSO (FILE_SYSTEM_OPTIMIZED) directory table: one row per directory
+    * with (obj_id, parent_id, name) — paths are NOT stored; they must be
+    * reconstructed by walking parent pointers, exactly the reference's FSO
+    * bucket layout where OmDirectoryInfo carries only name + objectID +
+    * parentObjectID (common/.../om/helpers/OmDirectoryInfo.java:63-68) and
+    * path resolution walks the dirTable (ozone-manager/.../om/request/file/
+    * OMFileRequest.java).
+    *
+    * Directories are the distinct key prefixes of the namespace; obj_id is
+    * the full-string fold fingerprint of volume/bucket/path (parent_id = 0
+    * for bucket-root children). The same arithmetic runs on both engines,
+    * so ids agree by construction — and the PATH columns are dropped
+    * before the operator sees the table.
+    */
+  def dirTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val paths = keys(spark, sfDir).select(col("volume"), col("bucket"),
+        explode(array(
+          substring_index(col("key"), "/", 1),
+          substring_index(col("key"), "/", 2),
+          substring_index(col("key"), "/", 3))).as("path"))
+      .distinct()
+    def id(path: Column): Column = graft.functions.Codes.foldCode(
+      concat(col("volume"), lit("/"), col("bucket"), lit("/"), path),
+      131L, graft.functions.Codes.P)
+    paths.select(col("volume"), col("bucket"),
+      id(col("path")).as("obj_id"),
+      when(instr(col("path"), "/") === 0, lit(0L))
+        .otherwise(id(regexp_replace(col("path"), "/[^/]*$", ""))).as("parent_id"),
+      substring_index(col("path"), "/", -1).as("name"))
+  }
+
+  /** DuckDB CTE body building the identical dirTable (ends in `dirs`). */
+  val dirTableSql: String = {
+    def id(pathE: String) = graft.functions.Codes.foldCodeSql(
+      s"volume || '/' || bucket || '/' || $pathE", 131L, graft.functions.Codes.P)
+    s"""dpaths AS (
+       |  SELECT DISTINCT volume, bucket, p.path
+       |  FROM ($keysSql) keys, UNNEST([
+       |    split_part(key, '/', 1),
+       |    split_part(key, '/', 1) || '/' || split_part(key, '/', 2),
+       |    split_part(key, '/', 1) || '/' || split_part(key, '/', 2) || '/' || split_part(key, '/', 3)
+       |  ]) AS p(path)
+       |), dirs AS (
+       |  SELECT volume, bucket,
+       |    ${id("path")} AS obj_id,
+       |    CASE WHEN strpos(path, '/') = 0 THEN 0
+       |      ELSE ${id("regexp_replace(path, '/[^/]*$$', '')")} END AS parent_id,
+       |    regexp_extract(path, '([^/]*)$$', 1) AS name
+       |  FROM dpaths
+       |)""".stripMargin
+  }
 }

@@ -250,8 +250,52 @@ object Containers {
        |    ELSE 'WITHIN_THRESHOLD' END AS balance_state
        |FROM stats ORDER BY node_id ASC""".stripMargin
 
+  // --- ct_decommission_impact: per-node decommission safety report -------
+  /** For every datanode: what decommissioning it would do to the containers
+    * it hosts — which would drop below the replication target and which
+    * would go missing outright (their only replica), plus the key/byte
+    * blast radius. This is the question SCM's decommission monitor answers
+    * before letting a node leave (reference: NodeDecommissionManager and
+    * DatanodeAdminMonitorImpl.java:275-297, which counts
+    * sufficientlyReplicated vs underReplicated containers per
+    * decommissioning node).
+    *
+    * Plan shape: the per-container rollup (one scan + one shuffle) explodes
+    * to ≤ 4 replica placements per container and re-aggregates per node —
+    * the same bounded expand as [[ctNodeReport]]; no joins.
+    */
+  def ctDecommissionImpact(spark: SparkSession, dir: String): DataFrame =
+    containerStats(spark, dir)
+      .filter(col("replicas") >= 1)
+      .select(col("container_id"), col("n_keys"), col("total_bytes"),
+        col("replicas"), explode(sequence(lit(1), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+      .withColumn("under_after", col("replicas") - 1 < Target)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_containers"),
+        sum(when(col("under_after"), 1L).otherwise(0L)).as("n_under_after"),
+        sum(when(col("replicas") === 1, 1L).otherwise(0L)).as("n_missing_after"),
+        sum(when(col("under_after"), col("n_keys")).otherwise(0L)).as("at_risk_keys"),
+        sum(when(col("under_after"), col("total_bytes")).otherwise(0L)).as("at_risk_bytes"))
+      .orderBy(col("node_id").asc)
+
+  val ctDecommissionImpactSql: String =
+    s"""WITH $containerStatsSql, placed AS (
+       |  SELECT (cont.container_id * 31 + u.r * 17) % 20 AS node_id,
+       |    cont.replicas, cont.n_keys, cont.total_bytes
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  WHERE cont.replicas >= 1
+       |)
+       |SELECT node_id, COUNT(*) AS n_containers,
+       |  CAST(SUM(CASE WHEN replicas - 1 < $Target THEN 1 ELSE 0 END) AS BIGINT) AS n_under_after,
+       |  CAST(SUM(CASE WHEN replicas = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_after,
+       |  CAST(SUM(CASE WHEN replicas - 1 < $Target THEN n_keys ELSE 0 END) AS BIGINT) AS at_risk_keys,
+       |  CAST(SUM(CASE WHEN replicas - 1 < $Target THEN total_bytes ELSE 0 END) AS BIGINT) AS at_risk_bytes
+       |FROM placed GROUP BY node_id ORDER BY node_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ct_balancer_report" -> ctBalancerReport,
+    "ct_decommission_impact" -> ctDecommissionImpact,
     "ct_keys_per_container" -> ctKeysPerContainer,
     "ct_missing_container_keys" -> ctMissingContainerKeys,
     "ct_unhealthy_containers" -> ctUnhealthyContainers,
@@ -261,6 +305,7 @@ object Containers {
 
   val oracles: Map[String, String] = Map(
     "ct_balancer_report" -> ctBalancerReportSql,
+    "ct_decommission_impact" -> ctDecommissionImpactSql,
     "ct_keys_per_container" -> ctKeysPerContainerSql,
     "ct_missing_container_keys" -> ctMissingContainerKeysSql,
     "ct_unhealthy_containers" -> ctUnhealthyContainersSql,
