@@ -293,9 +293,100 @@ object Containers {
        |  CAST(SUM(CASE WHEN replicas - 1 < $Target THEN total_bytes ELSE 0 END) AS BIGINT) AS at_risk_bytes
        |FROM placed GROUP BY node_id ORDER BY node_id ASC""".stripMargin
 
+  // --- ct_size_histogram: container size distribution ----------------------
+  /** Containers bucketed by power-of-2 upper bound of their stored bytes —
+    * the container twin of [[Namespace.fileSizeHistogram]] (Recon's
+    * utilization surface serves both: recon/.../api/UtilizationEndpoint.java
+    * with FileSizeCountTask; the container-size distribution panel applies
+    * the same binning to container totals). Plan: the per-container rollup
+    * (one scan + one shuffle) re-aggregates over 64 histogram cells — the
+    * second shuffle moves one row per cell.
+    */
+  def ctSizeHistogram(spark: SparkSession, dir: String): DataFrame =
+    containerStats(spark, dir)
+      .withColumn("bucket_exp",
+        when(col("total_bytes") <= 1, 0)
+          .otherwise(length(bin(col("total_bytes") - 1))))
+      .groupBy(col("bucket_exp"))
+      .agg(count(lit(1)).as("n_containers"),
+        sum(col("n_keys")).as("n_keys"),
+        sum(col("total_bytes")).as("total_bytes"))
+      .orderBy(col("bucket_exp").asc)
+
+  val ctSizeHistogramSql: String =
+    s"""WITH $containerStatsSql
+       |SELECT CASE WHEN total_bytes <= 1 THEN 0
+       |    ELSE length(bin(total_bytes - 1)) END AS bucket_exp,
+       |  COUNT(*) AS n_containers,
+       |  CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+       |  CAST(SUM(total_bytes) AS BIGINT) AS total_bytes
+       |FROM cont GROUP BY bucket_exp ORDER BY bucket_exp ASC""".stripMargin
+
+  // --- ct_placement_violations: rack-awareness placement audit -------------
+  /** Rack-aware placement validation: SCM's rack-aware policy requires the
+    * replicas of a container to span at least two racks (reference:
+    * hadoop-hdds SCMContainerPlacementRackAware — fallback logic picks a
+    * second rack; ReplicationManager treats single-rack placement as
+    * mis-replicated). Racks derive from the node placement of
+    * [[ctNodeReport]] with rack = node % 4 (5 nodes per rack). Per
+    * placement state: container/key/byte totals.
+    *
+    * Plan: bounded replica explode (≤ 4 rows per container) → per-container
+    * distinct-rack count (re-group on the partitioning already keyed by
+    * container_id) → 4-row state rollup.
+    */
+  def ctPlacementViolations(spark: SparkSession, dir: String): DataFrame =
+    containerStats(spark, dir)
+      .select(col("container_id"), col("n_keys"), col("total_bytes"),
+        col("replicas"),
+        explode(sequence(lit(0), col("replicas"))).as("r"))
+      // r = 0 is a sentinel keeping 0-replica containers in the frame (a
+      // real replica row for r >= 1); countDistinct skips its NULL rack.
+      .withColumn("rack",
+        when(col("r") >= 1,
+          ((col("container_id") * 31 + col("r") * 17) % 20) % 4))
+      .groupBy(col("container_id"), col("n_keys"), col("total_bytes"),
+        col("replicas"))
+      .agg(countDistinct(col("rack")).as("n_racks"))
+      .withColumn("placement_state",
+        when(col("replicas") === 0, "MISSING")
+          .when(col("replicas") === 1, "SINGLE_REPLICA")
+          .when(col("n_racks") === 1, "SINGLE_RACK_VIOLATION")
+          .otherwise("COMPLIANT"))
+      .groupBy(col("placement_state"))
+      .agg(count(lit(1)).as("n_containers"),
+        sum(col("n_keys")).as("n_keys"),
+        sum(col("total_bytes")).as("total_bytes"))
+      .orderBy(col("placement_state").asc)
+
+  val ctPlacementViolationsSql: String =
+    s"""WITH $containerStatsSql, racks AS (
+       |  SELECT cont.container_id, cont.n_keys, cont.total_bytes,
+       |    cont.replicas,
+       |    COUNT(DISTINCT ((cont.container_id * 31 + u.r * 17) % 20) % 4)
+       |      AS n_racks
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  GROUP BY cont.container_id, cont.n_keys, cont.total_bytes,
+       |    cont.replicas
+       |  UNION ALL
+       |  SELECT container_id, n_keys, total_bytes, replicas, 0 AS n_racks
+       |  FROM cont WHERE replicas = 0
+       |)
+       |SELECT CASE WHEN replicas = 0 THEN 'MISSING'
+       |    WHEN replicas = 1 THEN 'SINGLE_REPLICA'
+       |    WHEN n_racks = 1 THEN 'SINGLE_RACK_VIOLATION'
+       |    ELSE 'COMPLIANT' END AS placement_state,
+       |  COUNT(*) AS n_containers,
+       |  CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+       |  CAST(SUM(total_bytes) AS BIGINT) AS total_bytes
+       |FROM racks GROUP BY placement_state
+       |ORDER BY placement_state ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ct_balancer_report" -> ctBalancerReport,
     "ct_decommission_impact" -> ctDecommissionImpact,
+    "ct_size_histogram" -> ctSizeHistogram,
+    "ct_placement_violations" -> ctPlacementViolations,
     "ct_keys_per_container" -> ctKeysPerContainer,
     "ct_missing_container_keys" -> ctMissingContainerKeys,
     "ct_unhealthy_containers" -> ctUnhealthyContainers,
@@ -306,6 +397,8 @@ object Containers {
   val oracles: Map[String, String] = Map(
     "ct_balancer_report" -> ctBalancerReportSql,
     "ct_decommission_impact" -> ctDecommissionImpactSql,
+    "ct_size_histogram" -> ctSizeHistogramSql,
+    "ct_placement_violations" -> ctPlacementViolationsSql,
     "ct_keys_per_container" -> ctKeysPerContainerSql,
     "ct_missing_container_keys" -> ctMissingContainerKeysSql,
     "ct_unhealthy_containers" -> ctUnhealthyContainersSql,

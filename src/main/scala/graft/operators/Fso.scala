@@ -71,9 +71,12 @@ object Fso {
     resolvePaths(ObjectStoreView.dirTable(spark, dir))
       .orderBy(col("volume").asc, col("bucket").asc, col("abs_path").asc)
 
-  /** Oracle: the same walk as a recursive CTE over the same dirTable. */
-  val nsFsoPathsSql: String =
-    s"""WITH RECURSIVE ${ObjectStoreView.dirTableSql}, walk AS (
+  /** Shared oracle CTE chain: dirTable + the recursive walk, ending in
+    * resolved(volume, bucket, obj_id, abs_path, depth) — the declarative
+    * statement of the fixpoint the pointer-jumping loop converges to.
+    */
+  private val resolvedCtes: String =
+    s"""${ObjectStoreView.dirTableSql}, walk AS (
        |  SELECT volume, bucket, obj_id, name AS abs_path,
        |    parent_id AS cur, 1 AS depth
        |  FROM dirs
@@ -82,14 +85,74 @@ object Fso {
        |    d.name || '/' || w.abs_path, d.parent_id, w.depth + 1
        |  FROM walk w JOIN dirs d
        |    ON w.volume = d.volume AND w.bucket = d.bucket AND w.cur = d.obj_id
-       |)
-       |SELECT volume, bucket, obj_id, abs_path, CAST(depth AS INT) AS depth
-       |FROM walk WHERE cur = 0
+       |), resolved AS (
+       |  SELECT volume, bucket, obj_id, abs_path, CAST(depth AS INT) AS depth
+       |  FROM walk WHERE cur = 0
+       |)""".stripMargin
+
+  /** Oracle: the same walk as a recursive CTE over the same dirTable. */
+  val nsFsoPathsSql: String =
+    s"""WITH RECURSIVE $resolvedCtes
+       |SELECT volume, bucket, obj_id, abs_path, depth FROM resolved
        |ORDER BY volume ASC, bucket ASC, abs_path ASC""".stripMargin
 
+  // --- ns_fso_du: per-directory SUBTREE rollup over the FSO tree ----------
+  /** Recursive disk usage for every FSO directory: subtree file count and
+    * bytes, keyed by the directory's objectID. This is Recon's NSSummary
+    * rollup (recon/.../tasks/NSSummaryTask.java builds per-directory
+    * aggregates bottom-up from the FSO dirTable; the du endpoint serves
+    * subtree totals per path) joined with the resolved tree.
+    *
+    * Plan shape: keys contribute to each of their ≤ 3 ancestor prefixes via
+    * a bounded explode (×depth, not ×subtree-size — a key at depth d costs
+    * d rows regardless of how wide the tree is), then ONE shuffle groups by
+    * (volume, bucket, prefix) with map-side partial aggregation. The dir
+    * side is [[resolvePaths]]'s output; both sides of the final join are
+    * dir-cardinality aggregates shuffled on the same key. At 100 TB the
+    * fact scan is never joined row-per-key against the tree — only its
+    * per-prefix aggregate is.
+    */
+  def nsFsoDu(spark: SparkSession, dir: String): DataFrame = {
+    val sub = ObjectStoreView.keys(spark, dir)
+      .select(col("volume"), col("bucket"), col("size"),
+        explode(array(
+          substring_index(col("key"), "/", 1),
+          substring_index(col("key"), "/", 2),
+          substring_index(col("key"), "/", 3))).as("abs_path"))
+      .groupBy(col("volume"), col("bucket"), col("abs_path"))
+      .agg(count(lit(1)).as("subtree_files"),
+        sum(col("size")).as("subtree_bytes"))
+    resolvePaths(ObjectStoreView.dirTable(spark, dir))
+      .join(sub, Seq("volume", "bucket", "abs_path"))
+      .select(col("volume"), col("bucket"), col("obj_id"), col("abs_path"),
+        col("depth"), col("subtree_files"), col("subtree_bytes"))
+      .orderBy(col("volume").asc, col("bucket").asc, col("abs_path").asc)
+  }
+
+  val nsFsoDuSql: String =
+    s"""WITH RECURSIVE $resolvedCtes, sub AS (
+       |  SELECT volume, bucket, p.path AS abs_path,
+       |    COUNT(*) AS subtree_files,
+       |    CAST(SUM(size) AS BIGINT) AS subtree_bytes
+       |  FROM (${ObjectStoreView.keysSql}) keys, UNNEST([
+       |    split_part(key, '/', 1),
+       |    split_part(key, '/', 1) || '/' || split_part(key, '/', 2),
+       |    split_part(key, '/', 1) || '/' || split_part(key, '/', 2) || '/' || split_part(key, '/', 3)
+       |  ]) AS p(path)
+       |  GROUP BY volume, bucket, p.path
+       |)
+       |SELECT r.volume, r.bucket, r.obj_id, r.abs_path, r.depth,
+       |  s.subtree_files, s.subtree_bytes
+       |FROM resolved r JOIN sub s
+       |  ON r.volume = s.volume AND r.bucket = s.bucket
+       |  AND r.abs_path = s.abs_path
+       |ORDER BY r.volume ASC, r.bucket ASC, r.abs_path ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ns_fso_paths" -> nsFsoPaths)
+    "ns_fso_paths" -> nsFsoPaths,
+    "ns_fso_du" -> nsFsoDu)
 
   val oracles: Map[String, String] = Map(
-    "ns_fso_paths" -> nsFsoPathsSql)
+    "ns_fso_paths" -> nsFsoPathsSql,
+    "ns_fso_du" -> nsFsoDuSql)
 }

@@ -234,7 +234,10 @@ object Multimodal {
     * of equal hashes are near-dup candidates (the perceptual twin of
     * dd_simhash); one map pass + one shuffle on the 16-bit key.
     */
-  def mmAhash(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, ahash) for every payload — the shared decode+hash stage of
+    * [[mmAhash]] and [[mmPhashDedup]].
+    */
+  private[graft] def ahashes(spark: SparkSession, dir: String): DataFrame = {
     val ss = spark
     import ss.implicits._
     payloads(spark, dir)
@@ -261,23 +264,27 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  def mmAhash(spark: SparkSession, dir: String): DataFrame =
+    ahashes(spark, dir)
       .withColumn("bucket_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("ahash"))))
       .orderBy(col("doc_id").asc)
-  }
 
   /** ASCII corpus: byte sums are codepoint sums, block [b] covers
-    * character positions [len*b//16, len*(b+1)//16).
+    * character positions [len*b//16, len*(b+1)//16). CTE chain ends in
+    * h(doc_id, ahash) — shared by the mm_ahash and mm_phash_dedup oracles.
     */
-  val mmAhashSql: String = {
+  private val ahashCtes: String = {
     def asum(s: String) =
       s"COALESCE(CAST(list_sum(list_transform(string_split($s, ''), " +
         s"c -> CAST(ascii(c) AS BIGINT))) AS BIGINT), 0)"
     val blockSum = asum("substring(text, (len*b)//16 + 1, " +
       "(len*(b+1))//16 - (len*b)//16)")
     val blockLen = "((len*(b+1))//16 - (len*b)//16)"
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, text, length(text) AS len, ${asum("text")} AS total
        |  FROM documents
        |), h AS (
@@ -285,11 +292,71 @@ object Multimodal {
        |    CASE WHEN $blockSum * len > total * $blockLen
        |      THEN 1 << b ELSE 0 END)) AS BIGINT) AS ahash
        |  FROM t
-       |)
+       |)""".stripMargin
+  }
+
+  val mmAhashSql: String =
+    s"""WITH $ahashCtes
        |SELECT doc_id, ahash,
        |  CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS bucket_size
        |FROM h ORDER BY doc_id ASC""".stripMargin
+
+  // --- mm_phash_dedup: near-dup payloads via perceptual-hash bands --------
+  /** Near-duplicate payload pairs at Hamming distance ≤ 2 on the 16-bit
+    * perceptual hash — the image twin of [[Dedup.ddMinhashLsh]] (LAION-style
+    * image dedup: pHash + banded LSH). The 16 bits split into 4 bands of 4;
+    * candidates share at least one band. Recall is EXACT for the ≤ 2
+    * threshold: 2 differing bits touch at most 2 bands, so ≥ 2 of the 4
+    * bands always match (pigeonhole) — banding here is a pure pruning step,
+    * not an approximation. Shape: one shuffle on (band, bucket), pairs
+    * expand in place via [[graft.functions.Codes.pairs]] (no self-join),
+    * buckets over [[PhashMaxBucket]] drop out (skew guard, mirrored in the
+    * oracle), and the hash join back is 8 bytes per side.
+    */
+  private val PhashMaxBucket = 1000
+
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hs = ahashes(spark, dir).localCheckpoint() // decode runs once
+    val banded = hs.select(col("doc_id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), 4 * b).bitwiseAND(15).as("bkt"))): _*))
+        .as("bs"))
+      .select(col("bs.band").as("band"), col("bs.bkt").as("bkt"), col("doc_id"))
+    val cand = banded.groupBy(col("band"), col("bkt"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, PhashMaxBucket))
+      .select(explode(graft.functions.Codes.pairs(col("ids"))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+      .distinct()
+    cand
+      .join(hs.select(col("doc_id").as("doc_a"), col("ahash").as("ha")), "doc_a")
+      .join(hs.select(col("doc_id").as("doc_b"), col("ahash").as("hb")), "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 2)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
+
+  val mmPhashDedupSql: String =
+    s"""WITH $ahashCtes, banded AS (
+       |  SELECT u.b AS band, (h.ahash >> (4 * u.b)) & 15 AS bkt, h.doc_id
+       |  FROM h, UNNEST(range(0, 4)) AS u(b)
+       |), bcnt AS (
+       |  SELECT band, bkt, doc_id,
+       |    COUNT(*) OVER (PARTITION BY band, bkt) AS n FROM banded
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bcnt a JOIN bcnt b
+       |    ON a.band = b.band AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+       |    AND a.n <= $PhashMaxBucket AND b.n <= $PhashMaxBucket
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |  CAST(bit_count(xor(ha.ahash, hb.ahash)) AS INT) AS hamming
+       |FROM cand c
+       |JOIN h ha ON c.doc_a = ha.doc_id
+       |JOIN h hb ON c.doc_b = hb.doc_id
+       |WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 2
+       |ORDER BY c.doc_a ASC, c.doc_b ASC""".stripMargin
 
   // --- mm_audio_energy: windowed energy over "PCM" payloads ---------------
   case class AudioWindow(doc_id: Long, window_idx: Int, energy: Long,
@@ -348,6 +415,7 @@ object Multimodal {
     "mm_scene_cut" -> mmSceneCut,
     "mm_resize_plan" -> mmResizePlan,
     "mm_ahash" -> mmAhash,
+    "mm_phash_dedup" -> mmPhashDedup,
     "mm_audio_energy" -> mmAudioEnergy)
 
   val oracles: Map[String, String] = Map(
@@ -356,5 +424,6 @@ object Multimodal {
     "mm_scene_cut" -> mmSceneCutSql,
     "mm_resize_plan" -> mmResizePlanSql,
     "mm_ahash" -> mmAhashSql,
+    "mm_phash_dedup" -> mmPhashDedupSql,
     "mm_audio_energy" -> mmAudioEnergySql)
 }

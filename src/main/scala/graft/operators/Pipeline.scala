@@ -357,7 +357,82 @@ object Pipeline {
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
   }
 
+  // --- pipe_dedup_funnel: stage-by-stage curation yield report -------------
+  /** The curation funnel as a 4-row report: how many documents survive each
+    * stage (raw → exact dedup → near dedup → quality filter) and how many
+    * each stage removed — the yield dashboard every large-scale curation
+    * run publishes next to its output. Reuses [[pipeCurate]]'s single
+    * declarative plan; the funnel is ONE aggregate over it (four
+    * conditional sums), exploded to stage rows with a 4-row lag window for
+    * the removed-count column. Stage semantics are cumulative: a doc counts
+    * at stage k only if it survived every stage before it, so docs_out is
+    * monotonically non-increasing by construction.
+    */
+  def pipeDedupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val c = pipeCurate(spark, dir)
+    val agg = c.agg(
+      count(lit(1)).as("n_raw"),
+      sum(when(!col("is_exact_dup"), 1L).otherwise(0L)).as("n_exact"),
+      sum(when(!col("is_exact_dup") && !col("is_near_dup"), 1L).otherwise(0L))
+        .as("n_near"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_quality"))
+    agg.select(explode(array(
+        struct(lit(1).as("stage_idx"), lit("raw").as("stage"),
+          col("n_raw").as("docs_out")),
+        struct(lit(2).as("stage_idx"), lit("exact_dedup").as("stage"),
+          col("n_exact").as("docs_out")),
+        struct(lit(3).as("stage_idx"), lit("near_dedup").as("stage"),
+          col("n_near").as("docs_out")),
+        struct(lit(4).as("stage_idx"), lit("quality_filter").as("stage"),
+          col("n_quality").as("docs_out")))).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.docs_out").as("docs_out"))
+      .withColumn("removed",
+        coalesce(lag(col("docs_out"), 1).over(
+          Window.orderBy(col("stage_idx"))) - col("docs_out"), lit(0L)))
+      .orderBy(col("stage_idx").asc)
+  }
+
+  val pipeDedupFunnelSql: String =
+    s"""WITH ${Dedup.canonicalCtes}, ${Dedup.fingerprintsSql}, exact AS (
+       |  SELECT doc_id,
+       |    doc_id <> MIN(doc_id) OVER (PARTITION BY h1, h2) AS is_exact_dup
+       |  FROM fp
+       |), near AS (
+       |  SELECT doc_id, doc_id <> label AS is_near_dup FROM lab3
+       |), quality AS (
+       |  SELECT doc_id, quality_score FROM (${TextOps.txQualitySql}) q
+       |), curated AS (
+       |  SELECT e.is_exact_dup, n.is_near_dup,
+       |    (NOT e.is_exact_dup) AND (NOT n.is_near_dup)
+       |      AND q.quality_score >= $QualityMin AS kept
+       |  FROM exact e
+       |  JOIN near n ON e.doc_id = n.doc_id
+       |  JOIN quality q ON e.doc_id = q.doc_id
+       |), agg AS (
+       |  SELECT COUNT(*) AS n_raw,
+       |    CAST(SUM(CASE WHEN NOT is_exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_exact,
+       |    CAST(SUM(CASE WHEN NOT is_exact_dup AND NOT is_near_dup
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+       |  FROM curated
+       |), stages AS (
+       |  SELECT 1 AS stage_idx, 'raw' AS stage, n_raw AS docs_out FROM agg
+       |  UNION ALL
+       |  SELECT 2, 'exact_dedup', n_exact FROM agg
+       |  UNION ALL
+       |  SELECT 3, 'near_dedup', n_near FROM agg
+       |  UNION ALL
+       |  SELECT 4, 'quality_filter', n_quality FROM agg
+       |)
+       |SELECT stage_idx, stage, docs_out,
+       |  CAST(coalesce(lag(docs_out) OVER (ORDER BY stage_idx) - docs_out, 0)
+       |    AS BIGINT) AS removed
+       |FROM stages ORDER BY stage_idx ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dedup_funnel" -> pipeDedupFunnel,
     "pipe_vocab_coverage" -> pipeVocabCoverage,
     "pipe_curriculum" -> pipeCurriculum,
     "pipe_dataset_stats" -> pipeDatasetStats,
@@ -368,6 +443,7 @@ object Pipeline {
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
+    "pipe_dedup_funnel" -> pipeDedupFunnelSql,
     "pipe_vocab_coverage" -> pipeVocabCoverageSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_dataset_stats" -> pipeDatasetStatsSql,

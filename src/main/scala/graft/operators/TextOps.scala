@@ -549,7 +549,60 @@ object TextOps {
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents GROUP BY bucket_exp ORDER BY bucket_exp ASC""".stripMargin
 
+  // --- tx_diversity: lexical-diversity quality signals ---------------------
+  /** Per-document lexical diversity: type-token ratio, Simpson diversity
+    * (1 − Σ(c/n)², the repeated-word collision probability complement) and
+    * top-word dominance — the Gopher/C4-style "too repetitive" filter
+    * signals, stated WITHOUT logarithms: entropy needs ln (not correctly
+    * rounded in either engine — same reasoning as [[txTfidfTopTerms]]), but
+    * Simpson is exact rational arithmetic (Σc² and n are integers, one
+    * double division at the end), so the gate holds bit-identical values.
+    *
+    * Plan shape: the classic word-count — explode to (doc_id, token), ONE
+    * shuffle with map-side partial counts, then a second doc-keyed
+    * aggregate that moves one row per distinct (doc, token). No text
+    * re-shuffles: tokens leave the scan as their counts.
+    */
+  def txDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sum_sq"),
+        max(col("c")).as("max_count"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_tokens") * col("n_tokens")), 6).as("simpson"),
+        round(col("max_count").cast("double") / col("n_tokens"), 6)
+          .as("dominance"))
+      .orderBy(col("doc_id").asc)
+
+  val txDiversitySql: String =
+    s"""WITH wc AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS tok
+       |        FROM documents) u
+       |  GROUP BY doc_id, tok
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |    COUNT(*) AS n_types,
+       |    CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       |    CAST(MAX(c) AS BIGINT) AS max_count
+       |  FROM wc GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens, n_types,
+       |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+       |  round(1.0 - CAST(sum_sq AS DOUBLE) / (n_tokens * n_tokens), 6)
+       |    AS simpson,
+       |  round(CAST(max_count AS DOUBLE) / n_tokens, 6) AS dominance
+       |FROM agg ORDER BY doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_diversity" -> txDiversity,
     "tx_countmin_freq" -> txCountminFreq,
     "tx_length_histogram" -> txLengthHistogram,
     "tx_pii" -> txPii,
@@ -563,6 +616,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_diversity" -> txDiversitySql,
     "tx_countmin_freq" -> txCountminFreqSql,
     "tx_length_histogram" -> txLengthHistogramSql,
     "tx_pii" -> txPiiSql,

@@ -68,6 +68,38 @@ class FsoSpec extends SparkSpec {
     assert(badDepth === 0)
   }
 
+  test("fso du: depth-1 subtree totals cover every key exactly once") {
+    val du = Fso.nsFsoDu(spark, sf)
+    val roots = du.filter(col("depth") === 1)
+      .agg(sum("subtree_files"), sum("subtree_bytes"))
+      .as[(Long, Long)].head()
+    val keys = ObjectStoreView.keys(spark, sf)
+      .agg(count(lit(1)), sum("size")).as[(Long, Long)].head()
+    assert(roots === keys, "depth-1 dirs partition the key space")
+    // A child subtree never exceeds its parent's.
+    val parentOf = du.select(col("volume"), col("bucket"),
+      col("abs_path").as("p_path"), col("subtree_bytes").as("p_bytes"))
+    val violations = du
+      .filter(col("depth") > 1)
+      .withColumn("p_path", regexp_replace(col("abs_path"), "/[^/]*$", ""))
+      .join(parentOf, Seq("volume", "bucket", "p_path"))
+      .filter(col("subtree_bytes") > col("p_bytes"))
+      .count()
+    assert(violations === 0)
+  }
+
+  test("placement violations partition all containers and spot-check racks") {
+    val st = operators.Containers.ctPlacementViolations(spark, sf)
+      .select("placement_state", "n_containers").as[(String, Long)]
+      .collect().toMap
+    val nContainers = ObjectStoreView.containerKeys(spark, sf)
+      .select("container_id").distinct().count()
+    assert(st.values.sum === nContainers, "states partition the containers")
+    // Fixed arithmetic: container 1 has (1*31+7)%5 = 3 replicas on nodes
+    // (1*31+r*17)%20 for r=1..3 = {8,5,2} -> racks {0,1,2} -> COMPLIANT.
+    assert(st.contains("COMPLIANT"))
+  }
+
   test("decommission impact counts only hosted containers and risk is monotone") {
     val impact = operators.Containers.ctDecommissionImpact(spark, sf)
     val rows = impact.collect()

@@ -25,6 +25,19 @@ class MultimodalSpec extends SparkSpec {
       bytes.map(b => (b & 0xff).toLong).sum)
   }
 
+  test("phash dedup finds EVERY hamming<=2 pair (4x4 banding recall proof)") {
+    val hs = Multimodal.ahashes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ia, ib)).toSet
+    val got = Multimodal.mmPhashDedup(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, "banded candidates must equal brute force at t<=2")
+  }
+
   test("mm_decode_stub rollup is deterministic across runs") {
     val a = Multimodal.mmDecodeStub(spark, sf).collect().map(_.toString).toSeq
     val b = Multimodal.mmDecodeStub(spark, sf).collect().map(_.toString).toSeq
