@@ -191,6 +191,32 @@ object ObjectStoreView {
       |  FROM lineitem
       |) t WHERE l_returnflag = 'R'""".stripMargin
 
+  /** Trash keys with their container placement — the join of [[trashKeys]]
+    * and the container arithmetic of [[containerKeys]], derived in one
+    * projection (no join): each pending-deletion key becomes a deletion
+    * transaction on its container (reference: SCM DeletedBlockLog,
+    * hadoop-hdds/server-scm/.../block/DeletedBlockLogImpl.java).
+    */
+  def trashContainerKeys(spark: SparkSession, sfDir: String): DataFrame =
+    keysFrom(Tables.lineitem(spark, sfDir))
+      .filter(col("l_returnflag") === "R")
+      .select(
+        ((col("l_orderkey") * 7 + col("l_linenumber")) % 1024)
+          .cast("bigint").as("container_id"),
+        col("volume"), col("bucket"), col("key"), col("size"))
+
+  val trashContainerKeysSql: String =
+    """SELECT
+      |  CAST((l_orderkey * 7 + l_linenumber) % 1024 AS BIGINT) AS container_id,
+      |  'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,
+      |  'b' || CAST(l_suppkey % 5 AS VARCHAR) AS bucket,
+      |  'data/' || CAST(year(l_shipdate) AS VARCHAR) || '/' ||
+      |    lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |    CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size
+      |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
+
   /** Multipart uploads in flight: one upload per open order, parts = its
     * lineitems (reference: S3InitiateMultipartUploadRequest + part key
     * tracking, /root/reference/hadoop-ozone/ozone-manager/.../request/s3/

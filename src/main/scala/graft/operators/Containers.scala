@@ -382,7 +382,62 @@ object Containers {
        |FROM racks GROUP BY placement_state
        |ORDER BY placement_state ASC""".stripMargin
 
+  // --- ct_deleted_blocks_backlog: pending block-deletion work per node ----
+  /** The SCM deleted-block log viewed per datanode: trash keys awaiting
+    * purge become deletion transactions on their containers, and every
+    * replica-hosting node owes one delete per transaction (reference:
+    * hadoop-hdds/server-scm/.../block/DeletedBlockLogImpl.java — txns keyed
+    * by containerID fan out to the container's datanodes via
+    * DatanodeDeletedBlockTransactions; SCMBlockDeletingService drains
+    * them). Transactions on 0-replica containers have no node to serve
+    * them — surfaced as the node_id = -1 row (the stuck-deletes signal an
+    * operator needs before force-purging).
+    *
+    * Plan: trash scan → per-container rollup (one shuffle) → bounded
+    * replica explode (≤ 4) → per-node rollup.
+    */
+  def ctDeletedBlocksBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val perContainer = ObjectStoreView.trashContainerKeys(spark, dir)
+      .groupBy(col("container_id"))
+      .agg(count(lit(1)).as("n_txns"), sum(col("size")).as("bytes"))
+      .withColumn("replicas",
+        ObjectStoreView.containerReplicas(col("container_id")))
+    perContainer
+      .select(col("container_id"), col("n_txns"), col("bytes"),
+        explode(when(col("replicas") === 0, array(lit(-1L)))
+          .otherwise(sequence(lit(1L), col("replicas")))).as("r"))
+      .withColumn("node_id",
+        when(col("r") === -1L, -1L)
+          .otherwise((col("container_id") * 31 + col("r") * 17) % 20))
+      .groupBy(col("node_id"))
+      .agg(countDistinct(col("container_id")).as("n_containers"),
+        sum(col("n_txns")).as("n_txns"),
+        sum(col("bytes")).as("pending_bytes"))
+      .orderBy(col("node_id").asc)
+  }
+
+  val ctDeletedBlocksBacklogSql: String =
+    s"""WITH trash_ck AS (${ObjectStoreView.trashContainerKeysSql}), tc AS (
+       |  SELECT container_id, COUNT(*) AS n_txns,
+       |    CAST(SUM(size) AS BIGINT) AS bytes,
+       |    ${repl("container_id")} AS replicas
+       |  FROM trash_ck GROUP BY container_id
+       |), placed AS (
+       |  SELECT (tc.container_id * 31 + u.r * 17) % 20 AS node_id,
+       |    tc.container_id, tc.n_txns, tc.bytes
+       |  FROM tc, UNNEST(range(1, tc.replicas + 1)) AS u(r)
+       |  WHERE tc.replicas >= 1
+       |  UNION ALL
+       |  SELECT -1 AS node_id, container_id, n_txns, bytes
+       |  FROM tc WHERE replicas = 0
+       |)
+       |SELECT node_id, COUNT(DISTINCT container_id) AS n_containers,
+       |  CAST(SUM(n_txns) AS BIGINT) AS n_txns,
+       |  CAST(SUM(bytes) AS BIGINT) AS pending_bytes
+       |FROM placed GROUP BY node_id ORDER BY node_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_deleted_blocks_backlog" -> ctDeletedBlocksBacklog,
     "ct_balancer_report" -> ctBalancerReport,
     "ct_decommission_impact" -> ctDecommissionImpact,
     "ct_size_histogram" -> ctSizeHistogram,
@@ -395,6 +450,7 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_deleted_blocks_backlog" -> ctDeletedBlocksBacklogSql,
     "ct_balancer_report" -> ctBalancerReportSql,
     "ct_decommission_impact" -> ctDecommissionImpactSql,
     "ct_size_histogram" -> ctSizeHistogramSql,

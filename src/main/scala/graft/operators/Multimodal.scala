@@ -308,32 +308,44 @@ object Multimodal {
     * candidates share at least one band. Recall is EXACT for the ≤ 2
     * threshold: 2 differing bits touch at most 2 bands, so ≥ 2 of the 4
     * bands always match (pigeonhole) — banding here is a pure pruning step,
-    * not an approximation. Shape: one shuffle on (band, bucket), pairs
-    * expand in place via [[graft.functions.Codes.pairs]] (no self-join),
-    * buckets over [[PhashMaxBucket]] drop out (skew guard, mirrored in the
-    * oracle), and the hash join back is 8 bytes per side.
+    * not an approximation. Shape: one shuffle on (band, bucket); each
+    * bucket aggregates (doc_id, ahash) members so pairs expand AND
+    * Hamming-verify in place — no self-join, no join back for hashes, and
+    * the only post-expansion shuffle (the cross-band distinct) carries
+    * verified survivors, not every candidate. Buckets over
+    * [[PhashMaxBucket]] drop out (skew guard, mirrored in the oracle).
     */
   private val PhashMaxBucket = 1000
 
   def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val hs = ahashes(spark, dir).localCheckpoint() // decode runs once
-    val banded = hs.select(col("doc_id"), explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("ahash"), 4 * b).bitwiseAND(15).as("bkt"))): _*))
-        .as("bs"))
-      .select(col("bs.band").as("band"), col("bs.bkt").as("bkt"), col("doc_id"))
-    val cand = banded.groupBy(col("band"), col("bkt"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, PhashMaxBucket))
-      .select(explode(graft.functions.Codes.pairs(col("ids"))).as("pr"))
-      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+    val hs = ahashes(spark, dir)
+    // The hash rides along into the bucket, so the Hamming verify runs
+    // INSIDE the pair expansion — candidates that fail the threshold never
+    // leave their bucket row, and the post-expansion shuffle (distinct)
+    // carries only survivors instead of every candidate pair. No join back.
+    val withBand = hs.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("ahash"), 4 * b).bitwiseAND(15).as("bkt"))): _*))
+          .as("bs"))
+      .select(col("bs.band").as("band"), col("bs.bkt").as("bkt"),
+        col("doc_id"), col("ahash"))
+    val members = withBand.groupBy(col("band"), col("bkt"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("ahash"))))
+        .as("ms"))
+      .filter(size(col("ms")).between(2, PhashMaxBucket))
+    members
+      .select(explode(flatten(transform(col("ms"), (a, i) =>
+        filter(
+          transform(slice(col("ms"), i + lit(2), size(col("ms"))), b =>
+            struct(a.getField("doc_id").as("doc_a"),
+              b.getField("doc_id").as("doc_b"),
+              bit_count(a.getField("ahash").bitwiseXOR(b.getField("ahash")))
+                .as("hamming"))),
+          p => p.getField("hamming") <= 2)))).as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"),
+        col("pr.hamming").as("hamming"))
       .distinct()
-    cand
-      .join(hs.select(col("doc_id").as("doc_a"), col("ahash").as("ha")), "doc_a")
-      .join(hs.select(col("doc_id").as("doc_b"), col("ahash").as("hb")), "doc_b")
-      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-      .filter(col("hamming") <= 2)
-      .select("doc_a", "doc_b", "hamming")
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 

@@ -376,6 +376,77 @@ object Namespace {
        |FROM diff GROUP BY volume, bucket, diff_type
        |ORDER BY volume ASC, bucket ASC, diff_type ASC""".stripMargin
 
+  /** Snapshot space accounting: per (volume, bucket, snapshot), the bytes a
+    * snapshot REFERENCES vs the bytes EXCLUSIVE to it — the number the
+    * store needs before deleting a snapshot ("how much comes back?").
+    * A key version is exclusive to a snapshot when the next state in the
+    * chain (A → B → live) no longer carries it identically: deleted keys
+    * and the old versions of modified keys (the DELETE ∪ MODIFY classes of
+    * [[snapshotDiff]]). Reference: OM snapshot machinery
+    * (ozone-manager/.../om/snapshot/OzoneManagerSnapshotProvider.java);
+    * the diff-driven reclamation semantics follow SnapshotDiffReport's
+    * entry classes.
+    *
+    * Plan shape: two left joins, each shuffled on the (volume, bucket,
+    * key) identity with both sides co-partitioned, each collapsing
+    * immediately to a per-bucket aggregate; the union moves 2 rows per
+    * bucket per snapshot.
+    */
+  def snapshotSpace(spark: SparkSession, dir: String): DataFrame = {
+    def space(snap: DataFrame, next: DataFrame, name: String): DataFrame = {
+      val s = snap.select(col("volume"), col("bucket"), col("key"),
+        col("size"))
+      val n = next.select(col("volume"), col("bucket"), col("key"),
+        col("size").as("next_size"))
+      s.join(n, Seq("volume", "bucket", "key"), "left")
+        .withColumn("exclusive",
+          col("next_size").isNull || col("next_size") =!= col("size"))
+        .groupBy(col("volume"), col("bucket"))
+        .agg(count(lit(1)).as("ref_keys"), sum(col("size")).as("ref_bytes"),
+          sum(when(col("exclusive"), 1L).otherwise(0L)).as("excl_keys"),
+          sum(when(col("exclusive"), col("size")).otherwise(0L))
+            .as("excl_bytes"))
+        .select(lit(name).as("snapshot"), col("volume"), col("bucket"),
+          col("ref_keys"), col("ref_bytes"), col("excl_keys"),
+          col("excl_bytes"))
+    }
+    space(ObjectStoreView.snapshotA(spark, dir),
+        ObjectStoreView.snapshotB(spark, dir), "snap_a")
+      .union(space(ObjectStoreView.snapshotB(spark, dir),
+        ObjectStoreView.keys(spark, dir), "snap_b"))
+      .orderBy(col("snapshot").asc, col("volume").asc, col("bucket").asc)
+  }
+
+  val snapshotSpaceSql: String =
+    s"""WITH snap_a AS (${ObjectStoreView.snapshotASql}),
+       |snap_b AS (${ObjectStoreView.snapshotBSql}),
+       |live AS ($ks),
+       |space_a AS (
+       |  SELECT 'snap_a' AS snapshot, s.volume, s.bucket,
+       |    COUNT(*) AS ref_keys, CAST(SUM(s.size) AS BIGINT) AS ref_bytes,
+       |    CAST(SUM(CASE WHEN n.size IS NULL OR n.size <> s.size
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS excl_keys,
+       |    CAST(SUM(CASE WHEN n.size IS NULL OR n.size <> s.size
+       |      THEN s.size ELSE 0 END) AS BIGINT) AS excl_bytes
+       |  FROM snap_a s LEFT JOIN snap_b n
+       |    ON s.volume = n.volume AND s.bucket = n.bucket AND s.key = n.key
+       |  GROUP BY s.volume, s.bucket
+       |), space_b AS (
+       |  SELECT 'snap_b' AS snapshot, s.volume, s.bucket,
+       |    COUNT(*) AS ref_keys, CAST(SUM(s.size) AS BIGINT) AS ref_bytes,
+       |    CAST(SUM(CASE WHEN n.size IS NULL OR n.size <> s.size
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS excl_keys,
+       |    CAST(SUM(CASE WHEN n.size IS NULL OR n.size <> s.size
+       |      THEN s.size ELSE 0 END) AS BIGINT) AS excl_bytes
+       |  FROM snap_b s LEFT JOIN live n
+       |    ON s.volume = n.volume AND s.bucket = n.bucket AND s.key = n.key
+       |  GROUP BY s.volume, s.bucket
+       |)
+       |SELECT * FROM space_a
+       |UNION ALL
+       |SELECT * FROM space_b
+       |ORDER BY snapshot ASC, volume ASC, bucket ASC""".stripMargin
+
   /** Open keys older than a cutoff — reference: OM open-key cleanup
     * (ozone-manager/.../OpenKeyCleanupService, getExpiredOpenKeys in
     * KeyManager.java).
@@ -571,6 +642,7 @@ object Namespace {
     "ns_key_age" -> nsKeyAge,
     "ns_snapshot_diff" -> nsSnapshotDiff,
     "ns_snapshot_diff_summary" -> nsSnapshotDiffSummary,
+    "ns_snapshot_space" -> snapshotSpace,
     "ns_expired_open_keys" -> nsExpiredOpenKeys,
     "ns_mpu_incomplete" -> nsMpuIncomplete,
     "ns_replication_report" -> nsReplicationReport,
@@ -591,6 +663,7 @@ object Namespace {
     "ns_key_age" -> nsKeyAgeSql,
     "ns_snapshot_diff" -> nsSnapshotDiffSql,
     "ns_snapshot_diff_summary" -> nsSnapshotDiffSummarySql,
+    "ns_snapshot_space" -> snapshotSpaceSql,
     "ns_expired_open_keys" -> nsExpiredOpenKeysSql,
     "ns_mpu_incomplete" -> nsMpuIncompleteSql,
     "ns_replication_report" -> nsReplicationReportSql,

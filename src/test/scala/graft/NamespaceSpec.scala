@@ -81,4 +81,41 @@ class NamespaceSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
     assert(got.toSeq == Seq(("x", true, 3L), ("y", true, 1L)))
   }
+
+  test("snapshot space: exclusive bytes tie out with the diff's DELETE+MODIFY") {
+    val space = Namespace.snapshotSpace(spark, sf)
+    // Exclusive is a subset of referenced, per bucket and snapshot.
+    space.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("excl_keys")) <=
+        r.getLong(r.fieldIndex("ref_keys")))
+      assert(r.getLong(r.fieldIndex("excl_bytes")) <=
+        r.getLong(r.fieldIndex("ref_bytes")))
+    }
+    // snap_a's total exclusive keys = DELETE + MODIFY entries of the A→B
+    // diff (the old versions only snapshot A still references).
+    val exclA = space.filter(col("snapshot") === "snap_a")
+      .agg(sum("excl_keys")).collect()(0).getLong(0)
+    val diffDelMod = Namespace.nsSnapshotDiff(spark, sf)
+      .filter(col("diff_type").isin("DELETE", "MODIFY")).count()
+    assert(exclA === diffDelMod)
+  }
+
+  test("deletion backlog: per-node txns fan out by replica count") {
+    val backlog = operators.Containers.ctDeletedBlocksBacklog(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val perContainer = ObjectStoreView.trashContainerKeys(spark, sf)
+      .groupBy(col("container_id")).agg(count(lit(1)).as("n"))
+      .withColumn("replicas",
+        ObjectStoreView.containerReplicas(col("container_id")))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // Served transactions: each of the container's replicas owes every txn.
+    val expectedServed = perContainer.collect {
+      case (n, reps) if reps >= 1 => n * reps
+    }.sum
+    val expectedStuck = perContainer.collect {
+      case (n, reps) if reps == 0 => n
+    }.sum
+    assert(backlog.filterKeys(_ >= 0).values.sum === expectedServed)
+    assert(backlog.getOrElse(-1L, 0L) === expectedStuck)
+  }
 }
