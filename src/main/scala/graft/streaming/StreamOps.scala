@@ -63,6 +63,32 @@ object StreamOps {
       .select(col("window.start").as("day"), col("volume"), col("bucket"),
         col("n_pending_keys"), col("pending_bytes"))
 
+  /** Incremental file-size histogram maintenance over a namespace CDC
+    * stream — the streaming twin of
+    * [[graft.operators.Namespace.fileSizeHistogram]] and the exact shape of
+    * Recon's incremental task pipeline: `getDBUpdates` ships sequenced OM
+    * DB deltas (common/.../om/protocol/OzoneManagerProtocol.java), the
+    * OMDBUpdatesHandler turns them into PUT/DELETE events, and
+    * FileSizeCountTask applies +1/−1 to its size-bucket counts per batch
+    * (recon/.../tasks/FileSizeCountTask.java — `process(OMUpdateEventBatch)`
+    * switches on PUT/DELETE exactly like the `d` column here).
+    *
+    * Input: updates with `op` ('PUT' | 'DELETE') and `size`. State is the
+    * histogram ITSELF — ≤ 64 rows total regardless of stream length,
+    * because the grouping key is the bit-length bucket, not an entity; no
+    * watermark is needed and state can never grow. At 100 TB this is the
+    * difference between re-scanning the namespace per report and folding
+    * the delta stream.
+    */
+  def fileSizeCountStream(updates: DataFrame): DataFrame =
+    updates
+      .withColumn("bucket_exp",
+        when(col("size") <= 1, 0).otherwise(length(bin(col("size") - 1))))
+      .withColumn("d", when(col("op") === "DELETE", -1L).otherwise(1L))
+      .groupBy(col("bucket_exp"))
+      .agg(sum(col("d")).as("n_files"),
+        sum(col("d") * col("size")).as("total_bytes"))
+
   /** Streaming first-seen-wins exact dedup — the incremental twin of
     * [[graft.operators.Dedup.ddExact]] (SURVEY §6): documents stream in,
     * each row is fingerprinted with the same dual full-text fold hashes,

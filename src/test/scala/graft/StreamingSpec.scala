@@ -80,6 +80,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("CDC histogram maintenance converges to the batch histogram") {
+    // Updates: every key PUT once; keys with size divisible by 3 deleted
+    // again later — the net namespace is the indivisible remainder.
+    val keys = ObjectStoreView.keys(spark, sf)
+    val puts = keys.select(lit("PUT").as("op"), col("size"))
+    val dels = keys.filter(col("size") % 3 === 0)
+      .select(lit("DELETE").as("op"), col("size"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-stream")
+    puts.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    dels.coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.fileSizeCountStream(stream)
+      .writeStream.format("memory").queryName("cdc_hist_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("cdc_hist_test")
+      .filter(col("n_files") =!= 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = operators.Namespace
+      .fileSizeHistogram(keys.filter(col("size") % 3 =!= 0))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("event-time timeout flushes open sessions as the watermark advances") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
