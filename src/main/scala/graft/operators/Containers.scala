@@ -436,7 +436,204 @@ object Containers {
        |  CAST(SUM(bytes) AS BIGINT) AS pending_bytes
        |FROM placed GROUP BY node_id ORDER BY node_id ASC""".stripMargin
 
+  // --- ct_safemode_status: SCM safe-mode exit rules -----------------------
+  /** The four safe-mode exit rules SCM evaluates before serving writes
+    * (reference: hadoop-hdds/server-scm/.../scm/safemode/
+    * SCMSafeModeManager.java and its rules — ContainerSafeModeRule (≥ 99%
+    * of containers have a reported replica), DataNodeSafeModeRule
+    * (registered datanode count), HealthyPipelineSafeModeRule (≥ 10% of
+    * pipelines fully healthy), OneReplicaPipelineSafeModeRule (≥ 90% of
+    * pipelines with at least one live member)). One row per rule with the
+    * observed value, the exit threshold, and the pass verdict; ratios in
+    * exact integer ppm (floor division — both engines).
+    *
+    * Plan shape: the per-container rollup is computed once (one scan + one
+    * shuffle); the three 1-row aggregates derived from it are crossed (1×1
+    * joins, no shuffle of base data) and unpivoted to the 4 rule rows.
+    */
+  def ctSafemodeStatus(spark: SparkSession, dir: String): DataFrame = {
+    val cont = containerStats(spark, dir)
+    val contAgg = cont.agg(
+      count(lit(1)).as("n_cont"),
+      sum(when(col("replicas") >= 1, 1L).otherwise(0L)).as("n_reported"))
+    val nodeAgg = cont.filter(col("replicas") >= 1)
+      .select(col("container_id"),
+        explode(sequence(lit(1), col("replicas"))).as("r"))
+      .select(((col("container_id") * 31 + col("r") * 17) % 20).as("node_id"))
+      .agg(countDistinct(col("node_id")).as("n_nodes"))
+    val pipeAgg = cont.filter(col("replicas") >= 1)
+      .withColumn("pipeline_id", col("container_id") % 30)
+      .groupBy(col("pipeline_id")).agg(min(col("replicas")).as("min_r"))
+      .agg(count(lit(1)).as("n_pipes"),
+        sum(when(col("min_r") >= Target, 1L).otherwise(0L)).as("n_healthy"),
+        sum(when(col("min_r") >= 1, 1L).otherwise(0L)).as("n_one"))
+    contAgg.crossJoin(nodeAgg).crossJoin(pipeAgg)
+      .select(explode(array(
+        struct(lit("CONTAINER").as("rule"),
+          expr("n_reported * 1000000 DIV n_cont").as("observed"),
+          lit(990000L).as("required"), lit("ppm").as("unit")),
+        struct(lit("DATANODE").as("rule"), col("n_nodes").as("observed"),
+          lit(20L).as("required"), lit("nodes").as("unit")),
+        struct(lit("HEALTHY_PIPELINE").as("rule"),
+          expr("n_healthy * 1000000 DIV n_pipes").as("observed"),
+          lit(100000L).as("required"), lit("ppm").as("unit")),
+        struct(lit("ONE_REPLICA_PIPELINE").as("rule"),
+          expr("n_one * 1000000 DIV n_pipes").as("observed"),
+          lit(900000L).as("required"), lit("ppm").as("unit")))).as("s"))
+      .select(col("s.rule").as("rule"), col("s.observed").as("observed"),
+        col("s.required").as("required"), col("s.unit").as("unit"))
+      .withColumn("passed", col("observed") >= col("required"))
+      .orderBy(col("rule").asc)
+  }
+
+  val ctSafemodeStatusSql: String =
+    s"""WITH $containerStatsSql, cagg AS (
+       |  SELECT COUNT(*) AS n_cont,
+       |    CAST(SUM(CASE WHEN replicas >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_reported
+       |  FROM cont
+       |), nagg AS (
+       |  SELECT COUNT(DISTINCT (cont.container_id * 31 + u.r * 17) % 20)
+       |    AS n_nodes
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  WHERE cont.replicas >= 1
+       |), pipes AS (
+       |  SELECT container_id % 30 AS pipeline_id, MIN(replicas) AS min_r
+       |  FROM cont WHERE replicas >= 1 GROUP BY pipeline_id
+       |), pagg AS (
+       |  SELECT COUNT(*) AS n_pipes,
+       |    CAST(SUM(CASE WHEN min_r >= $Target THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_healthy,
+       |    CAST(SUM(CASE WHEN min_r >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_one
+       |  FROM pipes
+       |), rules AS (
+       |  SELECT 'CONTAINER' AS rule,
+       |    CAST(n_reported * 1000000 // n_cont AS BIGINT) AS observed,
+       |    CAST(990000 AS BIGINT) AS required, 'ppm' AS unit
+       |  FROM cagg
+       |  UNION ALL
+       |  SELECT 'DATANODE', n_nodes, 20, 'nodes' FROM nagg
+       |  UNION ALL
+       |  SELECT 'HEALTHY_PIPELINE',
+       |    CAST(n_healthy * 1000000 // n_pipes AS BIGINT), 100000, 'ppm'
+       |  FROM pagg
+       |  UNION ALL
+       |  SELECT 'ONE_REPLICA_PIPELINE',
+       |    CAST(n_one * 1000000 // n_pipes AS BIGINT), 900000, 'ppm'
+       |  FROM pagg
+       |)
+       |SELECT rule, observed, required, unit, observed >= required AS passed
+       |FROM rules ORDER BY rule ASC""".stripMargin
+
+  // --- ct_balancer_moves: greedy container move plan ----------------------
+  /** The move plan SCM's ContainerBalancer would produce for one iteration
+    * (reference: hadoop-hdds/server-scm/.../container/balancer/
+    * ContainerBalancer.java — over-utilized nodes donate container
+    * replicas to under-utilized ones until each re-enters the ±10%
+    * utilization band). Deterministic declarative form:
+    *
+    *  - upper/lower bounds are exact integer floor-divisions of the
+    *    cluster total (no double ratios in the selection predicate);
+    *  - each over-utilized node donates its largest-bytes replicas first
+    *    (container_id tie-break) while the running donated total stays
+    *    below its surplus — a per-node window cumsum, no iteration;
+    *  - donated replicas are assigned round-robin over the under-utilized
+    *    nodes ranked by deficit (deepest deficit first).
+    *
+    * Plan shape: the bounded replica explode (≤ 4/container) re-aggregates
+    * per node; over/under node frames are per-node aggregates (thousands
+    * of rows at real scale) so the round-robin assignment join broadcasts.
+    * The global move ranking is a single-partition window over the
+    * candidate-move list only — bounded by the balancer's per-iteration
+    * move budget, never corpus-sized.
+    */
+  def ctBalancerMoves(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val placed = containerStats(spark, dir)
+      .filter(col("replicas") >= 1)
+      .select(col("container_id"), col("total_bytes"),
+        explode(sequence(lit(1), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+    val perNode = placed.groupBy(col("node_id"))
+      .agg(sum(col("total_bytes")).as("hosted"))
+      .withColumn("tot", sum(col("hosted")).over(Window.partitionBy(lit(1))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .withColumn("upper", expr("(tot * 101) DIV (n * 100)"))
+      .withColumn("lower", expr("(tot * 99) DIV (n * 100)"))
+    val over = perNode.filter(col("hosted") > col("upper"))
+      .select(col("node_id"), (col("hosted") - col("upper")).as("surplus"))
+    val under = perNode.filter(col("hosted") < col("lower"))
+      .select(col("node_id").as("to_node"),
+        (col("lower") - col("hosted")).as("deficit"))
+      .withColumn("tgt_rank", row_number().over(
+        Window.partitionBy(lit(1))
+          .orderBy(col("deficit").desc, col("to_node").asc)))
+      .withColumn("n_under", count(lit(1)).over(Window.partitionBy(lit(1))))
+    val wNode = Window.partitionBy(col("node_id"))
+      .orderBy(col("total_bytes").desc, col("container_id").asc)
+    val moves = placed.join(over, "node_id")
+      .withColumn("cum", sum(col("total_bytes")).over(
+        wNode.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") - col("total_bytes") < col("surplus"))
+      .withColumn("move_id", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("node_id").asc,
+          col("total_bytes").desc, col("container_id").asc)))
+    moves
+      .join(broadcast(under),
+        pmod(col("move_id") - 1, col("n_under")) + 1 === col("tgt_rank"))
+      .select(col("move_id"), col("container_id"),
+        col("node_id").as("from_node"), col("to_node"),
+        col("total_bytes").as("bytes_moved"))
+      .orderBy(col("move_id").asc)
+  }
+
+  val ctBalancerMovesSql: String =
+    s"""WITH $containerStatsSql, placed AS (
+       |  SELECT cont.container_id, cont.total_bytes,
+       |    (cont.container_id * 31 + u.r * 17) % 20 AS node_id
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  WHERE cont.replicas >= 1
+       |), pernode AS (
+       |  SELECT node_id, CAST(SUM(total_bytes) AS BIGINT) AS hosted,
+       |    CAST(SUM(SUM(total_bytes)) OVER () AS BIGINT) AS tot,
+       |    COUNT(*) OVER () AS n
+       |  FROM placed GROUP BY node_id
+       |), bounds AS (
+       |  SELECT node_id, hosted,
+       |    CAST((tot * 101) // (n * 100) AS BIGINT) AS upper_b,
+       |    CAST((tot * 99) // (n * 100) AS BIGINT) AS lower_b
+       |  FROM pernode
+       |), over_n AS (
+       |  SELECT node_id, hosted - upper_b AS surplus FROM bounds
+       |  WHERE hosted > upper_b
+       |), under_n AS (
+       |  SELECT node_id AS to_node, lower_b - hosted AS deficit,
+       |    ROW_NUMBER() OVER (ORDER BY lower_b - hosted DESC, node_id ASC)
+       |      AS tgt_rank,
+       |    COUNT(*) OVER () AS n_under
+       |  FROM bounds WHERE hosted < lower_b
+       |), cand AS (
+       |  SELECT p.node_id, p.container_id, p.total_bytes, o.surplus,
+       |    SUM(p.total_bytes) OVER (PARTITION BY p.node_id
+       |      ORDER BY p.total_bytes DESC, p.container_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM placed p JOIN over_n o ON p.node_id = o.node_id
+       |), moves AS (
+       |  SELECT node_id, container_id, total_bytes,
+       |    ROW_NUMBER() OVER (ORDER BY node_id ASC, total_bytes DESC,
+       |      container_id ASC) AS move_id
+       |  FROM cand WHERE cum - total_bytes < surplus
+       |)
+       |SELECT m.move_id, m.container_id, m.node_id AS from_node,
+       |  u.to_node, m.total_bytes AS bytes_moved
+       |FROM moves m JOIN under_n u
+       |  ON (m.move_id - 1) % u.n_under + 1 = u.tgt_rank
+       |ORDER BY m.move_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_safemode_status" -> ctSafemodeStatus,
+    "ct_balancer_moves" -> ctBalancerMoves,
     "ct_deleted_blocks_backlog" -> ctDeletedBlocksBacklog,
     "ct_balancer_report" -> ctBalancerReport,
     "ct_decommission_impact" -> ctDecommissionImpact,
@@ -450,6 +647,8 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_safemode_status" -> ctSafemodeStatusSql,
+    "ct_balancer_moves" -> ctBalancerMovesSql,
     "ct_deleted_blocks_backlog" -> ctDeletedBlocksBacklogSql,
     "ct_balancer_report" -> ctBalancerReportSql,
     "ct_decommission_impact" -> ctDecommissionImpactSql,
