@@ -13,7 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RelationalExt.queries ++
-      Namespace.queries ++ Containers.queries ++ Fso.queries ++
+      Namespace.queries ++ Containers.queries ++ Fso.queries ++ Audit.queries ++
       Entities.queries ++ EventOps.queries ++ Temporal.queries ++
       Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
       Multimodal.queries ++ Pipeline.queries
@@ -23,7 +23,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ RelationalExt.oracles ++
-      Namespace.oracles ++ Containers.oracles ++ Fso.oracles ++
+      Namespace.oracles ++ Containers.oracles ++ Fso.oracles ++ Audit.oracles ++
       Entities.oracles ++ EventOps.oracles ++ Temporal.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
       Multimodal.oracles ++ Pipeline.oracles

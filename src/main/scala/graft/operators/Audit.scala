@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OM audit-log analytics (SURVEY §2.A extension) — the reference ships an
+  * audit parser that loads OM audit logs and runs canned rollups over them
+  * (hadoop-ozone/tools/.../audit/parser/AuditParser.java with
+  * commands.properties: top5users / top5cmds / top5activetimebyseconds;
+  * entries are (datetime, user, ip, op, params, result) rows per
+  * common/.../audit/OMAction.java). Re-expressed Spark-first: the audit
+  * stream is a DataFrame, the canned SQLite rollups become declarative
+  * plans that scale to a 100 TB log archive.
+  *
+  * Audit-log binding: like [[graft.ObjectStoreView]], the log derives
+  * deterministically from the driver's `events` table so every operator
+  * has a DuckDB oracle — event_type maps to an OMAction (signup →
+  * ALLOCATE_KEY, purchase → COMMIT_KEY, click → READ_KEY, view →
+  * LIST_KEYS, error → DELETE_KEY with result FAILURE), user is
+  * 'u'‖user_id, and the touched entity maps into the namespace
+  * (volume 'vol'‖(event_id%3), bucket 'b'‖(user_id%5), month prefix from
+  * the event time). Operators are generic over any DataFrame with the
+  * audit schema; the derivation is the test binding.
+  *
+  * Scale notes (SURVEY §5): both rollups are one scan + one shuffle on
+  * the grouping key with map-side partial aggregation; timestamps are
+  * truncated to minute before any emit (§4 ns-precision discipline).
+  */
+object Audit {
+
+  /** The audit-entry view: (ts_minute, user, op, result, volume, bucket,
+    * prefix).
+    */
+  def auditLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select(
+        date_trunc("minute", col("ts")).as("ts_minute"),
+        concat(lit("u"), col("user_id").cast("string")).as("user"),
+        when(col("event_type") === "signup", "ALLOCATE_KEY")
+          .when(col("event_type") === "purchase", "COMMIT_KEY")
+          .when(col("event_type") === "click", "READ_KEY")
+          .when(col("event_type") === "view", "LIST_KEYS")
+          .otherwise("DELETE_KEY").as("op"),
+        when(col("event_type") === "error", "FAILURE")
+          .otherwise("SUCCESS").as("result"),
+        concat(lit("vol"), (col("event_id") % 3).cast("string")).as("volume"),
+        concat(lit("b"), (col("user_id") % 5).cast("string")).as("bucket"),
+        concat(lit("data/"), year(col("ts")).cast("string"), lit("/"),
+          lpad(month(col("ts")).cast("string"), 2, "0")).as("prefix"))
+
+  val auditLogSql: String =
+    """SELECT
+      |  date_trunc('minute', ts) AS ts_minute,
+      |  'u' || CAST(user_id AS VARCHAR) AS user,
+      |  CASE event_type WHEN 'signup' THEN 'ALLOCATE_KEY'
+      |    WHEN 'purchase' THEN 'COMMIT_KEY'
+      |    WHEN 'click' THEN 'READ_KEY'
+      |    WHEN 'view' THEN 'LIST_KEYS'
+      |    ELSE 'DELETE_KEY' END AS op,
+      |  CASE WHEN event_type = 'error' THEN 'FAILURE'
+      |    ELSE 'SUCCESS' END AS result,
+      |  'vol' || CAST(event_id % 3 AS VARCHAR) AS volume,
+      |  'b' || CAST(user_id % 5 AS VARCHAR) AS bucket,
+      |  'data/' || CAST(year(ts) AS VARCHAR) || '/' ||
+      |    lpad(CAST(month(ts) AS VARCHAR), 2, '0') AS prefix
+      |FROM events""".stripMargin
+
+  // --- ns_audit_op_mix: per-op audit rollup (top5cmds generalized) --------
+  /** Per-op entry counts, distinct users, failure counts, and first/last
+    * activity minute — the audit parser's top5cmds/top5users templates as
+    * one declarative rollup (most-frequent op first, op tie-break).
+    */
+  def nsAuditOpMix(spark: SparkSession, dir: String): DataFrame =
+    auditLog(spark, dir)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(col("user")).as("n_users"),
+        sum(when(col("result") === "FAILURE", 1L).otherwise(0L))
+          .as("n_failures"),
+        min(col("ts_minute")).as("first_minute"),
+        max(col("ts_minute")).as("last_minute"))
+      .orderBy(col("n_entries").desc, col("op").asc)
+
+  val nsAuditOpMixSql: String =
+    s"""WITH audit AS ($auditLogSql)
+       |SELECT op, COUNT(*) AS n_entries,
+       |  COUNT(DISTINCT "user") AS n_users,
+       |  CAST(SUM(CASE WHEN result = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_failures,
+       |  MIN(ts_minute) AS first_minute,
+       |  MAX(ts_minute) AS last_minute
+       |FROM audit GROUP BY op
+       |ORDER BY n_entries DESC, op ASC""".stripMargin
+
+  // --- ns_access_heatmap: entity read-access heatmap ----------------------
+  /** Read-access intensity per namespace entity (volume, bucket, month
+    * prefix): access counts, distinct readers, failed reads, last access —
+    * the audit parser's time-bucketed activity rollup
+    * (top5activetimebyseconds) keyed by the touched entity instead of the
+    * wall-clock second. READ ops only (READ_KEY / LIST_KEYS): the heatmap
+    * answers "what is hot", not "what changed".
+    */
+  def nsAccessHeatmap(spark: SparkSession, dir: String): DataFrame =
+    auditLog(spark, dir)
+      .filter(col("op").isin("READ_KEY", "LIST_KEYS"))
+      .groupBy(col("volume"), col("bucket"), col("prefix"))
+      .agg(count(lit(1)).as("n_accesses"),
+        countDistinct(col("user")).as("n_readers"),
+        max(col("ts_minute")).as("last_access_minute"))
+      .orderBy(col("volume").asc, col("bucket").asc, col("prefix").asc)
+
+  val nsAccessHeatmapSql: String =
+    s"""WITH audit AS ($auditLogSql)
+       |SELECT volume, bucket, prefix, COUNT(*) AS n_accesses,
+       |  COUNT(DISTINCT "user") AS n_readers,
+       |  MAX(ts_minute) AS last_access_minute
+       |FROM audit WHERE op IN ('READ_KEY', 'LIST_KEYS')
+       |GROUP BY volume, bucket, prefix
+       |ORDER BY volume ASC, bucket ASC, prefix ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_audit_op_mix" -> nsAuditOpMix,
+    "ns_access_heatmap" -> nsAccessHeatmap)
+
+  val oracles: Map[String, String] = Map(
+    "ns_audit_op_mix" -> nsAuditOpMixSql,
+    "ns_access_heatmap" -> nsAccessHeatmapSql)
+}

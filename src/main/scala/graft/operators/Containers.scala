@@ -579,9 +579,15 @@ object Containers {
       .withColumn("move_id", row_number().over(
         Window.partitionBy(lit(1)).orderBy(col("node_id").asc,
           col("total_bytes").desc, col("container_id").asc)))
+    // n_under is a 1-row scalar; attaching it to the move list first keeps
+    // the round-robin assignment an equi-join on tgt_rank (broadcast hash),
+    // not a nested-loop over a mixed-side modulo predicate.
+    val nUnder = under.agg(max(col("n_under")).as("n_under"))
     moves
-      .join(broadcast(under),
-        pmod(col("move_id") - 1, col("n_under")) + 1 === col("tgt_rank"))
+      .crossJoin(broadcast(nUnder))
+      .withColumn("tgt", pmod(col("move_id") - 1, col("n_under")) + 1)
+      .join(broadcast(under.drop("n_under")),
+        col("tgt") === col("tgt_rank"))
       .select(col("move_id"), col("container_id"),
         col("node_id").as("from_node"), col("to_node"),
         col("total_bytes").as("bytes_moved"))

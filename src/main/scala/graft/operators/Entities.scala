@@ -232,7 +232,73 @@ object Entities {
        |ORDER BY upload_id ASC
        |LIMIT $MaxUploads""".stripMargin
 
+  // --- ns_quota_enforcement: over/near-quota entity audit -----------------
+  /** Quota enforcement audit across BOTH entity levels — for every volume
+    * and bucket: used vs configured quota (the [[nsListVolumes]] /
+    * [[nsListBuckets]] configs), exact integer-ppm utilization, headroom
+    * (negative when over), and the enforcement action OM would take on the
+    * next write (reference: OmBucketInfo/OmVolumeArgs quotaInBytes +
+    * usedBytes accounting in ozone-manager/.../OMKeyRequest quota checks —
+    * writes into an over-quota entity are rejected). DENY_WRITES when
+    * used ≥ quota, WARN at ≥ 90%, ALLOW below.
+    *
+    * Plan shape: one keys scan feeds a bucket-level rollup; the volume
+    * level re-aggregates the bucket rows (tiny), so the union shuffles
+    * entity rows, never keys.
+    */
+  def nsQuotaEnforcement(spark: SparkSession, dir: String): DataFrame = {
+    val perBucket = ObjectStoreView.keys(spark, dir)
+      .groupBy(col("volume"), col("bucket"))
+      .agg(sum(col("size")).as("used_bytes"))
+    val buckets = perBucket
+      .withColumn("quota_bytes", lit(20000000000L))
+    val volumes = perBucket
+      .groupBy(col("volume"))
+      .agg(sum(col("used_bytes")).as("used_bytes"))
+      .withColumn("bucket", lit(null).cast("string"))
+      .withColumn("quota_bytes",
+        (substring(col("volume"), 4, 8).cast("long") + 1) * 50000000000L)
+    val entities = buckets.select(lit("BUCKET").as("entity_type"),
+        col("volume"), col("bucket"), col("quota_bytes"), col("used_bytes"))
+      .unionByName(volumes.select(lit("VOLUME").as("entity_type"),
+        col("volume"), col("bucket"), col("quota_bytes"), col("used_bytes")))
+    entities
+      .withColumn("used_ppm", expr("used_bytes * 1000000 DIV quota_bytes"))
+      .withColumn("headroom_bytes", col("quota_bytes") - col("used_bytes"))
+      .withColumn("enforcement",
+        when(col("used_ppm") >= 1000000L, "DENY_WRITES")
+          .when(col("used_ppm") >= 900000L, "WARN")
+          .otherwise("ALLOW"))
+      .orderBy(col("entity_type").asc, col("volume").asc,
+        col("bucket").asc_nulls_first)
+  }
+
+  val nsQuotaEnforcementSql: String =
+    s"""WITH keys AS ($ks), per_bucket AS (
+       |  SELECT volume, bucket, CAST(SUM(size) AS BIGINT) AS used_bytes
+       |  FROM keys GROUP BY volume, bucket
+       |), entities AS (
+       |  SELECT 'BUCKET' AS entity_type, volume, bucket,
+       |    CAST(20000000000 AS BIGINT) AS quota_bytes, used_bytes
+       |  FROM per_bucket
+       |  UNION ALL
+       |  SELECT 'VOLUME', volume, NULL,
+       |    (CAST(substring(volume, 4, 8) AS BIGINT) + 1) * 50000000000,
+       |    CAST(SUM(used_bytes) AS BIGINT)
+       |  FROM per_bucket GROUP BY volume
+       |)
+       |SELECT entity_type, volume, bucket, quota_bytes, used_bytes,
+       |  CAST(used_bytes * 1000000 // quota_bytes AS BIGINT) AS used_ppm,
+       |  quota_bytes - used_bytes AS headroom_bytes,
+       |  CASE WHEN used_bytes * 1000000 // quota_bytes >= 1000000
+       |      THEN 'DENY_WRITES'
+       |    WHEN used_bytes * 1000000 // quota_bytes >= 900000 THEN 'WARN'
+       |    ELSE 'ALLOW' END AS enforcement
+       |FROM entities
+       |ORDER BY entity_type ASC, volume ASC, bucket ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_quota_enforcement" -> nsQuotaEnforcement,
     "ns_content_summary" -> nsContentSummary,
     "ns_mpu_list_uploads" -> nsMpuListUploads,
     "ns_list_volumes" -> nsListVolumes,
@@ -242,6 +308,7 @@ object Entities {
     "ns_acl_report" -> nsAclReport)
 
   val oracles: Map[String, String] = Map(
+    "ns_quota_enforcement" -> nsQuotaEnforcementSql,
     "ns_content_summary" -> nsContentSummarySql,
     "ns_mpu_list_uploads" -> nsMpuListUploadsSql,
     "ns_list_volumes" -> nsListVolumesSql,

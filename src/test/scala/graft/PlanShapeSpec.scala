@@ -19,12 +19,16 @@ class PlanShapeSpec extends SparkSpec {
   /** q_idle_rich_custs, q15_top_supplier, q11_revenue_concentration and
     * pipe_mixture_weights broadcast a 1-ROW global aggregate back over a
     * scan (the scalar-subquery plan) — bounded by construction;
-    * q_hll_distinct combines two 1-row aggregates (sketch + exact count).
+    * q_hll_distinct combines two 1-row aggregates (sketch + exact count);
+    * ct_balancer_moves attaches the 1-row n_under scalar to the move list
+    * before its equi-join round-robin assignment; ct_safemode_status
+    * cross-joins four 1-row rule counters into the exit-rule report.
     */
   private val allowedNestedLoop =
     Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained",
       "q_idle_rich_custs", "q15_top_supplier", "q11_revenue_concentration",
-      "pipe_mixture_weights", "q_hll_distinct", "sim_recall_report")
+      "pipe_mixture_weights", "q_hll_distinct", "sim_recall_report",
+      "ct_balancer_moves", "ct_safemode_status")
 
   test("no CartesianProduct in any registered query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
