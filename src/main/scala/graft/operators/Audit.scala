@@ -120,11 +120,42 @@ object Audit {
        |GROUP BY volume, bucket, prefix
        |ORDER BY volume ASC, bucket ASC, prefix ASC""".stripMargin
 
+  // --- ns_audit_top_users: the parser's top5users template ----------------
+  /** Top 5 users by audit-entry volume with per-user op spread and failure
+    * counts — the third canned template in the reference's
+    * commands.properties (top5users). Deterministic: count desc, user asc
+    * tie-break. The per-user rollup shuffles once on `user`; the top-5 cut
+    * is a TakeOrdered over the aggregate (executors keep 5 rows each, the
+    * driver merges 5×partitions rows — never the full user set).
+    */
+  def nsAuditTopUsers(spark: SparkSession, dir: String): DataFrame =
+    auditLog(spark, dir)
+      .groupBy(col("user"))
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(col("op")).as("n_ops"),
+        sum(when(col("result") === "FAILURE", 1L).otherwise(0L))
+          .as("n_failures"),
+        max(col("ts_minute")).as("last_minute"))
+      .orderBy(col("n_entries").desc, col("user").asc)
+      .limit(5)
+
+  val nsAuditTopUsersSql: String =
+    s"""WITH audit AS ($auditLogSql)
+       |SELECT "user", COUNT(*) AS n_entries,
+       |  COUNT(DISTINCT op) AS n_ops,
+       |  CAST(SUM(CASE WHEN result = 'FAILURE' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_failures,
+       |  MAX(ts_minute) AS last_minute
+       |FROM audit GROUP BY "user"
+       |ORDER BY n_entries DESC, "user" ASC LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_audit_op_mix" -> nsAuditOpMix,
+    "ns_audit_top_users" -> nsAuditTopUsers,
     "ns_access_heatmap" -> nsAccessHeatmap)
 
   val oracles: Map[String, String] = Map(
     "ns_audit_op_mix" -> nsAuditOpMixSql,
+    "ns_audit_top_users" -> nsAuditTopUsersSql,
     "ns_access_heatmap" -> nsAccessHeatmapSql)
 }

@@ -601,7 +601,69 @@ object TextOps {
        |  round(CAST(max_count AS DOUBLE) / n_tokens, 6) AS dominance
        |FROM agg ORDER BY doc_id ASC""".stripMargin
 
+  // --- tx_crossdup: cross-document duplicated-shingle fraction ------------
+  /** Per-document fraction of its word-3gram shingles that also occur in at
+    * least one OTHER document — the corpus-level "duplicate n-gram
+    * fraction" curation signal (complement of [[txRepetition]], which is
+    * within-doc). A doc whose shingles are mostly corpus-shared is
+    * boilerplate or a near-copy even when no single LSH partner crosses
+    * the pair threshold.
+    *
+    * Plan shape (100 TB): shingles are LONG codes from the compiled
+    * kernel, so both shuffles move 8-byte codes, never text. Stage 1
+    * aggregates doc-frequency per code (map-side partial combine); stage 2
+    * joins the exploded codes back on the same key — the aggregate output
+    * is already hash-partitioned on `code`, so the join reuses that
+    * exchange rather than re-shuffling the frequency side. Flag threshold:
+    * ≥ 50% shared shingles.
+    */
+  def txCrossdup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
+    // explode_outer + post-filter: keeps the shingle pipeline a projection
+    // (see txContamination — plain explode inlines it into a per-element
+    // interpreted filter).
+    val ex = sh.select(col("doc_id"), explode_outer(col("sg")).as("code"))
+      .filter(col("code").isNotNull)
+    // Codes are distinct within a doc (shingleCodes3 array_distincts), so
+    // count(*) per code IS its document frequency.
+    val docFreq = ex.groupBy(col("code")).agg(count(lit(1)).as("df"))
+    ex.join(docFreq, Seq("code"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ppm", expr("n_shared * 1000000 DIV n_shingles"))
+      .withColumn("crossdup_flag",
+        when(col("shared_ppm") >= 500000L, 1L).otherwise(0L))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txCrossdupSql: String =
+    s"""WITH tc AS (
+       |  SELECT doc_id, ${strCodesSql(tokensSql("text"))} AS tcs
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, ${shingleCodes3Sql("tcs")} AS sg FROM tc
+       |), ex AS (
+       |  SELECT doc_id, unnest(sg) AS code FROM sh
+       |), df AS (
+       |  SELECT code, COUNT(*) AS df FROM ex GROUP BY code
+       |), agg AS (
+       |  SELECT e.doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared
+       |  FROM ex e JOIN df f ON e.code = f.code
+       |  GROUP BY e.doc_id
+       |)
+       |SELECT doc_id, n_shingles, n_shared,
+       |  CAST(n_shared * 1000000 // n_shingles AS BIGINT) AS shared_ppm,
+       |  CAST(CASE WHEN n_shared * 1000000 // n_shingles >= 500000
+       |    THEN 1 ELSE 0 END AS BIGINT) AS crossdup_flag
+       |FROM agg ORDER BY doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_crossdup" -> txCrossdup,
     "tx_diversity" -> txDiversity,
     "tx_countmin_freq" -> txCountminFreq,
     "tx_length_histogram" -> txLengthHistogram,
@@ -616,6 +678,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_crossdup" -> txCrossdupSql,
     "tx_diversity" -> txDiversitySql,
     "tx_countmin_freq" -> txCountminFreqSql,
     "tx_length_histogram" -> txLengthHistogramSql,

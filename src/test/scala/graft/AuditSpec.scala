@@ -29,6 +29,17 @@ class AuditSpec extends SparkSpec {
     assert(heat == reads)
   }
 
+  test("top users are the global top 5 by entry count, user tie-break") {
+    val top = Audit.nsAuditTopUsers(spark, sf).collect()
+    assert(top.length == 5)
+    val all = Audit.auditLog(spark, sf)
+      .groupBy(col("user")).agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (u, n) => (-n, u) }
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      all.take(5).toSeq)
+  }
+
   test("quota enforcement verdict matches the ppm threshold at both levels") {
     val rows = Entities.nsQuotaEnforcement(spark, sf).collect()
     assert(rows.exists(_.getString(0) == "VOLUME"))
