@@ -637,7 +637,89 @@ object Containers {
        |  ON (m.move_id - 1) % u.n_under + 1 = u.tgt_rank
        |ORDER BY m.move_id ASC""".stripMargin
 
+  // --- ct_ec_storage_overhead: replication-config storage accounting ------
+  /** Physical-vs-logical storage accounting per replication config — the
+    * reference supports both Ratis replication and erasure coding
+    * (hadoop-hdds/common/.../ECReplicationConfig.java: rs-3-2-1024k,
+    * rs-6-3-1024k; ReplicationConfig.java for RATIS/ONE|THREE), and
+    * Recon's storage report distinguishes raw vs replicated bytes. Config
+    * is derived per container with fixed arithmetic (container_id % 10:
+    * 0-5 RATIS/THREE, 6 RATIS/ONE, 7-8 EC/rs-3-2, 9 EC/rs-6-3 — majority
+    * Ratis-3, the common deployment mix).
+    *
+    * Physical bytes are exact integer math per container — logical ×
+    * (data+parity) DIV data, floored per container THEN summed (sum of
+    * floors, the order a per-container accountant produces) — and the
+    * savings column prices each config against the Ratis-3 default. One
+    * keys scan → per-container rollup → 4-row config rollup; both
+    * shuffles key on container/config ids, never keys.
+    */
+  def ctEcStorageOverhead(spark: SparkSession, dir: String): DataFrame = {
+    val conf = ObjectStoreView.containerKeys(spark, dir)
+      .groupBy(col("container_id"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("logical"))
+      .withColumn("m", col("container_id") % 10)
+      .withColumn("replication_config",
+        when(col("m") <= 5, "RATIS/THREE")
+          .when(col("m") === 6, "RATIS/ONE")
+          .when(col("m") <= 8, "EC/rs-3-2-1024k")
+          .otherwise("EC/rs-6-3-1024k"))
+      .withColumn("data_units",
+        when(col("m") <= 6, 1L).when(col("m") <= 8, 3L).otherwise(6L))
+      .withColumn("total_units",
+        when(col("m") <= 5, 3L).when(col("m") === 6, 1L)
+          .when(col("m") <= 8, 5L).otherwise(9L))
+      .withColumn("physical", expr("logical * total_units DIV data_units"))
+    conf.groupBy(col("replication_config"), col("data_units"),
+        col("total_units"))
+      .agg(count(lit(1)).as("n_containers"),
+        sum(col("n_keys")).as("n_keys"),
+        sum(col("logical")).as("logical_bytes"),
+        sum(col("physical")).as("physical_bytes"))
+      .withColumn("overhead_ppm",
+        expr("(physical_bytes - logical_bytes) * 1000000 DIV logical_bytes"))
+      .withColumn("savings_vs_ratis3_bytes",
+        col("logical_bytes") * 3L - col("physical_bytes"))
+      .orderBy(col("replication_config").asc)
+  }
+
+  val ctEcStorageOverheadSql: String =
+    s"""WITH container_keys AS ($cks), per_ct AS (
+       |  SELECT container_id, COUNT(*) AS n_keys,
+       |    CAST(SUM(size) AS BIGINT) AS logical,
+       |    container_id % 10 AS m
+       |  FROM container_keys GROUP BY container_id
+       |), conf AS (
+       |  SELECT *,
+       |    CASE WHEN m <= 5 THEN 'RATIS/THREE'
+       |         WHEN m = 6 THEN 'RATIS/ONE'
+       |         WHEN m <= 8 THEN 'EC/rs-3-2-1024k'
+       |         ELSE 'EC/rs-6-3-1024k' END AS replication_config,
+       |    CASE WHEN m <= 6 THEN 1 WHEN m <= 8 THEN 3 ELSE 6 END
+       |      AS data_units,
+       |    CASE WHEN m <= 5 THEN 3 WHEN m = 6 THEN 1 WHEN m <= 8 THEN 5
+       |         ELSE 9 END AS total_units,
+       |    CASE WHEN m <= 5 THEN logical * 3 WHEN m = 6 THEN logical
+       |         WHEN m <= 8 THEN logical * 5 // 3
+       |         ELSE logical * 9 // 6 END AS physical
+       |  FROM per_ct
+       |)
+       |SELECT replication_config, CAST(data_units AS BIGINT) AS data_units,
+       |  CAST(total_units AS BIGINT) AS total_units,
+       |  COUNT(*) AS n_containers,
+       |  CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+       |  CAST(SUM(logical) AS BIGINT) AS logical_bytes,
+       |  CAST(SUM(physical) AS BIGINT) AS physical_bytes,
+       |  CAST((SUM(physical) - SUM(logical)) * 1000000 // SUM(logical)
+       |    AS BIGINT) AS overhead_ppm,
+       |  CAST(SUM(logical) * 3 - SUM(physical) AS BIGINT)
+       |    AS savings_vs_ratis3_bytes
+       |FROM conf
+       |GROUP BY replication_config, data_units, total_units
+       |ORDER BY replication_config ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_ec_storage_overhead" -> ctEcStorageOverhead,
     "ct_safemode_status" -> ctSafemodeStatus,
     "ct_balancer_moves" -> ctBalancerMoves,
     "ct_deleted_blocks_backlog" -> ctDeletedBlocksBacklog,
@@ -653,6 +735,7 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_ec_storage_overhead" -> ctEcStorageOverheadSql,
     "ct_safemode_status" -> ctSafemodeStatusSql,
     "ct_balancer_moves" -> ctBalancerMovesSql,
     "ct_deleted_blocks_backlog" -> ctDeletedBlocksBacklogSql,

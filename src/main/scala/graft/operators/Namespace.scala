@@ -376,6 +376,92 @@ object Namespace {
        |FROM diff GROUP BY volume, bucket, diff_type
        |ORDER BY volume ASC, bucket ASC, diff_type ASC""".stripMargin
 
+  // --- ns_snapshot_diff_chain: composed diff across the snapshot chain ---
+  /** Compose two adjacent snapshot diffs (A→B) ∘ (B→C) into the A→C diff
+    * WITHOUT rescanning the endpoint snapshots. This is the algebra
+    * Ozone's snapshot chain relies on: snapDiff between non-adjacent
+    * snapshots walks the chain of per-link deltas rather than comparing
+    * full key sets (OM SnapshotDiffManager composes SST-level diffs along
+    * the snapshot chain). Composition rules over a full-outer join of the
+    * two entry lists on key:
+    *
+    *  - the A-side size is d1's old_size when the key appears in d1,
+    *    else d2's old_size (untouched A→B means A size = B size);
+    *  - the C-side size is d2's new_size when the key appears in d2,
+    *    else d1's new_size (untouched B→C);
+    *  - null→null (created then deleted inside the interval) and
+    *    equal sizes (deleted then recreated identically) cancel out.
+    *
+    * The REGISTERED oracle is the DIRECT A→C diff — so the correctness
+    * gate checks the composition law itself, not a re-implementation.
+    * Scale: each link's diff is delta-sized, not namespace-sized; the
+    * compose join shuffles only diff entries. A chain of k snapshots
+    * folds left through this same 2-ary compose.
+    */
+  def snapshotDiffCompose(d1: DataFrame, d2: DataFrame): DataFrame = {
+    val a = d1.select(col("volume"), col("bucket"), col("key"),
+      col("old_size").as("a_old"), col("new_size").as("a_new"),
+      lit(1L).as("in_a"))
+    val b = d2.select(col("volume"), col("bucket"), col("key"),
+      col("old_size").as("b_old"), col("new_size").as("b_new"),
+      lit(1L).as("in_b"))
+    a.join(b, Seq("volume", "bucket", "key"), "full_outer")
+      .withColumn("old_size",
+        when(col("in_a").isNotNull, col("a_old")).otherwise(col("b_old")))
+      .withColumn("new_size",
+        when(col("in_b").isNotNull, col("b_new")).otherwise(col("a_new")))
+      .withColumn("diff_type",
+        when(col("old_size").isNull && col("new_size").isNull, "NONE")
+          .when(col("old_size").isNull, "CREATE")
+          .when(col("new_size").isNull, "DELETE")
+          .when(col("old_size") =!= col("new_size"), "MODIFY")
+          .otherwise("SAME"))
+      .filter(col("diff_type") =!= "NONE" && col("diff_type") =!= "SAME")
+      .select("volume", "bucket", "key", "diff_type", "old_size", "new_size")
+  }
+
+  /** Per-key object state of a snapshot: the composition law requires keys
+    * UNIQUE within a snapshot (true of the real OM key table, which is
+    * primary-keyed on /volume/bucket/key — the synthetic lineitem binding
+    * has a handful of duplicate (orderkey, linenumber) pairs), so collapse
+    * duplicate rows into one object whose size is the part sum.
+    */
+  private def keyState(snap: DataFrame): DataFrame =
+    snap.groupBy(col("volume"), col("bucket"), col("key"))
+      .agg(sum(col("size")).as("size"))
+
+  private def keyStateSql(body: String): String =
+    s"""SELECT volume, bucket, key, CAST(SUM(size) AS BIGINT) AS size
+       |FROM ($body) GROUP BY volume, bucket, key""".stripMargin
+
+  def nsSnapshotDiffChain(spark: SparkSession, dir: String): DataFrame =
+    snapshotDiffCompose(
+      snapshotDiff(keyState(ObjectStoreView.snapshotA(spark, dir)),
+        keyState(ObjectStoreView.snapshotB(spark, dir))),
+      snapshotDiff(keyState(ObjectStoreView.snapshotB(spark, dir)),
+        keyState(ObjectStoreView.keys(spark, dir))))
+
+  /** Oracle = the direct A→current diff (not a composition). */
+  val nsSnapshotDiffChainSql: String =
+    s"""WITH snap_a AS (${keyStateSql(ObjectStoreView.snapshotASql)}),
+       |cur AS (${keyStateSql(ObjectStoreView.keysSql)}),
+       |joined AS (
+       |  SELECT COALESCE(a.volume, c.volume) AS volume,
+       |    COALESCE(a.bucket, c.bucket) AS bucket,
+       |    COALESCE(a.key, c.key) AS key,
+       |    a.size AS old_size, c.size AS new_size
+       |  FROM snap_a a FULL OUTER JOIN cur c
+       |    ON a.volume = c.volume AND a.bucket = c.bucket AND a.key = c.key
+       |)
+       |SELECT volume, bucket, key,
+       |  CASE WHEN old_size IS NULL THEN 'CREATE'
+       |       WHEN new_size IS NULL THEN 'DELETE'
+       |       WHEN old_size <> new_size THEN 'MODIFY'
+       |       ELSE 'SAME' END AS diff_type,
+       |  old_size, new_size
+       |FROM joined
+       |WHERE (old_size IS NULL OR new_size IS NULL OR old_size <> new_size)""".stripMargin
+
   /** Snapshot space accounting: per (volume, bucket, snapshot), the bytes a
     * snapshot REFERENCES vs the bytes EXCLUSIVE to it — the number the
     * store needs before deleting a snapshot ("how much comes back?").
@@ -642,6 +728,7 @@ object Namespace {
     "ns_key_age" -> nsKeyAge,
     "ns_snapshot_diff" -> nsSnapshotDiff,
     "ns_snapshot_diff_summary" -> nsSnapshotDiffSummary,
+    "ns_snapshot_diff_chain" -> nsSnapshotDiffChain,
     "ns_snapshot_space" -> snapshotSpace,
     "ns_expired_open_keys" -> nsExpiredOpenKeys,
     "ns_mpu_incomplete" -> nsMpuIncomplete,
@@ -663,6 +750,7 @@ object Namespace {
     "ns_key_age" -> nsKeyAgeSql,
     "ns_snapshot_diff" -> nsSnapshotDiffSql,
     "ns_snapshot_diff_summary" -> nsSnapshotDiffSummarySql,
+    "ns_snapshot_diff_chain" -> nsSnapshotDiffChainSql,
     "ns_snapshot_space" -> snapshotSpaceSql,
     "ns_expired_open_keys" -> nsExpiredOpenKeysSql,
     "ns_mpu_incomplete" -> nsMpuIncompleteSql,

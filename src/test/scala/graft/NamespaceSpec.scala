@@ -118,4 +118,21 @@ class NamespaceSpec extends SparkSpec {
     assert(backlog.filterKeys(_ >= 0).values.sum === expectedServed)
     assert(backlog.getOrElse(-1L, 0L) === expectedStuck)
   }
+
+  test("snapshot diff composition equals the direct diff") {
+    // (A→B) ∘ (B→cur) over deduplicated key states must equal the direct
+    // A→cur diff — the algebra the chain operator rests on. The oracle
+    // gates this at sf0.01; this pins it in-engine for refactors.
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("volume"), col("bucket"), col("key"))
+        .agg(sum(col("size")).as("size"))
+    val a = state(ObjectStoreView.snapshotA(spark, sf))
+    val b = state(ObjectStoreView.snapshotB(spark, sf))
+    val c = state(ObjectStoreView.keys(spark, sf))
+    val composed = Namespace.snapshotDiffCompose(
+      Namespace.snapshotDiff(a, b), Namespace.snapshotDiff(b, c))
+    val direct = Namespace.snapshotDiff(a, c)
+    assert(composed.exceptAll(direct).isEmpty &&
+      direct.exceptAll(composed).isEmpty)
+  }
 }
