@@ -80,6 +80,26 @@ object ObjectStoreView {
       .drop("rflag")
   }
 
+  /** keys() plus the source returnflag — the row-aligned basis all three
+    * chain states (A, B, live) derive from with pure filters/maps. Lets
+    * chain-wide accounting run as ONE scan with membership flags instead
+    * of joining materialized per-state views.
+    */
+  def keysWithFlag(spark: SparkSession, sfDir: String): DataFrame =
+    withFlag(spark, sfDir)
+
+  val keysWithFlagSql: String =
+    """SELECT l_returnflag AS rflag,
+      |  'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,
+      |  'b' || CAST(l_suppkey % 5 AS VARCHAR) AS bucket,
+      |  'data/' || CAST(year(l_shipdate) AS VARCHAR) || '/' ||
+      |    lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
+      |    CAST(l_orderkey AS VARCHAR) || '-' ||
+      |    CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size,
+      |  l_shipdate AS mtime
+      |FROM lineitem""".stripMargin
+
   private def withFlag(spark: SparkSession, sfDir: String): DataFrame = {
     val l = Tables.lineitem(spark, sfDir)
     keysFrom(l).withColumn("rflag", col("l_returnflag")).drop(

@@ -473,64 +473,92 @@ object Namespace {
     * the diff-driven reclamation semantics follow SnapshotDiffReport's
     * entry classes.
     *
-    * Plan shape: two left joins, each shuffled on the (volume, bucket,
-    * key) identity with both sides co-partitioned, each collapsing
-    * immediately to a per-bucket aggregate; the union moves 2 rows per
-    * bucket per snapshot.
+    * Plan shape: every chain state (A, B, live) is a row-aligned
+    * filter/map of the same key-version row, so the whole accounting is
+    * ONE scan with membership flags collapsing into one per-bucket
+    * aggregate (map-side partial) — no per-state views are materialized
+    * and nothing key-sized is ever joined or shuffled. (The earlier
+    * formulation joined materialized states on the key identity: 4 scans
+    * + 2 wide joins, and duplicate key strings in the synthetic binding
+    * over-counted as join pairs. Per-version flags are both the cheaper
+    * and the more faithful accounting.)
     */
   def snapshotSpace(spark: SparkSession, dir: String): DataFrame = {
-    def space(snap: DataFrame, next: DataFrame, name: String): DataFrame = {
-      val s = snap.select(col("volume"), col("bucket"), col("key"),
-        col("size"))
-      val n = next.select(col("volume"), col("bucket"), col("key"),
-        col("size").as("next_size"))
-      s.join(n, Seq("volume", "bucket", "key"), "left")
-        .withColumn("exclusive",
-          col("next_size").isNull || col("next_size") =!= col("size"))
-        .groupBy(col("volume"), col("bucket"))
-        .agg(count(lit(1)).as("ref_keys"), sum(col("size")).as("ref_bytes"),
-          sum(when(col("exclusive"), 1L).otherwise(0L)).as("excl_keys"),
-          sum(when(col("exclusive"), col("size")).otherwise(0L))
-            .as("excl_bytes"))
-        .select(lit(name).as("snapshot"), col("volume"), col("bucket"),
-          col("ref_keys"), col("ref_bytes"), col("excl_keys"),
-          col("excl_bytes"))
-    }
-    space(ObjectStoreView.snapshotA(spark, dir),
-        ObjectStoreView.snapshotB(spark, dir), "snap_a")
-      .union(space(ObjectStoreView.snapshotB(spark, dir),
-        ObjectStoreView.keys(spark, dir), "snap_b"))
+    val base = ObjectStoreView.keysWithFlag(spark, dir)
+      .withColumn("in_a",
+        col("mtime") < lit("1997-01-01").cast("timestamp"))
+      .withColumn("in_b",
+        col("mtime") < lit("1998-01-01").cast("timestamp") &&
+          col("rflag") =!= "R")
+      .withColumn("size_b",
+        when(col("rflag") === "A", col("size") + 1024).otherwise(col("size")))
+    // A-version exclusive: B no longer carries it identically (dropped or
+    // resized). B-version exclusive: live resized it (live carries every
+    // version, so absence can't occur on the B→live link).
+    val exclA = col("in_a") && (!col("in_b") || col("size_b") =!= col("size"))
+    val exclB = col("in_b") && (col("size_b") =!= col("size"))
+    val g = base.groupBy(col("volume"), col("bucket")).agg(
+      sum(when(col("in_a"), 1L).otherwise(0L)).as("a_ref_keys"),
+      sum(when(col("in_a"), col("size")).otherwise(0L)).as("a_ref_bytes"),
+      sum(when(exclA, 1L).otherwise(0L)).as("a_excl_keys"),
+      sum(when(exclA, col("size")).otherwise(0L)).as("a_excl_bytes"),
+      sum(when(col("in_b"), 1L).otherwise(0L)).as("b_ref_keys"),
+      sum(when(col("in_b"), col("size_b")).otherwise(0L)).as("b_ref_bytes"),
+      sum(when(exclB, 1L).otherwise(0L)).as("b_excl_keys"),
+      sum(when(exclB, col("size_b")).otherwise(0L)).as("b_excl_bytes"))
+    g.select(col("volume"), col("bucket"), explode(array(
+        struct(lit("snap_a").as("snapshot"),
+          col("a_ref_keys").as("ref_keys"), col("a_ref_bytes").as("ref_bytes"),
+          col("a_excl_keys").as("excl_keys"),
+          col("a_excl_bytes").as("excl_bytes")),
+        struct(lit("snap_b").as("snapshot"),
+          col("b_ref_keys").as("ref_keys"), col("b_ref_bytes").as("ref_bytes"),
+          col("b_excl_keys").as("excl_keys"),
+          col("b_excl_bytes").as("excl_bytes")))).as("s"))
+      .select(col("s.snapshot").as("snapshot"), col("volume"), col("bucket"),
+        col("s.ref_keys").as("ref_keys"), col("s.ref_bytes").as("ref_bytes"),
+        col("s.excl_keys").as("excl_keys"),
+        col("s.excl_bytes").as("excl_bytes"))
+      .filter(col("ref_keys") > 0)
       .orderBy(col("snapshot").asc, col("volume").asc, col("bucket").asc)
   }
 
   val snapshotSpaceSql: String =
-    s"""WITH snap_a AS (${ObjectStoreView.snapshotASql}),
-       |snap_b AS (${ObjectStoreView.snapshotBSql}),
-       |live AS ($ks),
-       |space_a AS (
-       |  SELECT 'snap_a' AS snapshot, s.volume, s.bucket,
-       |    COUNT(*) AS ref_keys, CAST(SUM(s.size) AS BIGINT) AS ref_bytes,
-       |    CAST(SUM(CASE WHEN n.size IS NULL OR n.size <> s.size
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS excl_keys,
-       |    CAST(SUM(CASE WHEN n.size IS NULL OR n.size <> s.size
-       |      THEN s.size ELSE 0 END) AS BIGINT) AS excl_bytes
-       |  FROM snap_a s LEFT JOIN snap_b n
-       |    ON s.volume = n.volume AND s.bucket = n.bucket AND s.key = n.key
-       |  GROUP BY s.volume, s.bucket
-       |), space_b AS (
-       |  SELECT 'snap_b' AS snapshot, s.volume, s.bucket,
-       |    COUNT(*) AS ref_keys, CAST(SUM(s.size) AS BIGINT) AS ref_bytes,
-       |    CAST(SUM(CASE WHEN n.size IS NULL OR n.size <> s.size
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS excl_keys,
-       |    CAST(SUM(CASE WHEN n.size IS NULL OR n.size <> s.size
-       |      THEN s.size ELSE 0 END) AS BIGINT) AS excl_bytes
-       |  FROM snap_b s LEFT JOIN live n
-       |    ON s.volume = n.volume AND s.bucket = n.bucket AND s.key = n.key
-       |  GROUP BY s.volume, s.bucket
+    s"""WITH base AS (${ObjectStoreView.keysWithFlagSql}),
+       |flags AS (
+       |  SELECT volume, bucket, size,
+       |    (mtime < TIMESTAMP '1997-01-01') AS in_a,
+       |    (mtime < TIMESTAMP '1998-01-01' AND rflag <> 'R') AS in_b,
+       |    CASE WHEN rflag = 'A' THEN size + 1024 ELSE size END AS size_b
+       |  FROM base
+       |), g AS (
+       |  SELECT volume, bucket,
+       |    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS a_ref_keys,
+       |    CAST(SUM(CASE WHEN in_a THEN size ELSE 0 END) AS BIGINT)
+       |      AS a_ref_bytes,
+       |    CAST(SUM(CASE WHEN in_a AND (NOT in_b OR size_b <> size)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS a_excl_keys,
+       |    CAST(SUM(CASE WHEN in_a AND (NOT in_b OR size_b <> size)
+       |      THEN size ELSE 0 END) AS BIGINT) AS a_excl_bytes,
+       |    CAST(SUM(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS b_ref_keys,
+       |    CAST(SUM(CASE WHEN in_b THEN size_b ELSE 0 END) AS BIGINT)
+       |      AS b_ref_bytes,
+       |    CAST(SUM(CASE WHEN in_b AND size_b <> size THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b_excl_keys,
+       |    CAST(SUM(CASE WHEN in_b AND size_b <> size THEN size_b ELSE 0 END)
+       |      AS BIGINT) AS b_excl_bytes
+       |  FROM flags GROUP BY volume, bucket
        |)
-       |SELECT * FROM space_a
+       |SELECT 'snap_a' AS snapshot, volume, bucket,
+       |  a_ref_keys AS ref_keys, a_ref_bytes AS ref_bytes,
+       |  a_excl_keys AS excl_keys, a_excl_bytes AS excl_bytes
+       |FROM g WHERE a_ref_keys > 0
        |UNION ALL
-       |SELECT * FROM space_b
+       |SELECT 'snap_b', volume, bucket,
+       |  b_ref_keys, b_ref_bytes, b_excl_keys, b_excl_bytes
+       |FROM g WHERE b_ref_keys > 0
        |ORDER BY snapshot ASC, volume ASC, bucket ASC""".stripMargin
 
   /** Open keys older than a cutoff — reference: OM open-key cleanup

@@ -91,13 +91,18 @@ class NamespaceSpec extends SparkSpec {
       assert(r.getLong(r.fieldIndex("excl_bytes")) <=
         r.getLong(r.fieldIndex("ref_bytes")))
     }
-    // snap_a's total exclusive keys = DELETE + MODIFY entries of the A→B
-    // diff (the old versions only snapshot A still references).
+    // snap_a's total exclusive versions = rows A references that B either
+    // dropped (R-flag or mtime window) or resized (the A-flag +1024 rule) —
+    // recomputed here from the flag rules directly, independent of the
+    // operator's size-comparison formulation.
     val exclA = space.filter(col("snapshot") === "snap_a")
       .agg(sum("excl_keys")).collect()(0).getLong(0)
-    val diffDelMod = Namespace.nsSnapshotDiff(spark, sf)
-      .filter(col("diff_type").isin("DELETE", "MODIFY")).count()
-    assert(exclA === diffDelMod)
+    val base = ObjectStoreView.keysWithFlag(spark, sf)
+    val inA = col("mtime") < lit("1997-01-01").cast("timestamp")
+    val inB = col("mtime") < lit("1998-01-01").cast("timestamp") &&
+      col("rflag") =!= "R"
+    val expected = base.filter(inA && (!inB || col("rflag") === "A")).count()
+    assert(exclA === expected)
   }
 
   test("deletion backlog: per-node txns fan out by replica count") {
