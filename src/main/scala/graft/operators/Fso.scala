@@ -103,25 +103,31 @@ object Fso {
     * aggregates bottom-up from the FSO dirTable; the du endpoint serves
     * subtree totals per path) joined with the resolved tree.
     *
-    * Plan shape: keys contribute to each of their ≤ 3 ancestor prefixes via
-    * a bounded explode (×depth, not ×subtree-size — a key at depth d costs
-    * d rows regardless of how wide the tree is), then ONE shuffle groups by
-    * (volume, bucket, prefix) with map-side partial aggregation. The dir
-    * side is [[resolvePaths]]'s output; both sides of the final join are
-    * dir-cardinality aggregates shuffled on the same key. At 100 TB the
-    * fact scan is never joined row-per-key against the tree — only its
-    * per-prefix aggregate is.
+    * Plan shape: keys first collapse to their LEAF directory (every key in
+    * the binding sits at depth 3) — that is the only key-sized shuffle,
+    * and it moves one row per key with map-side partial aggregation. The
+    * ancestor fan-out (≤ 3 rows per leaf dir) then runs over the
+    * DIR-cardinality aggregate, so the ×depth explode never touches the
+    * fact stream. The dir side is [[resolvePaths]]'s output; both sides
+    * of the final join are dir-cardinality aggregates shuffled on the
+    * same key. At 100 TB the fact scan is never joined row-per-key
+    * against the tree — only its per-prefix aggregate is.
     */
   def nsFsoDu(spark: SparkSession, dir: String): DataFrame = {
-    val sub = ObjectStoreView.keys(spark, dir)
+    val leaf = ObjectStoreView.keys(spark, dir)
       .select(col("volume"), col("bucket"), col("size"),
+        substring_index(col("key"), "/", 3).as("leaf"))
+      .groupBy(col("volume"), col("bucket"), col("leaf"))
+      .agg(count(lit(1)).as("f"), sum(col("size")).as("b"))
+    val sub = leaf
+      .select(col("volume"), col("bucket"), col("f"), col("b"),
         explode(array(
-          substring_index(col("key"), "/", 1),
-          substring_index(col("key"), "/", 2),
-          substring_index(col("key"), "/", 3))).as("abs_path"))
+          substring_index(col("leaf"), "/", 1),
+          substring_index(col("leaf"), "/", 2),
+          col("leaf"))).as("abs_path"))
       .groupBy(col("volume"), col("bucket"), col("abs_path"))
-      .agg(count(lit(1)).as("subtree_files"),
-        sum(col("size")).as("subtree_bytes"))
+      .agg(sum(col("f")).as("subtree_files"),
+        sum(col("b")).as("subtree_bytes"))
     resolvePaths(ObjectStoreView.dirTable(spark, dir))
       .join(sub, Seq("volume", "bucket", "abs_path"))
       .select(col("volume"), col("bucket"), col("obj_id"), col("abs_path"),
