@@ -779,7 +779,66 @@ object RelationalExt {
        |) t""".stripMargin
   }
 
+  // --- q_column_stats: ANALYZE-style exact column statistics --------------
+  private val StatCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    "l_returnflag", "l_linestatus", "l_shipdate")
+  private val NumCols = Set("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Table-level column statistics in one pass — row count, per-column
+    * exact NDV, null count, and numeric min/max — the stats a cost-based
+    * optimizer and a min/max data-skipping layer consume (what
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` collects; exact
+    * NDV here rather than HLL so the result is oracle-gateable, the
+    * approximate path is [[qHllDistinct]]).
+    *
+    * Plan shape: ONE scan; Spark plans the multi-column distinct as a
+    * single Expand (×11) feeding partial aggregates — the standard
+    * stats-collection shape, linear in columns, no joins. The long-format
+    * unpivot explodes an 11-element struct array of the 1-row aggregate.
+    */
+  def qColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +: StatCols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"${c}_ndv"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")) ++
+        (if (NumCols(c))
+          Seq(min(col(c)).cast("double").as(s"${c}_min"),
+            max(col(c)).cast("double").as(s"${c}_max"))
+        else Nil)
+    }
+    val g = li.agg(aggs.head, aggs.tail: _*)
+    g.select(explode(array(StatCols.map { c =>
+        struct(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}_ndv").as("ndv"), col(s"${c}_nulls").as("n_null"),
+          (if (NumCols(c)) col(s"${c}_min")
+           else lit(null).cast("double")).as("min_num"),
+          (if (NumCols(c)) col(s"${c}_max")
+           else lit(null).cast("double")).as("max_num"))
+      }: _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.n_rows").as("n_rows"),
+        col("s.ndv").as("ndv"), col("s.n_null").as("n_null"),
+        col("s.min_num").as("min_num"), col("s.max_num").as("max_num"))
+      .orderBy(col("col_name").asc)
+  }
+
+  val qColumnStatsSql: String =
+    StatCols.map { c =>
+      val mn =
+        if (NumCols(c)) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx =
+        if (NumCols(c)) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT $c) AS ndv,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  $mn AS min_num, $mx AS max_num
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name ASC")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_column_stats" -> qColumnStats,
     "q12_late_priority" -> q12LatePriority,
     "q20_dominant_supplier" -> q20DominantSupplier,
     "q_hll_distinct" -> qHllDistinct,
@@ -798,6 +857,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_column_stats" -> qColumnStatsSql,
     "q12_late_priority" -> q12Sql,
     "q20_dominant_supplier" -> q20Sql,
     "q_hll_distinct" -> qHllSql,
