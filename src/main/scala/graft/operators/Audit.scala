@@ -33,8 +33,15 @@ object Audit {
     * prefix).
     */
   def auditLog(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    auditEntries(Tables.events(spark, dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+
+  /** The entry derivation over any events-shaped frame with a TIMESTAMP
+    * `ts` — shared by the batch view above and the streaming twin
+    * ([[graft.streaming.StreamOps.auditOpMixStream]]).
+    */
+  def auditEntries(events: DataFrame): DataFrame =
+    events
       .select(
         date_trunc("minute", col("ts")).as("ts_minute"),
         concat(lit("u"), col("user_id").cast("string")).as("user"),

@@ -89,6 +89,28 @@ object StreamOps {
       .agg(sum(col("d")).as("n_files"),
         sum(col("d") * col("size")).as("total_bytes"))
 
+  /** Streaming OM audit-log op-mix — the incremental twin of
+    * [[graft.operators.Audit.nsAuditOpMix]]: audit entries derive per-row
+    * from the event stream (shared [[graft.operators.Audit.auditEntries]]
+    * projection) and fold into per-op entry/failure counters plus the
+    * first/last activity minute. Like [[fileSizeCountStream]], the state
+    * IS the report — one row per OMAction (≤ the op vocabulary), so no
+    * watermark is needed and state can never grow with stream length.
+    * (`n_users` from the batch rollup is the one column with no bounded
+    * incremental form — an exact streaming distinct would need per-user
+    * state; the HLL-sketch route is [[graft.operators.Relational]]'s
+    * approx path.)
+    */
+  def auditOpMixStream(entries: DataFrame): DataFrame =
+    graft.operators.Audit.auditEntries(entries)
+      .withColumn("d_fail",
+        when(col("result") === "FAILURE", 1L).otherwise(0L))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_entries"),
+        sum(col("d_fail")).as("n_failures"),
+        min(col("ts_minute")).as("first_minute"),
+        max(col("ts_minute")).as("last_minute"))
+
   /** Streaming first-seen-wins exact dedup — the incremental twin of
     * [[graft.operators.Dedup.ddExact]] (SURVEY §6): documents stream in,
     * each row is fingerprinted with the same dual full-text fold hashes,

@@ -108,6 +108,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming audit op-mix equals the batch rollup") {
+    val q = StreamOps.auditOpMixStream(StreamOps.eventStream(spark, eventsDir))
+      .writeStream.format("memory").queryName("audit_mix_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("audit_mix_test")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    // Batch twin minus n_users (no bounded incremental form; see twin doc).
+    val batch = operators.Audit.nsAuditOpMix(spark, sf)
+      .select("op", "n_entries", "n_failures", "first_minute", "last_minute")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).toSet
+    assert(streamed == batch)
+  }
+
   test("event-time timeout flushes open sessions as the watermark advances") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
