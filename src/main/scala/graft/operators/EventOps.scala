@@ -422,7 +422,49 @@ object EventOps {
       |    AS prob_ppm
       |FROM pairs ORDER BY event_type ASC, next_type ASC""".stripMargin
 
+  // --- ev_value_quantiles: exact per-hour value percentiles ---------------
+  /** Exact p50/p95/p99 of event value per hour — the latency-report shape
+    * of an ops dashboard, computed EXACTLY via nearest-rank arithmetic
+    * (rank ⌈q·n⌉ of the (value, event_id)-sorted group; the tie-break
+    * makes the pick deterministic) rather than an approximate sketch
+    * (that path is `percentile_approx` / the HLL family). One shuffle:
+    * the per-hour window sort; the conditional-max rollup reuses its
+    * partitioning. At 100 TB an exact quantile NEEDS the per-group sort —
+    * hours parallelize across executors, and a skewed hour salts into
+    * sub-ranks the same way the SkewJoin utility does.
+    */
+  def evValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val byHour = Window.partitionBy(col("hour"))
+    val ranked = events(spark, dir)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(
+        byHour.orderBy(col("value").asc, col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(byHour))
+    def rank(p: Int) = expr(s"(n * $p + 99) DIV 100") // ⌈n·p/100⌉
+    ranked.groupBy(col("hour"), col("n").as("n_events"))
+      .agg(max(when(col("rn") === rank(50), col("value"))).as("p50"),
+        max(when(col("rn") === rank(95), col("value"))).as("p95"),
+        max(when(col("rn") === rank(99), col("value"))).as("p99"))
+      .orderBy(col("hour").asc)
+  }
+
+  val evValueQuantilesSql: String =
+    """WITH ranked AS (
+      |  SELECT date_trunc('hour', ts) AS hour, value,
+      |    ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+      |      ORDER BY value ASC, event_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS n
+      |  FROM events
+      |)
+      |SELECT hour, n AS n_events,
+      |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+      |  MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END) AS p95,
+      |  MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+      |FROM ranked GROUP BY hour, n
+      |ORDER BY hour ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_value_quantiles" -> evValueQuantiles,
     "ev_transitions" -> evTransitions,
     "ev_anomaly" -> evAnomaly,
     "ev_top_per_hour" -> evTopPerHour,
@@ -436,6 +478,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_value_quantiles" -> evValueQuantilesSql,
     "ev_transitions" -> evTransitionsSql,
     "ev_anomaly" -> evAnomalySql,
     "ev_top_per_hour" -> evTopPerHourSql,
