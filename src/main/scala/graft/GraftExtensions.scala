@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Scale-safety rewrite: naive `p BETWEEN lo AND hi` range joins become
     // bucket-blocked equi-joins instead of nested-loop products.
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // Whole-operator per-group top-k (bounded heaps + survivors-only
+    // exchange) for graft.operators.GraftTopK plans.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }
 

@@ -376,6 +376,31 @@ object Namespace {
        |FROM diff GROUP BY volume, bucket, diff_type
        |ORDER BY volume ASC, bucket ASC, diff_type ASC""".stripMargin
 
+  // --- ns_top_keys_per_bucket: per-group top-k via the custom operator ---
+  /** Top 3 largest keys in EVERY bucket — per-group form of [[nsTopKeys]]
+    * (Recon's per-bucket largest-objects panel), executed by the custom
+    * [[graft.plans.TopKPerGroupNode]] physical operator: bounded per-group
+    * heaps in each scan partition, then an exchange of the ≤ 3·|buckets|
+    * survivors only — never the window plan's corpus-wide shuffle + full
+    * per-group sort. Deterministic under the (size desc, key asc) total
+    * order. The final orderBy touches k·|buckets| rows.
+    */
+  def nsTopKeysPerBucket(spark: SparkSession, dir: String): DataFrame =
+    GraftTopK.topKPerGroup(
+      ObjectStoreView.keys(spark, dir)
+        .select(col("volume"), col("bucket"), col("key"), col("size")),
+      Seq("volume", "bucket"),
+      Seq("size" -> true, "key" -> false), 3)
+      .orderBy(col("volume").asc, col("bucket").asc, col("size").desc,
+        col("key").asc)
+
+  val nsTopKeysPerBucketSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket, key, size FROM keys
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY volume, bucket
+       |  ORDER BY size DESC, key ASC) <= 3
+       |ORDER BY volume ASC, bucket ASC, size DESC, key ASC""".stripMargin
+
   // --- ns_snapshot_diff_chain: composed diff across the snapshot chain ---
   /** Compose two adjacent snapshot diffs (A→B) ∘ (B→C) into the A→C diff
     * WITHOUT rescanning the endpoint snapshots. This is the algebra
@@ -757,6 +782,7 @@ object Namespace {
     "ns_snapshot_diff" -> nsSnapshotDiff,
     "ns_snapshot_diff_summary" -> nsSnapshotDiffSummary,
     "ns_snapshot_diff_chain" -> nsSnapshotDiffChain,
+    "ns_top_keys_per_bucket" -> nsTopKeysPerBucket,
     "ns_snapshot_space" -> snapshotSpace,
     "ns_expired_open_keys" -> nsExpiredOpenKeys,
     "ns_mpu_incomplete" -> nsMpuIncomplete,
@@ -779,6 +805,7 @@ object Namespace {
     "ns_snapshot_diff" -> nsSnapshotDiffSql,
     "ns_snapshot_diff_summary" -> nsSnapshotDiffSummarySql,
     "ns_snapshot_diff_chain" -> nsSnapshotDiffChainSql,
+    "ns_top_keys_per_bucket" -> nsTopKeysPerBucketSql,
     "ns_snapshot_space" -> snapshotSpaceSql,
     "ns_expired_open_keys" -> nsExpiredOpenKeysSql,
     "ns_mpu_incomplete" -> nsMpuIncompleteSql,

@@ -12,6 +12,14 @@ object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Wrap a custom logical plan as a DataFrame (Dataset.ofRows is
+    * private[sql]); the plan goes through the full analyzer, so unresolved
+    * attributes in custom nodes resolve normally.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a temp SQL function on an existing session (the
     * FunctionRegistry lives behind private[sql] sessionState). For
     * config-time registration use `spark.sql.extensions` with

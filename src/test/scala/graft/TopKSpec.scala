@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{GraftTopK, Namespace}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The custom per-group top-k physical operator: result equality with the
+  * window formulation, and the plan shape that justifies it.
+  */
+class TopKSpec extends SparkSpec {
+
+  test("topKPerGroup equals the window row_number formulation") {
+    val keys = ObjectStoreView.keys(spark, sf)
+      .select(col("volume"), col("bucket"), col("key"), col("size"))
+    val custom = GraftTopK.topKPerGroup(keys, Seq("volume", "bucket"),
+      Seq("size" -> true, "key" -> false), 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val window = keys.withColumn("rn", row_number().over(
+        Window.partitionBy(col("volume"), col("bucket"))
+          .orderBy(col("size").desc, col("key").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(custom == window)
+    assert(custom.size == 3 * keys.select("volume", "bucket").distinct.count())
+  }
+
+  test("plan is partial+final heaps with no window and no full sort") {
+    val plan = Namespace.nsTopKeysPerBucket(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Spark prints exec nodes with the "Exec" suffix stripped.
+    assert("TopKPerGroup\\b".r.findAllIn(plan).length == 2,
+      s"expected partial+final TopKPerGroup nodes:\n$plan")
+    assert(!plan.contains("Window"), "per-group top-k fell back to a window")
+    // The only sort is the k·|groups|-row output ordering ABOVE the final
+    // top-k, never below it (a sort below would mean the corpus was sorted).
+    val topKIdx = plan.indexOf("TopKPerGroup")
+    val sortIdx = plan.indexOf("Sort ")
+    assert(sortIdx == -1 || sortIdx < topKIdx,
+      "found a sort below the top-k operator")
+  }
+
+  test("k larger than every group returns all rows") {
+    val small = ObjectStoreView.keys(spark, sf).limit(50)
+      .select(col("volume"), col("bucket"), col("key"), col("size"))
+    val all = GraftTopK.topKPerGroup(small, Seq("volume"),
+      Seq("size" -> true, "key" -> false), 1000000).count()
+    assert(all == 50)
+  }
+}
