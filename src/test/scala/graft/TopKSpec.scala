@@ -41,6 +41,30 @@ class TopKSpec extends SparkSpec {
       "found a sort below the top-k operator")
   }
 
+  test("randomized: equals the window formulation for random data and k") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { round =>
+      val n = 200 + rnd.nextInt(800)
+      val k = 1 + rnd.nextInt(5)
+      val nGroups = 1 + rnd.nextInt(8)
+      // id makes the order total, so both formulations pick identical rows.
+      val rows = (0 until n).map(i =>
+        (rnd.nextInt(nGroups).toLong, rnd.nextInt(20).toLong, i.toLong))
+      val df = rows.toDF("g", "v", "id").repartition(5)
+      val custom = GraftTopK.topKPerGroup(df, Seq("g"),
+        Seq("v" -> true, "id" -> false), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val window = df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g"))
+            .orderBy(col("v").desc, col("id").asc)))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(custom == window, s"round $round (n=$n k=$k groups=$nGroups)")
+    }
+  }
+
   test("k larger than every group returns all rows") {
     val small = ObjectStoreView.keys(spark, sf).limit(50)
       .select(col("volume"), col("bucket"), col("key"), col("size"))
