@@ -459,12 +459,17 @@ object Namespace {
     s"""SELECT volume, bucket, key, CAST(SUM(size) AS BIGINT) AS size
        |FROM ($body) GROUP BY volume, bucket, key""".stripMargin
 
-  def nsSnapshotDiffChain(spark: SparkSession, dir: String): DataFrame =
+  def nsSnapshotDiffChain(spark: SparkSession, dir: String): DataFrame = {
+    // The B state appears in both links; Spark still plans it twice (the
+    // per-side size aliases collapse into the aggregates, so the two
+    // subplans don't canonicalize equal for exchange reuse). That cost is
+    // binding-only: in production the operator's inputs ARE the two
+    // delta-sized link diffs — no endpoint state is scanned at all.
+    val b = keyState(ObjectStoreView.snapshotB(spark, dir))
     snapshotDiffCompose(
-      snapshotDiff(keyState(ObjectStoreView.snapshotA(spark, dir)),
-        keyState(ObjectStoreView.snapshotB(spark, dir))),
-      snapshotDiff(keyState(ObjectStoreView.snapshotB(spark, dir)),
-        keyState(ObjectStoreView.keys(spark, dir))))
+      snapshotDiff(keyState(ObjectStoreView.snapshotA(spark, dir)), b),
+      snapshotDiff(b, keyState(ObjectStoreView.keys(spark, dir))))
+  }
 
   /** Oracle = the direct A→current diff (not a composition). */
   val nsSnapshotDiffChainSql: String =
