@@ -305,14 +305,14 @@ object TextOps {
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term").asc)
-    tf.join(df, "term")
+    // Top term per doc via the custom bounded-heap operator — the window
+    // formulation (row_number over doc partitions, filter rk=1) would
+    // shuffle and fully sort the doc×term frame to keep one row per doc.
+    val scored = tf.join(df, "term")
       .withColumn("score",
         round(col("tf").cast("double") * 1000 / col("df"), 6))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    GraftTopK.topKPerGroup(scored, Seq("doc_id"),
+        Seq("score" -> true, "term" -> false), 1)
       .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"),
         col("score"))
       .orderBy(col("doc_id").asc)
