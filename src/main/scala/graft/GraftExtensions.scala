@@ -25,8 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bucket-blocked equi-joins instead of nested-loop products.
     ext.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
     // Whole-operator per-group top-k (bounded heaps + survivors-only
-    // exchange) for graft.operators.GraftTopK plans.
+    // exchange) for graft.operators.GraftTopK plans, plus the rule that
+    // pushes group-key filters through the custom node to the scan.
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKFilterPushdown)
   }
 }
 

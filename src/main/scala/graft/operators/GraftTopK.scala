@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.plans.{TopKPerGroupNode, TopKPerGroupStrategy}
+import graft.plans.{TopKFilterPushdown, TopKPerGroupNode, TopKPerGroupStrategy}
 import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
@@ -31,6 +31,10 @@ object GraftTopK {
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(TopKFilterPushdown)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKFilterPushdown
     }
     val sortOrders = orderBy.map { case (name, desc) =>
       SortOrder(UnresolvedAttribute.quoted(name),

@@ -98,6 +98,25 @@ case class TopKPerGroupExec(
       newChild: SparkPlan): TopKPerGroupExec = copy(child = newChild)
 }
 
+/** A deterministic filter that references only GROUP columns commutes with
+  * per-group top-k (it removes whole groups, never reorders rows within
+  * one) — push it below the node so it reaches the scan. Catalyst's own
+  * PushDownPredicate cannot know this for a custom node; without the rule
+  * a `topKPerGroup(...).filter(groupCol === x)` plan would heap the whole
+  * corpus first. The same argument Spark applies to window partition keys.
+  */
+object TopKFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case Filter(cond, t: TopKPerGroupNode)
+        if cond.deterministic && t.groupExprs.forall(_.resolved) &&
+          cond.references.subsetOf(
+            AttributeSet(t.groupExprs.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
 /** Plans the logical node as partial → (exchange via EnsureRequirements) →
   * final. Registered through [[graft.GraftExtensions]] and self-installed
   * by [[graft.operators.GraftTopK]].

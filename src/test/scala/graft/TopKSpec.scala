@@ -65,6 +65,26 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("group-key filters push through the custom node") {
+    val keys = ObjectStoreView.keys(spark, sf)
+      .select(col("volume"), col("bucket"), col("key"), col("size"))
+    val filtered = GraftTopK.topKPerGroup(keys, Seq("volume", "bucket"),
+      Seq("size" -> true, "key" -> false), 3)
+      .filter(col("volume") === "vol1")
+    val plan = filtered.queryExecution.optimizedPlan.toString
+    // The Filter must sit BELOW TopKPerGroupNode after optimization.
+    val topKIdx = plan.indexOf("TopKPerGroup")
+    val filterIdx = plan.indexOf("Filter")
+    assert(topKIdx >= 0 && filterIdx > topKIdx,
+      s"group filter did not push below the top-k node:\n$plan")
+    // And the result matches filtering first.
+    val a = filtered.collect().map(_.toString).sorted
+    val b = GraftTopK.topKPerGroup(keys.filter(col("volume") === "vol1"),
+      Seq("volume", "bucket"), Seq("size" -> true, "key" -> false), 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("k larger than every group returns all rows") {
     val small = ObjectStoreView.keys(spark, sf).limit(50)
       .select(col("volume"), col("bucket"), col("key"), col("size"))
