@@ -422,6 +422,34 @@ object EventOps {
       |    AS prob_ppm
       |FROM pairs ORDER BY event_type ASC, next_type ASC""".stripMargin
 
+  // --- ev_pivot_monthly: month × event-type activity matrix ---------------
+  /** Monthly activity matrix — one row per month, one count column per
+    * event type — via Spark's relational PIVOT with an EXPLICIT value list
+    * (an implicit list costs an extra distinct-values job and makes the
+    * schema data-dependent; pinned values keep the plan one aggregate and
+    * the schema stable for the oracle). Plan: single groupBy(month)
+    * aggregate with conditional counts — same shape the oracle writes by
+    * hand.
+    */
+  def evPivotMonthly(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("month", date_trunc("month", col("ts")))
+      .groupBy(col("month"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("month").asc)
+
+  val evPivotMonthlySql: String =
+    """SELECT date_trunc('month', ts) AS month,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events
+      |GROUP BY month ORDER BY month ASC""".stripMargin
+
   // --- ev_value_quantiles: exact per-hour value percentiles ---------------
   /** Exact p50/p95/p99 of event value per hour — the latency-report shape
     * of an ops dashboard, computed EXACTLY via nearest-rank arithmetic
@@ -464,6 +492,7 @@ object EventOps {
       |ORDER BY hour ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_pivot_monthly" -> evPivotMonthly,
     "ev_value_quantiles" -> evValueQuantiles,
     "ev_transitions" -> evTransitions,
     "ev_anomaly" -> evAnomaly,
@@ -478,6 +507,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_pivot_monthly" -> evPivotMonthlySql,
     "ev_value_quantiles" -> evValueQuantilesSql,
     "ev_transitions" -> evTransitionsSql,
     "ev_anomaly" -> evAnomalySql,
