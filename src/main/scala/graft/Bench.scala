@@ -52,7 +52,7 @@ object Bench {
     // and parquet footers are hot before the timed loop.
     val warmup = Seq("q1_pricing_summary", "q3_shipping_priority",
       "ns_filesize_histogram", "ev_user_activity", "tx_tokens",
-      "dd_embed_cosine", "dd_minhash_lsh")
+      "dd_embed_cosine", "dd_minhash_lsh", "ns_top_keys_per_bucket")
     warmup.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn) catch { case _: Throwable => () }

@@ -124,6 +124,28 @@ class NamespaceSpec extends SparkSpec {
     assert(backlog.getOrElse(-1L, 0L) === expectedStuck)
   }
 
+  test("randomized: diff composition law holds for arbitrary key states") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { round =>
+      // Three random states over a small key universe: each key is
+      // present/absent per state with a random (often shared) size —
+      // exercising every CREATE/DELETE/MODIFY/recreate combination.
+      def state() = (0 until 120).flatMap { i =>
+        if (rnd.nextBoolean())
+          Some(("vol0", "b0", s"k$i", (1 + rnd.nextInt(3)).toLong * 100))
+        else None
+      }.toDF("volume", "bucket", "key", "size")
+      val (a, b, c) = (state(), state(), state())
+      val composed = Namespace.snapshotDiffCompose(
+        Namespace.snapshotDiff(a, b), Namespace.snapshotDiff(b, c))
+      val direct = Namespace.snapshotDiff(a, c)
+      assert(composed.exceptAll(direct).isEmpty &&
+        direct.exceptAll(composed).isEmpty, s"round $round")
+    }
+  }
+
   test("snapshot diff composition equals the direct diff") {
     // (A→B) ∘ (B→cur) over deduplicated key states must equal the direct
     // A→cur diff — the algebra the chain operator rests on. The oracle
