@@ -837,7 +837,41 @@ object RelationalExt {
          |FROM lineitem""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name ASC")
 
+  // --- q_cube_sales: CUBE over (priority, year) with grouping flags -------
+  /** Full CUBE lattice over (order priority, order year): every
+    * subtotal combination in one aggregate (the ROLLUP twin is
+    * [[Relational]]'s q_rollup_sales; CUBE adds the cross-dimension
+    * subtotals). `grouping(col)` flags (0 = value row, 1 = subtotal) are
+    * emitted explicitly — NULL dim values can't disambiguate subtotal
+    * rows from genuine NULLs, and per-column flags avoid the engines'
+    * differing grouping_id bit conventions. One Expand(×4) + one shuffle,
+    * exactly the lattice size.
+    */
+  def qCubeSales(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("bigint"))
+      .cube(col("o_orderpriority"), col("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_priority"),
+        grouping(col("o_year")).cast("bigint").as("g_year"))
+      .orderBy(col("g_priority").asc, col("g_year").asc,
+        col("o_orderpriority").asc_nulls_first, col("o_year").asc_nulls_first)
+
+  val qCubeSalesSql: String =
+    """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year
+      |FROM orders
+      |GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+      |ORDER BY g_priority ASC, g_year ASC,
+      |  o_orderpriority ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube_sales" -> qCubeSales,
     "q_column_stats" -> qColumnStats,
     "q12_late_priority" -> q12LatePriority,
     "q20_dominant_supplier" -> q20DominantSupplier,
@@ -857,6 +891,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_cube_sales" -> qCubeSalesSql,
     "q_column_stats" -> qColumnStatsSql,
     "q12_late_priority" -> q12Sql,
     "q20_dominant_supplier" -> q20Sql,
