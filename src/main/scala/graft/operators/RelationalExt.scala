@@ -870,7 +870,58 @@ object RelationalExt {
       |ORDER BY g_priority ASC, g_year ASC,
       |  o_orderpriority ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin
 
+  // --- q_moving_revenue: RANGE-frame trailing 3-month window --------------
+  /** Trailing 3-calendar-month revenue per order priority — a VALUE-range
+    * window frame (`RANGE BETWEEN 2 PRECEDING AND CURRENT ROW` over a
+    * month index), distinct from q_cumulative_revenue's ROWS frame: months
+    * missing from the data leave gaps the frame skips naturally. Sums stay
+    * DECIMAL through the frame (associative → engine-exact), cast to
+    * double only on emit. Window runs over the per-month aggregate
+    * (|priorities|×|months| rows), never the fact stream.
+    */
+  def qMovingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.orders(spark, dir)
+      .withColumn("m_idx",
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("bigint"))
+      .groupBy(col("o_orderpriority"), col("m_idx"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val w3 = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("m_idx")).rangeBetween(-2, Window.currentRow)
+    monthly
+      .withColumn("trailing_3mo_revenue",
+        sum(col("rev")).over(w3).cast("double"))
+      .withColumn("trailing_3mo_orders", sum(col("n_orders")).over(w3))
+      .select(col("o_orderpriority"), col("m_idx"),
+        col("rev").cast("double").as("month_revenue"), col("n_orders"),
+        col("trailing_3mo_revenue"), col("trailing_3mo_orders"))
+      .orderBy(col("o_orderpriority").asc, col("m_idx").asc)
+  }
+
+  val qMovingRevenueSql: String =
+    """WITH monthly AS (
+      |  SELECT o_orderpriority,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+      |      AS m_idx,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY o_orderpriority, m_idx
+      |)
+      |SELECT o_orderpriority, m_idx, CAST(rev AS DOUBLE) AS month_revenue,
+      |  n_orders,
+      |  CAST(SUM(rev) OVER (PARTITION BY o_orderpriority ORDER BY m_idx
+      |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_3mo_revenue,
+      |  CAST(SUM(n_orders) OVER (PARTITION BY o_orderpriority ORDER BY m_idx
+      |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS trailing_3mo_orders
+      |FROM monthly
+      |ORDER BY o_orderpriority ASC, m_idx ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_moving_revenue" -> qMovingRevenue,
     "q_cube_sales" -> qCubeSales,
     "q_column_stats" -> qColumnStats,
     "q12_late_priority" -> q12LatePriority,
@@ -891,6 +942,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_moving_revenue" -> qMovingRevenueSql,
     "q_cube_sales" -> qCubeSalesSql,
     "q_column_stats" -> qColumnStatsSql,
     "q12_late_priority" -> q12Sql,
