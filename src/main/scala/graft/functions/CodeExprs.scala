@@ -100,6 +100,23 @@ case class DotLongExpr(left: Expression, right: Expression)
   override def prettyName: String = "graft_dot_long"
 }
 
+/** string → long 32-codepoint polynomial code — scalar twin of
+  * [[StrCodesExpr]]. The declarative [[Codes.strCode]] form expands to 32
+  * rpad/substring/ascii terms PER CALL SITE; a handful of them in one
+  * projection pushes the generated doConsume past the JVM method-size
+  * limit and drops the whole stage out of codegen.
+  */
+case class StrCodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CodeKernels.strCode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodeKernels.strCode($c)")
+  override protected def withNewChildInternal(newChild: Expression): StrCodeExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_str_code"
+}
+
 /** array<string> → array<long> of 32-codepoint polynomial codes. */
 case class StrCodesExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -66,6 +66,15 @@ object Codes {
   def strCodeSql(e: String): String =
     s"((${polyCodeSql(e)} % $P * 64 + length($e) % 64) % $P)"
 
+  /** Same value as [[strCode]] via the compiled [[StrCodeExpr]] kernel —
+    * one static call in generated code instead of 32 inline terms. Use in
+    * wide projections (many code columns in one select) where the inline
+    * form would overflow the generated method size.
+    */
+  def strCodeFast(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      StrCodeExpr(org.apache.spark.sql.GraftBridge.expression(c)))
+
   /** i-th hash of a code column. */
   def hash(i: Int, x: Column): Column = (lit(A(i)) * x + B(i)) % P
 

@@ -789,14 +789,15 @@ object RelationalExt {
   /** Table-level column statistics in one pass — row count, per-column
     * exact NDV, null count, and numeric min/max — the stats a cost-based
     * optimizer and a min/max data-skipping layer consume (what
-    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` collects; exact
-    * NDV here rather than HLL so the result is oracle-gateable, the
-    * approximate path is [[qHllDistinct]]).
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` collects).
     *
-    * Plan shape: ONE scan; Spark plans the multi-column distinct as a
-    * single Expand (×11) feeding partial aggregates — the standard
-    * stats-collection shape, linear in columns, no joins. The long-format
-    * unpivot explodes an 11-element struct array of the 1-row aggregate.
+    * This is the EXACT small-scale variant: Spark plans the multi-column
+    * distinct as an Expand (×11) feeding partial aggregates, and
+    * high-cardinality columns keep per-column exact distinct state that
+    * grows with the data. That is the right oracle anchor at test SF but
+    * NOT the 100 TB ANALYZE path — at scale run
+    * [[qColumnStatsApprox]], whose per-column HLL registers are
+    * constant-size and mergeable under any partitioning.
     */
   def qColumnStats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -835,6 +836,124 @@ object RelationalExt {
          |    AS n_null,
          |  $mn AS min_num, $mx AS max_num
          |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name ASC")
+
+  // --- q_column_stats_approx: sketch-NDV ANALYZE (the 100 TB path) --------
+
+  /** Deterministic bigint key in [0, P) per stats column — the HLL input.
+    * Integer columns reduce mod P; decimal-valued columns go through the
+    * exact cents mapping (DECIMAL(12,2)·100, the [[graft.ObjectStoreView]]
+    * discipline); strings through [[Codes.strCode]]; dates through the
+    * yyyymmdd integer. Every mapping has a DuckDB twin built from the same
+    * constants, so the sketch input — and therefore the estimate — is
+    * bit-identical across engines.
+    */
+  private val DecCols = Set("l_quantity", "l_extendedprice", "l_discount",
+    "l_tax")
+  private def statKey(c: String): Column = c match {
+    case "l_shipdate" =>
+      (year(col(c)) * 10000 + month(col(c)) * 100 + dayofmonth(col(c)))
+        .cast("bigint")
+    case _ if DecCols(c) =>
+      (col(c).cast("decimal(12,2)") * 100).cast("bigint") % HllP
+    case "l_returnflag" | "l_linestatus" =>
+      graft.functions.Codes.strCodeFast(col(c))
+    case _ => col(c).cast("bigint") % HllP
+  }
+  private def statKeySql(c: String): String = c match {
+    case "l_shipdate" =>
+      s"CAST(year($c) * 10000 + month($c) * 100 + day($c) AS BIGINT)"
+    case _ if DecCols(c) =>
+      s"(CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) % $HllP)"
+    case "l_returnflag" | "l_linestatus" => graft.functions.Codes.strCodeSql(c)
+    case _ => s"(CAST($c AS BIGINT) % $HllP)"
+  }
+
+  /** ANALYZE with sketch NDV — the statistics collection you actually run
+    * at 100 TB: per-column NDV from the deterministic integer-arithmetic
+    * HyperLogLog of [[qHllDistinct]] (m=1024), all 11 columns in ONE scan.
+    *
+    * Plan shape vs the exact [[qColumnStats]]: instead of an Expand (×11)
+    * carrying full rows into per-column exact-distinct state, each row
+    * emits eleven (col_id, register, rank) triples — three small ints —
+    * and everything downstream is a bounded aggregate: per-partition
+    * partial MAX collapses each partition to ≤ 11·1025 rows before the
+    * shuffle, the final state is 11 KB of registers, and the estimate is
+    * integer arithmetic on the 1-row-per-column sketch. Null counts ride
+    * the same pass (a null key hashes to a null register, counted
+    * separately). Constant state + mergeable registers = the sketch works
+    * under any partitioning, which is the point of HLL at scale.
+    * Oracle-gated bit-for-bit like q_hll_distinct: the ESTIMATE itself is
+    * deterministic, not just close.
+    */
+  def qColumnStatsApprox(spark: SparkSession, dir: String): DataFrame = {
+    def reg(x: Column): Column =
+      ((x * x % HllP) * 777777777L + x * 123456789L + 987654321L) % HllP % 1024L
+    def h2(x: Column): Column =
+      ((x * x % HllP) * 588888888L + x * 22222223L + 11111111L) % HllP
+    def rho(h: Column): Column = (1 to 14).foldRight(lit(15): Column) {
+      (k, e) => when(h >= (HllP >> k), k).otherwise(e)
+    }
+    // rho is computed AFTER the explode: pre-explode it would inline the
+    // 14-branch conditional once per column and the generated doConsume
+    // blows the JVM method-size limit, dropping the whole scan stage out
+    // of codegen. Post-explode there is exactly one rho expression.
+    val entries = array(StatCols.zipWithIndex.map { case (c, i) =>
+      val x = statKey(c)
+      struct(lit(i).as("cid"), reg(x).as("reg"), h2(x).as("h2"))
+    }: _*)
+    val nameOf = StatCols.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (e, (c, i)) => when(col("cid") === i, c).otherwise(e)
+    }
+    Tables.lineitem(spark, dir)
+      .select(explode(entries).as("e"))
+      .select(col("e.cid").as("cid"), col("e.reg").as("reg"),
+        rho(col("e.h2")).as("rho"))
+      .groupBy(col("cid"), col("reg"))
+      .agg(max(col("rho")).as("mr"), count(lit(1)).as("cnt"))
+      .groupBy(col("cid"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        sum(when(col("reg").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        sum(when(col("reg").isNotNull, 1L).otherwise(0L)).as("hit"),
+        sum(when(col("reg").isNotNull,
+          expr("CAST(32768 / POWER(2, mr) AS BIGINT)")).otherwise(0L))
+          .as("denom_hit"))
+      .withColumn("denom",
+        col("denom_hit") + (lit(1024L) - col("hit")) * 32768L)
+      .withColumn("ndv_est",
+        expr(s"CAST(${7213L * 1024 * 1024 * 1024} AS BIGINT) * 32768 DIV " +
+          s"(${10000L * 1024 + 10790} * denom)"))
+      .select(nameOf.as("col_name"), col("n_rows"), col("n_null"),
+        col("hit"), col("denom"), col("ndv_est"))
+      .orderBy(col("col_name").asc)
+  }
+
+  val qColumnStatsApproxSql: String =
+    StatCols.map { c =>
+      val xe = statKeySql(c)
+      s"""SELECT '$c' AS col_name, n_rows, n_null, hit, denom,
+         |  CAST(${7213L * 1024 * 1024 * 1024} AS BIGINT) * 32768
+         |    // (${10000L * 1024 + 10790} * denom) AS ndv_est
+         |FROM (
+         |  SELECT n_rows, n_null, hit,
+         |    denom_hit + (1024 - hit) * 32768 AS denom
+         |  FROM (
+         |    SELECT CAST(COUNT(*) AS BIGINT) AS hit,
+         |      CAST(SUM(CAST(32768 / POWER(2, mr) AS BIGINT)) AS BIGINT)
+         |        AS denom_hit
+         |    FROM (
+         |      SELECT reg, MAX($hllRhoCase) AS mr
+         |      FROM (
+         |        SELECT ($hllHashSql) % 1024 AS reg, $hllRankHashSql AS h2
+         |        FROM (SELECT $xe AS x FROM lineitem WHERE $xe IS NOT NULL) xs
+         |      ) rt GROUP BY reg
+         |    ) regs
+         |  ) sk,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |     CAST(SUM(CASE WHEN $xe IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |       AS n_null FROM lineitem) nn
+         |) t""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name ASC")
 
   // --- q_cube_sales: CUBE over (priority, year) with grouping flags -------
@@ -924,6 +1043,7 @@ object RelationalExt {
     "q_moving_revenue" -> qMovingRevenue,
     "q_cube_sales" -> qCubeSales,
     "q_column_stats" -> qColumnStats,
+    "q_column_stats_approx" -> qColumnStatsApprox,
     "q12_late_priority" -> q12LatePriority,
     "q20_dominant_supplier" -> q20DominantSupplier,
     "q_hll_distinct" -> qHllDistinct,
@@ -945,6 +1065,7 @@ object RelationalExt {
     "q_moving_revenue" -> qMovingRevenueSql,
     "q_cube_sales" -> qCubeSalesSql,
     "q_column_stats" -> qColumnStatsSql,
+    "q_column_stats_approx" -> qColumnStatsApproxSql,
     "q12_late_priority" -> q12Sql,
     "q20_dominant_supplier" -> q20Sql,
     "q_hll_distinct" -> qHllSql,
