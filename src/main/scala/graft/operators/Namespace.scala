@@ -311,12 +311,36 @@ object Namespace {
     * Shuffled full-outer join on the key identity; at 100 TB both sides are
     * hash-partitioned on the same key so the join is co-located post-shuffle.
     */
-  def snapshotDiff(snapA: DataFrame, snapB: DataFrame): DataFrame = {
-    val a = snapA.select(col("volume"), col("bucket"), col("key"),
-      col("size").as("old_size"))
-    val b = snapB.select(col("volume"), col("bucket"), col("key"),
-      col("size").as("new_size"))
-    a.join(b, Seq("volume", "bucket", "key"), "full_outer")
+  def snapshotDiff(snapA: DataFrame, snapB: DataFrame): DataFrame =
+    diffDecorate(diffSides(snapA, snapB) match {
+      case (a, b) => a.join(b, Seq("volume", "bucket", "key"), "full_outer")
+    })
+
+  /** [[snapshotDiff]] with the full-outer join salted
+    * ([[SkewJoin.saltedFullOuterJoin]]) — the escape hatch when the A side
+    * carries a hot key prefix that AQE's post-shuffle splitting can't fix
+    * (one join key exceeding an executor: the hot-version-chain /
+    * hot-prefix case). Result-identical to [[snapshotDiff]]; the B side
+    * pays `salts`× replication, so this is for skewed-A-vs-delta-B
+    * bindings, not for two full namespace states. SkewJoinSpec pins the
+    * salted exchange and result equality.
+    */
+  def snapshotDiffSalted(snapA: DataFrame, snapB: DataFrame,
+      salts: Int): DataFrame =
+    diffDecorate(diffSides(snapA, snapB) match {
+      case (a, b) =>
+        SkewJoin.saltedFullOuterJoin(a, b, Seq("volume", "bucket", "key"),
+          salts)
+    })
+
+  private def diffSides(snapA: DataFrame, snapB: DataFrame) = (
+    snapA.select(col("volume"), col("bucket"), col("key"),
+      col("size").as("old_size")),
+    snapB.select(col("volume"), col("bucket"), col("key"),
+      col("size").as("new_size")))
+
+  private def diffDecorate(joined: DataFrame): DataFrame =
+    joined
       .withColumn("diff_type",
         when(col("old_size").isNull, "CREATE")
           .when(col("new_size").isNull, "DELETE")
@@ -324,7 +348,6 @@ object Namespace {
           .otherwise("SAME"))
       .filter(col("diff_type") =!= "SAME")
       .select("volume", "bucket", "key", "diff_type", "old_size", "new_size")
-  }
 
   def nsSnapshotDiff(spark: SparkSession, dir: String): DataFrame =
     snapshotDiff(ObjectStoreView.snapshotA(spark, dir),
@@ -460,15 +483,40 @@ object Namespace {
        |FROM ($body) GROUP BY volume, bucket, key""".stripMargin
 
   def nsSnapshotDiffChain(spark: SparkSession, dir: String): DataFrame = {
-    // The B state appears in both links; Spark still plans it twice (the
-    // per-side size aliases collapse into the aggregates, so the two
-    // subplans don't canonicalize equal for exchange reuse). That cost is
-    // binding-only: in production the operator's inputs ARE the two
-    // delta-sized link diffs — no endpoint state is scanned at all.
-    val b = keyState(ObjectStoreView.snapshotB(spark, dir))
+    // All three chain states (A, B, live) are filters/maps of the SAME
+    // key-version row, so the per-key state of every snapshot collapses
+    // into ONE scan + ONE aggregate producing (a_size, b_size, c_size)
+    // with NULL = absent — the ns_snapshot_space pattern. The tri-state
+    // frame is localCheckpoint'ed once so both link diffs read the
+    // materialized aggregate instead of re-planning the scan (the r6
+    // formulation planned the shared B state twice). The links themselves
+    // are then row-aligned filters — the only join left is the compose,
+    // which runs over delta-sized inputs and is the algebra under test.
+    val inA = col("mtime") < lit("1997-01-01").cast("timestamp")
+    val inB = col("mtime") < lit("1998-01-01").cast("timestamp") &&
+      col("rflag") =!= "R"
+    val sizeB = when(col("rflag") === "A", col("size") + 1024)
+      .otherwise(col("size"))
+    val tri = ObjectStoreView.keysWithFlag(spark, dir)
+      .groupBy(col("volume"), col("bucket"), col("key"))
+      .agg(
+        sum(when(inA, col("size"))).as("a_size"),
+        sum(when(inB, sizeB)).as("b_size"),
+        sum(col("size")).as("c_size"))
+      .localCheckpoint()
+    def link(oldSize: Column, newSize: Column): DataFrame =
+      tri.filter(oldSize.isNotNull || newSize.isNotNull)
+        .withColumn("diff_type",
+          when(oldSize.isNull, "CREATE")
+            .when(newSize.isNull, "DELETE")
+            .when(oldSize =!= newSize, "MODIFY")
+            .otherwise("SAME"))
+        .filter(col("diff_type") =!= "SAME")
+        .select(col("volume"), col("bucket"), col("key"), col("diff_type"),
+          oldSize.as("old_size"), newSize.as("new_size"))
     snapshotDiffCompose(
-      snapshotDiff(keyState(ObjectStoreView.snapshotA(spark, dir)), b),
-      snapshotDiff(b, keyState(ObjectStoreView.keys(spark, dir))))
+      link(col("a_size"), col("b_size")),
+      link(col("b_size"), col("c_size")))
   }
 
   /** Oracle = the direct A→current diff (not a composition). */

@@ -162,4 +162,18 @@ class NamespaceSpec extends SparkSpec {
     assert(composed.exceptAll(direct).isEmpty &&
       direct.exceptAll(composed).isEmpty)
   }
+
+  test("nsSnapshotDiffChain single-scan rewrite equals the direct diff") {
+    // The r7 single-scan tri-state formulation must still satisfy the
+    // composition law the registered oracle checks: chain == direct A→cur.
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("volume"), col("bucket"), col("key"))
+        .agg(sum(col("size")).as("size"))
+    val chain = Namespace.nsSnapshotDiffChain(spark, sf)
+    val direct = Namespace.snapshotDiff(
+      state(ObjectStoreView.snapshotA(spark, sf)),
+      state(ObjectStoreView.keys(spark, sf)))
+    assert(chain.exceptAll(direct).isEmpty &&
+      direct.exceptAll(chain).isEmpty)
+  }
 }

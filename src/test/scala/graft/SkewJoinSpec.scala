@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.SkewJoin
+import graft.operators.{Namespace, SkewJoin}
 import org.apache.spark.sql.functions._
 
 /** Salting must spread a hot key across reducers without changing the
@@ -34,5 +34,47 @@ class SkewJoinSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(plan.contains("_salt"), "salt column absent from the plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted snapshot diff equals the plain diff on a hot-prefix binding") {
+    // Deliberately skewed binding: collapse ~90% of snapshot A's keys onto
+    // ONE hot path prefix (the hot-version-chain case — duplicate join
+    // keys, so one reducer would take ~90% of the A side), then diff
+    // against a delta-sized B.
+    val keys = ObjectStoreView.keys(spark, sf)
+      .select(col("volume"), col("bucket"), col("key"), col("size"))
+    val hotA = keys.withColumn("key",
+      when(col("size") % 10 < 9, "data/hot/chain.obj").otherwise(col("key")))
+    val deltaB = keys.filter(col("size") % 7 === 0)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      val plain = canon(Namespace.snapshotDiff(hotA, deltaB))
+      val salted = canon(Namespace.snapshotDiffSalted(hotA, deltaB, 16))
+      assert(salted == plain)
+
+      // The salted exchange really partitions on (..., _salt).
+      val plan = Namespace.snapshotDiffSalted(hotA, deltaB, 16)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"), "salt column absent from the plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("saltedFullOuterJoin matches full_outer across match patterns") {
+    val s = spark
+    import s.implicits._
+    // Left: hot key 1 duplicated heavily + keys with 0/1/2-sided presence.
+    val left = ((1 to 500).map(_ => (1L, "a")) ++
+      Seq((2L, "b"), (3L, "c"), (3L, "c2"))).toDF("k", "lv")
+    val right = Seq((1L, 10L), (3L, 30L), (4L, 40L)).toDF("k", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val plain = canon(left.join(right, Seq("k"), "full_outer"))
+    val salted = canon(SkewJoin.saltedFullOuterJoin(left, right, Seq("k"), 8)
+      .select("k", "lv", "rv"))
+    assert(salted == plain)
   }
 }
