@@ -27,6 +27,12 @@ object GraftTopK {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // An empty group list would build ClusteredDistribution(Nil) and die
+    // at physical planning with an opaque internal error; global top-k is
+    // Spark's own ORDER BY + LIMIT (TakeOrderedAndProject).
+    require(groupCols.nonEmpty,
+      "topKPerGroup needs at least one group column; for global top-k use " +
+        "orderBy(...).limit(k)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
       spark.experimental.extraStrategies =

@@ -26,19 +26,21 @@ class TopKSpec extends SparkSpec {
     assert(custom.size == 3 * keys.select("volume", "bucket").distinct.count())
   }
 
-  test("plan is partial+final heaps with no window and no full sort") {
+  test("plan is partial+final heaps with no window and no corpus sort") {
     val plan = Namespace.nsTopKeysPerBucket(spark, sf)
       .queryExecution.executedPlan.toString
     // Spark prints exec nodes with the "Exec" suffix stripped.
     assert("TopKPerGroup\\b".r.findAllIn(plan).length == 2,
       s"expected partial+final TopKPerGroup nodes:\n$plan")
     assert(!plan.contains("Window"), "per-group top-k fell back to a window")
-    // The only sort is the k·|groups|-row output ordering ABOVE the final
-    // top-k, never below it (a sort below would mean the corpus was sorted).
-    val topKIdx = plan.indexOf("TopKPerGroup")
-    val sortIdx = plan.indexOf("Sort ")
-    assert(sortIdx == -1 || sortIdx < topKIdx,
-      "found a sort below the top-k operator")
+    // Sorts above the final node (output ordering) and between final and
+    // partial (the survivors-only sort the streaming merge requires) are
+    // expected; a sort BELOW the partial would mean the corpus was sorted.
+    val partialIdx = plan.indexOf("TopKPerGroup",
+      plan.indexOf("TopKPerGroup") + 1)
+    assert(partialIdx > 0, s"missing partial node:\n$plan")
+    assert(plan.indexOf("Sort ", partialIdx) == -1,
+      s"found a sort below the partial top-k (corpus sort):\n$plan")
   }
 
   test("randomized: equals the window formulation for random data and k") {
@@ -62,6 +64,37 @@ class TopKSpec extends SparkSpec {
         .filter(col("rn") <= k).drop("rn")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(custom == window, s"round $round (n=$n k=$k groups=$nGroups)")
+    }
+  }
+
+  test("high-cardinality groups stay correct through the flush-at-cap path") {
+    val s = spark
+    import s.implicits._
+    // Cap the map-side heap table far below the group count so every
+    // partition flushes repeatedly; the streaming final must still merge
+    // the duplicated survivors to exactly the window answer.
+    spark.conf.set("spark.graft.topk.maxGroupsPerPartition", "64")
+    try {
+      val rnd = new scala.util.Random(7)
+      val rows = (0 until 20000).map(i =>
+        (rnd.nextInt(3000).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      val df = rows.toDF("g", "v", "id").repartition(7)
+      val custom = GraftTopK.topKPerGroup(df, Seq("g"),
+        Seq("v" -> true, "id" -> false), 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val window = df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("g"))
+            .orderBy(col("v").desc, col("id").asc)))
+        .filter(col("rn") <= 2).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(custom == window)
+    } finally spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
+  }
+
+  test("empty group list is rejected at the API") {
+    val keys = ObjectStoreView.keys(spark, sf).select(col("key"), col("size"))
+    intercept[IllegalArgumentException] {
+      GraftTopK.topKPerGroup(keys, Nil, Seq("size" -> true), 3)
     }
   }
 
