@@ -156,13 +156,42 @@ object Audit {
        |FROM audit GROUP BY "user"
        |ORDER BY n_entries DESC, "user" ASC LIMIT 5""".stripMargin
 
+  // --- ns_audit_active_seconds: the parser's top5activetimebyseconds ------
+  /** Top 5 busiest wall-clock SECONDS by audit-entry count — the third and
+    * last canned template in the reference's commands.properties
+    * (tools/src/main/resources/commands.properties:22,
+    * top5activetimebyseconds: datetime truncated to the second, grouped,
+    * top 5 by count). The one audit rollup that needs sub-minute
+    * resolution, so it derives its own second-granularity timestamp from
+    * the raw event time instead of the minute-truncated [[auditLog]] view.
+    * Deterministic: count desc, second asc tie-break; the top-5 cut is a
+    * TakeOrdered over the per-second aggregate (5 rows per executor, never
+    * the full second set on the driver).
+    */
+  def nsAuditActiveSeconds(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_trunc("second",
+        timestamp_micros(expr("ts DIV 1000"))).as("ts_second"))
+      .groupBy(col("ts_second"))
+      .agg(count(lit(1)).as("n_entries"))
+      .orderBy(col("n_entries").desc, col("ts_second").asc)
+      .limit(5)
+
+  val nsAuditActiveSecondsSql: String =
+    """SELECT date_trunc('second', ts) AS ts_second,
+      |  COUNT(*) AS n_entries
+      |FROM events GROUP BY ts_second
+      |ORDER BY n_entries DESC, ts_second ASC LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_audit_op_mix" -> nsAuditOpMix,
     "ns_audit_top_users" -> nsAuditTopUsers,
+    "ns_audit_active_seconds" -> nsAuditActiveSeconds,
     "ns_access_heatmap" -> nsAccessHeatmap)
 
   val oracles: Map[String, String] = Map(
     "ns_audit_op_mix" -> nsAuditOpMixSql,
     "ns_audit_top_users" -> nsAuditTopUsersSql,
+    "ns_audit_active_seconds" -> nsAuditActiveSecondsSql,
     "ns_access_heatmap" -> nsAccessHeatmapSql)
 }

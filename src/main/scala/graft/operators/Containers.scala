@@ -718,7 +718,122 @@ object Containers {
        |GROUP BY replication_config, data_units, total_units
        |ORDER BY replication_config ASC""".stripMargin
 
+  // --- ct_task_status: Recon derived-view freshness ------------------------
+  /** Freshness of every Recon-style derived view: per task, the timestamp
+    * of the newest source row it has incorporated and the source sequence
+    * number it has consumed up to — the reference's `GET /task/status`
+    * (recon/.../api/TaskStatusService.java:47-49: each ReconTaskStatus row
+    * is (taskName, lastUpdatedTimestamp, lastUpdatedSeqNumber)). The
+    * RocksDB sequence number is modeled as the count of source mutations
+    * in the task's processed slice; the binding gives each task a distinct
+    * slice so staleness is visible: the delta consumer and the
+    * container-key mapper are at the head (all rows), the deleted-table
+    * insight watches only the trash slice, and the file-size counter last
+    * ran before the 1998 keys landed.
+    *
+    * ONE scan: all four (timestamp, seq) pairs are conditional aggregates
+    * of the same key-version frame (the [[Namespace.nsSnapshotSpace]]
+    * single-scan pattern); the unpivot explodes a 4-element struct array
+    * of the 1-row aggregate.
+    */
+  def ctTaskStatus(spark: SparkSession, dir: String): DataFrame = {
+    val fscCutoff = lit("1998-01-01").cast("timestamp")
+    val g = ObjectStoreView.keysWithFlag(spark, dir).agg(
+      max(col("mtime")).as("t_head"),
+      count(lit(1)).as("s_head"),
+      max(when(col("rflag") === "R", col("mtime"))).as("t_trash"),
+      sum(when(col("rflag") === "R", 1L).otherwise(0L)).as("s_trash"),
+      max(when(col("mtime") < fscCutoff, col("mtime"))).as("t_fsc"),
+      sum(when(col("mtime") < fscCutoff, 1L).otherwise(0L)).as("s_fsc"))
+    g.select(explode(array(
+        struct(lit("ContainerKeyMapperTask").as("task_name"),
+          col("t_head").as("last_updated"), col("s_head").as("last_seq")),
+        struct(lit("FileSizeCountTask").as("task_name"),
+          col("t_fsc").as("last_updated"), col("s_fsc").as("last_seq")),
+        struct(lit("OmDeltaRequest").as("task_name"),
+          col("t_head").as("last_updated"), col("s_head").as("last_seq")),
+        struct(lit("OmTableInsightTask").as("task_name"),
+          col("t_trash").as("last_updated"), col("s_trash").as("last_seq"))))
+        .as("t"))
+      .select(col("t.task_name").as("task_name"),
+        col("t.last_updated").as("last_updated"),
+        col("t.last_seq").as("last_seq"))
+      .orderBy(col("task_name").asc)
+  }
+
+  val ctTaskStatusSql: String =
+    s"""WITH base AS (${ObjectStoreView.keysWithFlagSql}), g AS (
+       |  SELECT MAX(mtime) AS t_head, COUNT(*) AS s_head,
+       |    MAX(CASE WHEN rflag = 'R' THEN mtime END) AS t_trash,
+       |    CAST(SUM(CASE WHEN rflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS s_trash,
+       |    MAX(CASE WHEN mtime < TIMESTAMP '1998-01-01' THEN mtime END)
+       |      AS t_fsc,
+       |    CAST(SUM(CASE WHEN mtime < TIMESTAMP '1998-01-01' THEN 1 ELSE 0
+       |      END) AS BIGINT) AS s_fsc
+       |  FROM base
+       |)
+       |SELECT 'ContainerKeyMapperTask' AS task_name, t_head AS last_updated,
+       |  s_head AS last_seq FROM g
+       |UNION ALL SELECT 'FileSizeCountTask', t_fsc, s_fsc FROM g
+       |UNION ALL SELECT 'OmDeltaRequest', t_head, s_head FROM g
+       |UNION ALL SELECT 'OmTableInsightTask', t_trash, s_trash FROM g
+       |ORDER BY task_name ASC""".stripMargin
+
+  // --- ct_service_list: cluster service-role inventory ---------------------
+  /** Every service role in the cluster with its address — the reference's
+    * `getServiceList` (common/.../om/protocol/OzoneManagerProtocol.java,
+    * served as JSON by ozone-manager/.../om/ServiceListJSONServlet.java:
+    * ServiceInfo rows of (nodeType, hostname, ports)). Fixed roles (OM,
+    * SCM, RECON) are constant rows; the datanode inventory derives from
+    * the same replica placement as [[ctNodeReport]], carrying each node's
+    * hosted-replica count (NULL for non-datanode roles, which host no
+    * container replicas). The datanode rollup is the bounded replica
+    * explode + one shuffle on node_id; the three constant rows union on
+    * top.
+    */
+  def ctServiceList(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dn = containerStats(spark, dir)
+      .filter(col("replicas") >= 1)
+      .select(col("container_id"),
+        explode(sequence(lit(1), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_container_replicas"))
+      .select(lit("DATANODE").as("node_type"),
+        concat(lit("dn"), col("node_id").cast("string")).as("host"),
+        lit(9858).as("rpc_port"),
+        col("n_container_replicas"))
+    val fixed = Seq(("OM", "om1", 9862), ("SCM", "scm1", 9860),
+        ("RECON", "recon1", 9888))
+      .toDF("node_type", "host", "rpc_port")
+      .withColumn("n_container_replicas", lit(null).cast("bigint"))
+    dn.unionByName(fixed)
+      .orderBy(col("node_type").asc, col("host").asc)
+  }
+
+  val ctServiceListSql: String =
+    s"""WITH $containerStatsSql, placed AS (
+       |  SELECT (cont.container_id * 31 + u.r * 17) % 20 AS node_id
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  WHERE cont.replicas >= 1
+       |), dn AS (
+       |  SELECT 'DATANODE' AS node_type,
+       |    'dn' || CAST(node_id AS VARCHAR) AS host,
+       |    9858 AS rpc_port, COUNT(*) AS n_container_replicas
+       |  FROM placed GROUP BY node_id
+       |)
+       |SELECT * FROM (
+       |  SELECT * FROM dn
+       |  UNION ALL SELECT 'OM', 'om1', 9862, NULL
+       |  UNION ALL SELECT 'SCM', 'scm1', 9860, NULL
+       |  UNION ALL SELECT 'RECON', 'recon1', 9888, NULL
+       |) t ORDER BY node_type ASC, host ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_task_status" -> ctTaskStatus,
+    "ct_service_list" -> ctServiceList,
     "ct_ec_storage_overhead" -> ctEcStorageOverhead,
     "ct_safemode_status" -> ctSafemodeStatus,
     "ct_balancer_moves" -> ctBalancerMoves,
@@ -735,6 +850,8 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_task_status" -> ctTaskStatusSql,
+    "ct_service_list" -> ctServiceListSql,
     "ct_ec_storage_overhead" -> ctEcStorageOverheadSql,
     "ct_safemode_status" -> ctSafemodeStatusSql,
     "ct_balancer_moves" -> ctBalancerMovesSql,

@@ -297,7 +297,76 @@ object Entities {
        |FROM entities
        |ORDER BY entity_type ASC, volume ASC, bucket ASC NULLS FIRST""".stripMargin
 
+  // --- ns_check_access: point ACL decision for one (user, volume) --------
+  private val AccessUser = "u2"
+  private val AccessVolume = "vol1"
+
+  /** The point ACL-decision query: can [[AccessUser]] READ / WRITE / LIST
+    * [[AccessVolume]]? — the reference's `checkVolumeAccess` (common/.../om/
+    * protocol/OzoneManagerProtocol.java: a per-(user, volume, aclType)
+    * boolean, the single-entity twin of the [[nsAclReport]] rollup). The
+    * ACL binding extends the report's: the volume owner ('u'‖volume digit)
+    * holds every right; a non-owner holds a right iff the MAJORITY of the
+    * volume's keys grant it world-wide (world-read iff size % 2 = 0,
+    * world-write iff size % 5 = 0; LIST rides the read bit). One row per
+    * requested right with the decision and its basis counts.
+    *
+    * Scale: one scan filtered to the volume + a 1-row aggregate; the
+    * 3-right unpivot explodes a constant-size struct array. At 100 TB the
+    * volume filter prunes to the entity's slice before any shuffle.
+    */
+  def nsCheckAccess(spark: SparkSession, dir: String): DataFrame = {
+    val isOwner = AccessUser == "u" + AccessVolume.stripPrefix("vol")
+    val g = ObjectStoreView.keys(spark, dir)
+      .filter(col("volume") === AccessVolume)
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("size") % 2 === 0, 1L).otherwise(0L)).as("n_read"),
+        sum(when(col("size") % 5 === 0, 1L).otherwise(0L)).as("n_write"))
+    def grant(n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(isOwner) || n * 2 >= col("n_keys")
+    g.select(explode(array(
+        struct(lit("LIST").as("acl_right"),
+          grant(col("n_read")).as("allowed"),
+          col("n_read").as("n_granting_keys"), col("n_keys").as("n_keys")),
+        struct(lit("READ").as("acl_right"),
+          grant(col("n_read")).as("allowed"),
+          col("n_read").as("n_granting_keys"), col("n_keys").as("n_keys")),
+        struct(lit("WRITE").as("acl_right"),
+          grant(col("n_write")).as("allowed"),
+          col("n_write").as("n_granting_keys"), col("n_keys").as("n_keys"))))
+        .as("t"))
+      .select(lit(AccessUser).as("user"), lit(AccessVolume).as("volume"),
+        col("t.acl_right").as("acl_right"), col("t.allowed").as("allowed"),
+        col("t.n_granting_keys").as("n_granting_keys"),
+        col("t.n_keys").as("n_keys"))
+      .orderBy(col("acl_right").asc)
+  }
+
+  val nsCheckAccessSql: String = {
+    val owner = if (AccessUser == "u" + AccessVolume.stripPrefix("vol"))
+      "TRUE" else "FALSE"
+    s"""WITH keys AS ($ks), g AS (
+       |  SELECT COUNT(*) AS n_keys,
+       |    CAST(SUM(CASE WHEN size % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_read,
+       |    CAST(SUM(CASE WHEN size % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_write
+       |  FROM keys WHERE volume = '$AccessVolume'
+       |)
+       |SELECT '$AccessUser' AS "user", '$AccessVolume' AS volume,
+       |  acl_right, allowed, n_granting_keys, n_keys
+       |FROM (
+       |  SELECT 'LIST' AS acl_right, $owner OR n_read * 2 >= n_keys
+       |      AS allowed, n_read AS n_granting_keys, n_keys FROM g
+       |  UNION ALL SELECT 'READ', $owner OR n_read * 2 >= n_keys,
+       |    n_read, n_keys FROM g
+       |  UNION ALL SELECT 'WRITE', $owner OR n_write * 2 >= n_keys,
+       |    n_write, n_keys FROM g
+       |) t ORDER BY acl_right ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_check_access" -> nsCheckAccess,
     "ns_quota_enforcement" -> nsQuotaEnforcement,
     "ns_content_summary" -> nsContentSummary,
     "ns_mpu_list_uploads" -> nsMpuListUploads,
@@ -308,6 +377,7 @@ object Entities {
     "ns_acl_report" -> nsAclReport)
 
   val oracles: Map[String, String] = Map(
+    "ns_check_access" -> nsCheckAccessSql,
     "ns_quota_enforcement" -> nsQuotaEnforcementSql,
     "ns_content_summary" -> nsContentSummarySql,
     "ns_mpu_list_uploads" -> nsMpuListUploadsSql,
