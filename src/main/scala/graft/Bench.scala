@@ -59,7 +59,12 @@ object Bench {
       }
     }
 
+    // Optional comma-separated name filter for local iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q1_pricing_summary,ns_du). Unset → full suite.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map.empty[String, Double]
     for (pass <- 1 to passes) {
       names.foreach { case (name, fn) =>
