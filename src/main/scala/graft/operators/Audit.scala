@@ -183,15 +183,85 @@ object Audit {
       |FROM events GROUP BY ts_second
       |ORDER BY n_entries DESC, ts_second ASC LIMIT 5""".stripMargin
 
+  // --- ins_key_metrics: the insight module's OM key metric group ----------
+  /** The OM key-manager metric inventory as long-format (metric, value)
+    * rows — the `ozone insight metrics om.key-manager` display
+    * (insight/.../om/KeyManagerInsight.java:37-61: `om_metrics_num_keys`,
+    * `om_metrics_num_key_ops`, and per operation in {allocate, commit,
+    * lookup, list, delete} the total and `_fails` counters). The insight
+    * tool reads live JMX counters; the analytics twin derives the same
+    * inventory from the durable evidence — key count from the namespace
+    * view, operation counters from the audit stream (the ops the audit
+    * log records are exactly the ops the counters count).
+    *
+    * Scale: two scans (audit + keys), each collapsing to a ≤5-group
+    * aggregate with map-side partials; the long-format explode runs over
+    * the 5-row aggregate. 12 fixed output rows.
+    */
+  def insKeyMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val opLc = when(col("op") === "ALLOCATE_KEY", "allocate")
+      .when(col("op") === "COMMIT_KEY", "commit")
+      .when(col("op") === "READ_KEY", "lookup")
+      .when(col("op") === "LIST_KEYS", "list")
+      .otherwise("delete")
+    val perOp = auditLog(spark, dir)
+      .groupBy(opLc.as("op_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("result") === "FAILURE", 1L).otherwise(0L)).as("nf"))
+      .select(explode(array(
+        struct(concat(lit("om_metrics_num_key_"), col("op_name"))
+          .as("metric"), col("n").as("value")),
+        struct(concat(lit("om_metrics_num_key_"), col("op_name"),
+          lit("_fails")).as("metric"), col("nf").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+    val totalOps = auditLog(spark, dir)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("om_metrics_num_key_ops").as("metric"), col("value"))
+    val numKeys = graft.ObjectStoreView.keys(spark, dir)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("om_metrics_num_keys").as("metric"), col("value"))
+    perOp.unionByName(totalOps).unionByName(numKeys)
+      .orderBy(col("metric").asc)
+  }
+
+  val insKeyMetricsSql: String =
+    s"""WITH audit AS ($auditLogSql),
+       |named AS (
+       |  SELECT CASE op WHEN 'ALLOCATE_KEY' THEN 'allocate'
+       |    WHEN 'COMMIT_KEY' THEN 'commit'
+       |    WHEN 'READ_KEY' THEN 'lookup'
+       |    WHEN 'LIST_KEYS' THEN 'list'
+       |    ELSE 'delete' END AS op_name, result
+       |  FROM audit
+       |), per_op AS (
+       |  SELECT op_name, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN result = 'FAILURE' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nf
+       |  FROM named GROUP BY op_name
+       |), keys AS (${graft.ObjectStoreView.keysSql})
+       |SELECT metric, value FROM (
+       |  SELECT 'om_metrics_num_key_' || op_name AS metric, n AS value
+       |    FROM per_op
+       |  UNION ALL
+       |  SELECT 'om_metrics_num_key_' || op_name || '_fails', nf FROM per_op
+       |  UNION ALL
+       |  SELECT 'om_metrics_num_key_ops', CAST(COUNT(*) AS BIGINT)
+       |    FROM audit
+       |  UNION ALL
+       |  SELECT 'om_metrics_num_keys', CAST(COUNT(*) AS BIGINT) FROM keys
+       |) t ORDER BY metric ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ns_audit_op_mix" -> nsAuditOpMix,
     "ns_audit_top_users" -> nsAuditTopUsers,
     "ns_audit_active_seconds" -> nsAuditActiveSeconds,
-    "ns_access_heatmap" -> nsAccessHeatmap)
+    "ns_access_heatmap" -> nsAccessHeatmap,
+    "ins_key_metrics" -> insKeyMetrics)
 
   val oracles: Map[String, String] = Map(
     "ns_audit_op_mix" -> nsAuditOpMixSql,
     "ns_audit_top_users" -> nsAuditTopUsersSql,
     "ns_audit_active_seconds" -> nsAuditActiveSecondsSql,
-    "ns_access_heatmap" -> nsAccessHeatmapSql)
+    "ns_access_heatmap" -> nsAccessHeatmapSql,
+    "ins_key_metrics" -> insKeyMetricsSql)
 }

@@ -503,6 +503,12 @@ object Namespace {
         sum(when(inA, col("size"))).as("a_size"),
         sum(when(inB, sizeB)).as("b_size"),
         sum(col("size")).as("c_size"))
+      // Keys identical across all three states are SAME in both links —
+      // drop them BEFORE materializing, so the checkpoint holds the
+      // delta-sized change set, not the full namespace (at 100 TB the
+      // namespace dwarfs any realistic inter-snapshot delta).
+      .filter(!(col("a_size") <=> col("b_size") &&
+        col("b_size") <=> col("c_size")))
       .localCheckpoint()
     def link(oldSize: Column, newSize: Column): DataFrame =
       tri.filter(oldSize.isNotNull || newSize.isNotNull)

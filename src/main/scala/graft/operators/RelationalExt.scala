@@ -873,58 +873,45 @@ object RelationalExt {
     * at 100 TB: per-column NDV from the deterministic integer-arithmetic
     * HyperLogLog of [[qHllDistinct]] (m=1024), all 11 columns in ONE scan.
     *
-    * Plan shape vs the exact [[qColumnStats]]: instead of an Expand (×11)
-    * carrying full rows into per-column exact-distinct state, each row
-    * emits eleven (col_id, register, rank) triples — three small ints —
-    * and everything downstream is a bounded aggregate: per-partition
-    * partial MAX collapses each partition to ≤ 11·1025 rows before the
-    * shuffle, the final state is 11 KB of registers, and the estimate is
-    * integer arithmetic on the 1-row-per-column sketch. Null counts ride
-    * the same pass (a null key hashes to a null register, counted
-    * separately). Constant state + mergeable registers = the sketch works
-    * under any partitioning, which is the point of HLL at scale.
+    * Plan shape vs the exact [[qColumnStats]]: no Expand, no exploded
+    * register stream — one codegen'd projection computes the 11
+    * deterministic bigint keys, and eleven [[graft.functions.HllRegAgg]]
+    * instances fold them into 1 KiB register buffers inside a single
+    * global ObjectHashAggregate (null counts ride the same pass as
+    * declarative sums). Partials merge by elementwise max under any
+    * partitioning; the shuffle carries 11 KiB of registers, and the
+    * estimator is a 1024-element fold on the single output row.
     * Oracle-gated bit-for-bit like q_hll_distinct: the ESTIMATE itself is
     * deterministic, not just close.
     */
   def qColumnStatsApprox(spark: SparkSession, dir: String): DataFrame = {
-    def reg(x: Column): Column =
-      ((x * x % HllP) * 777777777L + x * 123456789L + 987654321L) % HllP % 1024L
-    def h2(x: Column): Column =
-      ((x * x % HllP) * 588888888L + x * 22222223L + 11111111L) % HllP
-    def rho(h: Column): Column = (1 to 14).foldRight(lit(15): Column) {
-      (k, e) => when(h >= (HllP >> k), k).otherwise(e)
+    val keyed = Tables.lineitem(spark, dir)
+      .select(StatCols.map(c => statKey(c).as(c)): _*)
+    val bridge = org.apache.spark.sql.GraftBridge
+    val aggs = count(lit(1)).as("n_rows") +: StatCols.flatMap { c =>
+      Seq(
+        bridge.column(graft.functions.HllRegAgg(
+          bridge.expression(col(c))).toAggregateExpression()).as(s"${c}__regs"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
     }
-    // rho is computed AFTER the explode: pre-explode it would inline the
-    // 14-branch conditional once per column and the generated doConsume
-    // blows the JVM method-size limit, dropping the whole scan stage out
-    // of codegen. Post-explode there is exactly one rho expression.
-    val entries = array(StatCols.zipWithIndex.map { case (c, i) =>
-      val x = statKey(c)
-      struct(lit(i).as("cid"), reg(x).as("reg"), h2(x).as("h2"))
-    }: _*)
-    val nameOf = StatCols.zipWithIndex.foldLeft(lit(null).cast("string")) {
-      case (e, (c, i)) => when(col("cid") === i, c).otherwise(e)
-    }
-    Tables.lineitem(spark, dir)
-      .select(explode(entries).as("e"))
-      .select(col("e.cid").as("cid"), col("e.reg").as("reg"),
-        rho(col("e.h2")).as("rho"))
-      .groupBy(col("cid"), col("reg"))
-      .agg(max(col("rho")).as("mr"), count(lit(1)).as("cnt"))
-      .groupBy(col("cid"))
-      .agg(
-        sum(col("cnt")).as("n_rows"),
-        sum(when(col("reg").isNull, col("cnt")).otherwise(0L)).as("n_null"),
-        sum(when(col("reg").isNotNull, 1L).otherwise(0L)).as("hit"),
-        sum(when(col("reg").isNotNull,
-          expr("CAST(32768 / POWER(2, mr) AS BIGINT)")).otherwise(0L))
-          .as("denom_hit"))
+    keyed.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(StatCols.map { c =>
+        struct(lit(c).as("col_name"), col(s"${c}__nulls").as("n_null"),
+          col(s"${c}__regs").as("regs"))
+      }: _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("n_rows"),
+        col("s.n_null").as("n_null"), col("s.regs").as("regs"))
+      .withColumn("hit", expr(
+        "aggregate(regs, CAST(0 AS BIGINT), (a, r) -> a + IF(r > 0, 1L, 0L))"))
+      .withColumn("denom_hit", expr(
+        "aggregate(regs, CAST(0 AS BIGINT), (a, r) -> a + " +
+          "IF(r > 0, CAST(32768 / POWER(2, r) AS BIGINT), 0L))"))
       .withColumn("denom",
         col("denom_hit") + (lit(1024L) - col("hit")) * 32768L)
       .withColumn("ndv_est",
         expr(s"CAST(${7213L * 1024 * 1024 * 1024} AS BIGINT) * 32768 DIV " +
           s"(${10000L * 1024 + 10790} * denom)"))
-      .select(nameOf.as("col_name"), col("n_rows"), col("n_null"),
+      .select(col("col_name"), col("n_rows"), col("n_null"),
         col("hit"), col("denom"), col("ndv_est"))
       .orderBy(col("col_name").asc)
   }
