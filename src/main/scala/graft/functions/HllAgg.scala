@@ -93,4 +93,39 @@ object HllRegAgg {
   val P = 2147483647L
   /** Register count (2^10). */
   val M = 1024
+
+  /** Column form: the register array of `key` (a bigint in [0, P)). */
+  def of(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      HllRegAgg(org.apache.spark.sql.GraftBridge.expression(key))
+        .toAggregateExpression())
+
+  /** Fold a `regs` array column to the hit-register count. */
+  val hitFoldSql: String =
+    "aggregate(regs, CAST(0 AS BIGINT), (a, r) -> a + IF(r > 0, 1L, 0L))"
+
+  /** Fold a `regs` array column to Σ 2^(15−mr) over hit registers. */
+  val denomHitFoldSql: String =
+    "aggregate(regs, CAST(0 AS BIGINT), (a, r) -> a + " +
+      "IF(r > 0, CAST(32768 / POWER(2, r) AS BIGINT), 0L))"
+
+  /** DuckDB twins of the register arithmetic, over a key column `x`:
+    * identical constants, so estimates hash-match across engines.
+    */
+  val hashSql = s"((x * x % $P) * 777777777 + x * 123456789 + 987654321) % $P"
+  val rankHashSql = s"((x * x % $P) * 588888888 + x * 22222223 + 11111111) % $P"
+  val rhoCaseSql: String = (1 to 14)
+    .map(k => s"WHEN h2 >= ${P >> k} THEN $k")
+    .mkString("CASE ", " ", " ELSE 15 END")
+
+  /** The integer estimator over a `denom` column: floor(alpha_m · m² ·
+    * 2^15 / denom) with alpha_m = 0.7213/(1+1.079/m), m = 1024, all in
+    * exact integer arithmetic (Spark `DIV` / DuckDB `//`).
+    */
+  val estimateSql: String =
+    s"CAST(${7213L * 1024 * 1024 * 1024} AS BIGINT) * 32768 DIV " +
+      s"(${10000L * 1024 + 10790} * denom)"
+  val estimateDuckSql: String =
+    s"CAST(${7213L * 1024 * 1024 * 1024} AS BIGINT) * 32768 // " +
+      s"(${10000L * 1024 + 10790} * denom)"
 }

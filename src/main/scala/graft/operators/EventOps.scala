@@ -491,7 +491,64 @@ object EventOps {
       |FROM ranked GROUP BY hour, n
       |ORDER BY hour ASC""".stripMargin
 
+  // --- ev_dau_sketch: per-day approximate distinct users ------------------
+  /** DAU by HLL sketch — the 100 TB form of [[evDauWau]]'s exact per-day
+    * distinct: GROUPED use of the [[graft.functions.HllRegAgg]] kernel.
+    * The exact plan's per-day distinct-user state grows with the user
+    * base; here every day holds a constant 1 KiB register buffer, partials
+    * merge by elementwise max under any partitioning, and the shuffle
+    * carries |days|·1 KiB. The estimate is deterministic integer
+    * arithmetic, so the DuckDB oracle (same constants) hash-matches the
+    * ESTIMATE itself — same oracle discipline as q_hll_distinct.
+    */
+  def evDauSketch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllRegAgg
+    events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"),
+        expr(s"CAST(user_id AS BIGINT) % ${HllRegAgg.P}").as("x"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), HllRegAgg.of(col("x")).as("regs"))
+      .withColumn("hit", expr(HllRegAgg.hitFoldSql))
+      .withColumn("denom_hit", expr(HllRegAgg.denomHitFoldSql))
+      .withColumn("denom",
+        col("denom_hit") + (lit(1024L) - col("hit")) * 32768L)
+      .select(col("day"), col("n_events"), col("hit"), col("denom"),
+        expr(HllRegAgg.estimateSql).as("dau_est"))
+      .orderBy(col("day").asc)
+  }
+
+  val evDauSketchSql: String = {
+    import graft.functions.HllRegAgg
+    s"""WITH xs AS (
+       |  SELECT date_trunc('day', ts) AS day,
+       |    CAST(user_id AS BIGINT) % ${HllRegAgg.P} AS x
+       |  FROM events WHERE user_id IS NOT NULL
+       |), rt AS (
+       |  SELECT day, (${HllRegAgg.hashSql}) % 1024 AS reg,
+       |    ${HllRegAgg.rankHashSql} AS h2 FROM xs
+       |), regs AS (
+       |  SELECT day, reg, MAX(${HllRegAgg.rhoCaseSql}) AS mr
+       |  FROM rt GROUP BY day, reg
+       |), sk AS (
+       |  SELECT day, CAST(COUNT(*) AS BIGINT) AS hit,
+       |    CAST(SUM(CAST(32768 / POWER(2, mr) AS BIGINT)) AS BIGINT)
+       |      AS denom_hit
+       |  FROM regs GROUP BY day
+       |), ne AS (
+       |  SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT day, n_events, hit, denom,
+       |  ${HllRegAgg.estimateDuckSql} AS dau_est
+       |FROM (
+       |  SELECT s.day AS day, n.n_events AS n_events, s.hit AS hit,
+       |    s.denom_hit + (1024 - s.hit) * 32768 AS denom
+       |  FROM sk s JOIN ne n ON s.day = n.day
+       |) t ORDER BY day ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_dau_sketch" -> evDauSketch,
     "ev_pivot_monthly" -> evPivotMonthly,
     "ev_value_quantiles" -> evValueQuantiles,
     "ev_transitions" -> evTransitions,
@@ -507,6 +564,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_dau_sketch" -> evDauSketchSql,
     "ev_pivot_monthly" -> evPivotMonthlySql,
     "ev_value_quantiles" -> evValueQuantilesSql,
     "ev_transitions" -> evTransitionsSql,
