@@ -25,7 +25,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (SURVEY §5): both rollups are one scan + one shuffle on
   * the grouping key with map-side partial aggregation; timestamps are
-  * truncated to minute before any emit (§4 ns-precision discipline).
+  * truncated to minute before any emit (§4 timestamp discipline — the
+  * event time itself arrives through the dtype-adaptive
+  * [[graft.Tables.normalizeTs]]).
   */
 object Audit {
 
@@ -33,8 +35,7 @@ object Audit {
     * prefix).
     */
   def auditLog(spark: SparkSession, dir: String): DataFrame =
-    auditEntries(Tables.events(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    auditEntries(Tables.normalizeTs(Tables.events(spark, dir)))
 
   /** The entry derivation over any events-shaped frame with a TIMESTAMP
     * `ts` — shared by the batch view above and the streaming twin
@@ -169,9 +170,8 @@ object Audit {
     * the full second set on the driver).
     */
   def nsAuditActiveSeconds(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .select(date_trunc("second",
-        timestamp_micros(expr("ts DIV 1000"))).as("ts_second"))
+    Tables.normalizeTs(Tables.events(spark, dir))
+      .select(date_trunc("second", col("ts")).as("ts_second"))
       .groupBy(col("ts_second"))
       .agg(count(lit(1)).as("n_entries"))
       .orderBy(col("n_entries").desc, col("ts_second").asc)

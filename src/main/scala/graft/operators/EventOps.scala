@@ -12,18 +12,16 @@ import org.apache.spark.sql.functions._
   * (common/.../audit/OMAction.java); these operators are the analytics a
   * user runs over such a stream persisted to the object store.
   *
-  * `events.ts` is nanosecond-precision parquet which Spark cannot read
-  * natively; the session sets `spark.sql.legacy.parquet.nanosAsLong=true`
-  * and [[events]] converts with integer division to microseconds — exactly
-  * the truncation DuckDB applies on read, so timestamps agree across
-  * engines (SURVEY §4).
+  * `events.ts` arrives as µs-precision parquet (earlier generator versions
+  * shipped int64 epoch-nanos); [[graft.Tables.normalizeTs]] adapts to
+  * whichever dtype is present so timestamps agree with DuckDB's read of
+  * the same file across engines (SURVEY §4).
   */
 object EventOps {
 
   /** Events with ts normalized to a microsecond TIMESTAMP. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    Tables.normalizeTs(Tables.events(spark, dir))
 
   private def sumValue(c: Column) =
     sum(c.cast("decimal(12,2)")).cast("double")

@@ -482,22 +482,21 @@ object Namespace {
     s"""SELECT volume, bucket, key, CAST(SUM(size) AS BIGINT) AS size
        |FROM ($body) GROUP BY volume, bucket, key""".stripMargin
 
-  def nsSnapshotDiffChain(spark: SparkSession, dir: String): DataFrame = {
-    // All three chain states (A, B, live) are filters/maps of the SAME
-    // key-version row, so the per-key state of every snapshot collapses
-    // into ONE scan + ONE aggregate producing (a_size, b_size, c_size)
-    // with NULL = absent — the ns_snapshot_space pattern. The tri-state
-    // frame is localCheckpoint'ed once so both link diffs read the
-    // materialized aggregate instead of re-planning the scan (the r6
-    // formulation planned the shared B state twice). The links themselves
-    // are then row-aligned filters — the only join left is the compose,
-    // which runs over delta-sized inputs and is the algebra under test.
+  /** The tri-state change set [[nsSnapshotDiffChain]] materializes: per-key
+    * (a_size, b_size, c_size) with NULL = absent, RESTRICTED to keys whose
+    * three states are not all identical. Package-private so
+    * ChainCheckpointSpec can pin that what gets localCheckpoint'ed is
+    * delta-sized (= this change set), not the full namespace — a refactor
+    * that drops the SAME-filter before the checkpoint fails that spec.
+    */
+  private[graft] def snapshotChainChangeSet(spark: SparkSession,
+      dir: String): DataFrame = {
     val inA = col("mtime") < lit("1997-01-01").cast("timestamp")
     val inB = col("mtime") < lit("1998-01-01").cast("timestamp") &&
       col("rflag") =!= "R"
     val sizeB = when(col("rflag") === "A", col("size") + 1024)
       .otherwise(col("size"))
-    val tri = ObjectStoreView.keysWithFlag(spark, dir)
+    ObjectStoreView.keysWithFlag(spark, dir)
       .groupBy(col("volume"), col("bucket"), col("key"))
       .agg(
         sum(when(inA, col("size"))).as("a_size"),
@@ -509,7 +508,19 @@ object Namespace {
       // namespace dwarfs any realistic inter-snapshot delta).
       .filter(!(col("a_size") <=> col("b_size") &&
         col("b_size") <=> col("c_size")))
-      .localCheckpoint()
+  }
+
+  def nsSnapshotDiffChain(spark: SparkSession, dir: String): DataFrame = {
+    // All three chain states (A, B, live) are filters/maps of the SAME
+    // key-version row, so the per-key state of every snapshot collapses
+    // into ONE scan + ONE aggregate producing (a_size, b_size, c_size)
+    // with NULL = absent — the ns_snapshot_space pattern. The tri-state
+    // frame is localCheckpoint'ed once so both link diffs read the
+    // materialized aggregate instead of re-planning the scan (the r6
+    // formulation planned the shared B state twice). The links themselves
+    // are then row-aligned filters — the only join left is the compose,
+    // which runs over delta-sized inputs and is the algebra under test.
+    val tri = snapshotChainChangeSet(spark, dir).localCheckpoint()
     def link(oldSize: Column, newSize: Column): DataFrame =
       tri.filter(oldSize.isNotNull || newSize.isNotNull)
         .withColumn("diff_type",

@@ -18,17 +18,20 @@ object StreamOps {
 
   /** Streaming source over a DIRECTORY of events parquet files (the file
     * source requires a directory — in production this is the store path new
-    * files land in). ts arrives as long nanos, same nanosAsLong convention
-    * as the batch reader.
+    * files land in). The schema is pinned from a batch read of the same
+    * directory, so a future parquet schema drift fails at stream definition
+    * with a clear message rather than mid-batch; `ts` is normalized through
+    * the same dtype-adaptive [[graft.Tables.normalizeTs]] as the batch
+    * reader (int64-nanos or native µs timestamp).
     */
   def eventStream(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir))
   }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark — the

@@ -176,4 +176,29 @@ class NamespaceSpec extends SparkSpec {
     assert(chain.exceptAll(direct).isEmpty &&
       direct.exceptAll(chain).isEmpty)
   }
+
+  test("chain checkpoint holds the change set only, never the namespace") {
+    // What nsSnapshotDiffChain localCheckpoints must be DELTA-sized: the
+    // r7 rewrite filters keys identical across A/B/live BEFORE
+    // materializing (Namespace.snapshotChainChangeSet). Pin it against an
+    // independent formulation — a key belongs to the change set iff it
+    // appears in diff(A,B) or diff(B,live) — so a refactor that drops the
+    // SAME-filter (checkpointing the full namespace at 100 TB) fails here
+    // with the two counts in the message.
+    def state(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("volume"), col("bucket"), col("key"))
+        .agg(sum(col("size")).as("size"))
+    val a = state(ObjectStoreView.snapshotA(spark, sf))
+    val b = state(ObjectStoreView.snapshotB(spark, sf))
+    val c = state(ObjectStoreView.keys(spark, sf))
+    val changed = Namespace.snapshotDiff(a, b).select("volume", "bucket", "key")
+      .union(Namespace.snapshotDiff(b, c).select("volume", "bucket", "key"))
+      .distinct().count()
+    val checkpointed = Namespace.snapshotChainChangeSet(spark, sf).count()
+    val namespaceKeys = c.count()
+    assert(checkpointed == changed,
+      s"checkpoint has $checkpointed rows, change set is $changed")
+    assert(checkpointed < namespaceKeys,
+      s"checkpoint is namespace-sized ($checkpointed >= $namespaceKeys)")
+  }
 }

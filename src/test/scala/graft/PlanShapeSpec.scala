@@ -30,6 +30,26 @@ class PlanShapeSpec extends SparkSpec {
       "pipe_mixture_weights", "q_hll_distinct", "sim_recall_report",
       "ct_balancer_moves", "ct_safemode_status")
 
+  /** Analysis must succeed for EVERY registered query, reported per-query.
+    * Without this, a data-contract drift (like the r7 events.ts dtype
+    * change from int64-nanos to timestamp[us]) aborts the umbrella
+    * plan-shape tests below on the first AnalysisException and silently
+    * voids every global guarantee; here it fails with one readable line
+    * per broken query, naming the dtype mismatch.
+    */
+  test("every registered query analyzes against the current testdata") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf).queryExecution.assertAnalyzed(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${
+            e.getMessage.linesIterator.take(3).mkString(" | ")}")
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} queries fail analysis:\n${failures.mkString("\n")}")
+  }
+
   test("no CartesianProduct in any registered query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val p = fn(spark, sf).queryExecution.executedPlan.toString
@@ -45,6 +65,37 @@ class PlanShapeSpec extends SparkSpec {
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name plan contains a BroadcastNestedLoopJoin")
       }
+    }
+  }
+
+  /** No registered plan may route the full input through a single task via
+    * an unpartitioned Window (Spark's own `WindowExec: No Partition
+    * Defined` hazard — this is what made the original pipe_curriculum
+    * global NTILE a scale-killer). An unpartitioned Window IS acceptable
+    * when its input is already an aggregate: the frame below it is bounded
+    * by group cardinality (per-day cumulative revenue, a #shards-row
+    * offset table), not by the corpus. So the assertion: every
+    * empty-partitionSpec WindowExec must have an aggregate somewhere
+    * beneath it.
+    */
+  test("no unpartitioned Window over unaggregated input in any plan") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case x => x
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = unwrap(fn(spark, sf).queryExecution.executedPlan)
+      val bad = plan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty &&
+          w.child.collect { case a: BaseAggregateExec => a }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name routes unaggregated input through an unpartitioned Window:" +
+          s" ${bad.map(_.windowExpression.mkString(",")).mkString("; ")}")
     }
   }
 

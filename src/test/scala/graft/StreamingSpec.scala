@@ -18,6 +18,17 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
+  /** `ts` of the raw events frame as epoch-MICROS, adaptively by dtype —
+    * the test-side twin of [[graft.Tables.normalizeTs]], so the
+    * file-staging logic below survives the generator flipping between
+    * int64-nanos and native µs timestamps (it did, between rounds 6/7).
+    */
+  private def tsMicros(raw: org.apache.spark.sql.DataFrame) =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+
   test("streaming tumbling counts equal the batch aggregation") {
     val stream = StreamOps.eventStream(spark, eventsDir)
     val q = StreamOps.tumblingCounts(stream)
@@ -134,12 +145,13 @@ class StreamingSpec extends SparkSpec {
     val streamDir = base.resolve("in")
     Files.createDirectory(streamDir)
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts")))
+    val tsUs = tsMicros(raw)
+    val Array(lo, hi) = raw.agg(min(tsUs), max(tsUs))
       .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
     val span = (hi - lo) / 4 + 1
     (0 until 4).foreach { i =>
-      val part = raw.filter(col("ts") >= lo + i * span &&
-        col("ts") < lo + (i + 1) * span)
+      val part = raw.filter(tsUs >= lo + i * span &&
+        tsUs < lo + (i + 1) * span)
       val outDir = base.resolve(s"w$i")
       part.coalesce(1).write.parquet(outDir.toString)
       val f = Files.list(outDir).filter(_.toString.endsWith(".parquet"))
@@ -167,7 +179,7 @@ class StreamingSpec extends SparkSpec {
     // Any session whose gap deadline passed the final watermark
     // (maxTs - 2h) must have been flushed by the event-time timeout.
     val gapMicros = 1800L * 1000000L
-    val wmMicros = hi / 1000L - 2L * 3600L * 1000000L
+    val wmMicros = hi - 2L * 3600L * 1000000L
     val mustFlush = allDf
       .filter(unix_micros(col("session_end")) + gapMicros +
         1000000L < wmMicros)
@@ -243,12 +255,13 @@ class StreamingSpec extends SparkSpec {
     val streamDir = base.resolve("in")
     Files.createDirectory(streamDir)
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts")))
+    val tsUs = tsMicros(raw)
+    val Array(lo, hi) = raw.agg(min(tsUs), max(tsUs))
       .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
     val span = (hi - lo) / 4 + 1
     (0 until 4).foreach { i =>
-      val part = raw.filter(col("ts") >= lo + i * span &&
-        col("ts") < lo + (i + 1) * span)
+      val part = raw.filter(tsUs >= lo + i * span &&
+        tsUs < lo + (i + 1) * span)
       val outDir = base.resolve(s"w$i")
       part.coalesce(1).write.parquet(outDir.toString)
       val f = Files.list(outDir).filter(_.toString.endsWith(".parquet"))
@@ -277,7 +290,7 @@ class StreamingSpec extends SparkSpec {
       s"${(streamed -- batch).size} streamed cells diverge from batch")
 
     // Every hour that ended before the final watermark must have emitted.
-    val wmMs = hi / 1000000L - 2L * 3600L * 1000L
+    val wmMs = hi / 1000L - 2L * 3600L * 1000L
     val mustEmit = EventOps.evAnomaly(spark, sf)
       .filter(unix_millis(col("hour")) + 3600L * 1000L <= wmMs)
       .select(cols.map(col): _*).collect().map(key).toSet
