@@ -35,7 +35,25 @@ object DevProbe {
     noop(operators.Dedup.ddMinhashLsh(spark, sfDir))
     noop(operators.Relational.q1PricingSummary(spark, sfDir))
 
-    names.foreach { n =>
+    // `floor` pseudo-query: decompose the per-query fixed cost trivial
+    // queries pay in Bench (r8 verdict #8). Three warm measurements:
+    //  - submit: plan + schedule + noop-commit an in-memory 1-row frame
+    //    (no I/O at all) — the pure session/job floor;
+    //  - scan1: the same plus opening lineitem.parquet for a 1-column
+    //    LIMIT 1 — adds footer/row-group open cost;
+    //  - q_set_ops-style trivial aggregates then measure against these.
+    if (names.contains("floor")) {
+      val submit = (1 to 3).map(_ => time1(noop(spark.range(1).toDF()))).min
+      val scan1 = (1 to 3).map(_ => time1(noop(
+        Tables.lineitem(spark, sfDir).select("l_orderkey").limit(1)))).min
+      val agg1 = (1 to 3).map(_ => time1(noop(
+        Tables.orders(spark, sfDir).groupBy("o_orderstatus").count()))).min
+      println(f"[probe] floor.submit (noop 1-row, no I/O)   $submit%.3f s")
+      println(f"[probe] floor.scan1  (open parquet, LIMIT 1) $scan1%.3f s")
+      println(f"[probe] floor.agg1   (scan + 1 shuffle agg)  $agg1%.3f s")
+    }
+
+    names.filterNot(_ == "floor").foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
           val secs = (1 to 2).map(_ => time1(noop(fn(spark, sfDir))))

@@ -261,18 +261,32 @@ object Relational {
       |ORDER BY c_custkey ASC""".stripMargin
 
   // --- q_set_ops: UNION / INTERSECT / EXCEPT ----------------------------
+  /** Set operations over the two key sets, computed in ONE shuffle: tag
+    * each side with membership flags, union, and max the flags per key
+    * (map-side combinable, so duplicates collapse before the exchange) —
+    * `intersect` = both flags set, `except` = left-only. The literal
+    * INTERSECT/EXCEPT formulation is the registered oracle; the
+    * `.intersect`/`.except` operator plan shuffles each distinct set and
+    * then joins them (4+ exchanges of the same keys, ~6 sequential stage
+    * barriers measured at sf0.1), where this is 2 scans + 1 key shuffle +
+    * a 2-row rollup — the shape that survives 100 TB.
+    */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val shipped96 = l.filter(year(col("l_shipdate")) === 1996)
-      .select(col("l_orderkey").as("okey")).distinct()
+      .select(col("l_orderkey").as("okey"),
+        lit(1).as("in_ship"), lit(0).as("in_urg"))
     val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey").as("okey")).distinct()
-    val both = shipped96.intersect(urgent)
-      .withColumn("setop", lit("intersect"))
-    val onlyShipped = shipped96.except(urgent)
-      .withColumn("setop", lit("except"))
-    both.union(onlyShipped)
+      .select(col("o_orderkey").as("okey"),
+        lit(0).as("in_ship"), lit(1).as("in_urg"))
+    shipped96.union(urgent)
+      .groupBy(col("okey"))
+      .agg(max(col("in_ship")).as("in_ship"), max(col("in_urg")).as("in_urg"))
+      .withColumn("setop",
+        when(col("in_ship") === 1 && col("in_urg") === 1, "intersect")
+          .when(col("in_ship") === 1, "except"))
+      .filter(col("setop").isNotNull)
       .groupBy(col("setop")).agg(count(lit(1)).as("n"))
       .orderBy(col("setop").asc)
   }
