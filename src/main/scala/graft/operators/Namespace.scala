@@ -792,18 +792,17 @@ object Namespace {
     * the table-format twin). Greedy assignment by cumulative offset:
     * object → group floor(bytes_before / target), so groups are contiguous
     * key ranges and only the straddling object spills a group past target.
-    * One shuffle (the per-bucket sort window); the group rollup reuses the
-    * same partitioning. Per-bucket sort is the semantic requirement —
-    * a giant bucket is AQE's skew case, and the window is a single
-    * sequential pass, not a self-join.
+    * The per-bucket running offset is computed DISTRIBUTED via
+    * [[PrefixScan.scanState]] — the naive `Window.partitionBy(volume,
+    * bucket)` formulation (kept as the oracle SQL) caps parallelism at the
+    * bucket count and serializes a giant bucket through one task; the
+    * range-sharded prefix sum keeps every shard busy regardless of how few
+    * or how skewed the buckets are. The group rollup's shuffle moves only
+    * map-side-combined partials.
     */
   def compactionPlan(keys: DataFrame, targetBytes: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("volume"), col("bucket"))
-      .orderBy(col("key").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    keys
-      .withColumn("bytes_before", coalesce(sum(col("size")).over(w), lit(0L)))
+    PrefixScan.scanState(keys, Seq("volume", "bucket"), Seq(col("key")),
+        col("size"), cumOut = Some("bytes_before"))
       // floor(), not a bare cast: DuckDB casts double→BIGINT by rounding
       // to nearest while Spark truncates — floor first agrees everywhere
       // (the division is exact in double up to 2^53).

@@ -85,19 +85,20 @@ object Pipeline {
   /** Sequence-packing plan: documents are concatenated per shard (source)
     * in doc_id order into a token stream cut into [[ChunkTokens]]-token
     * context chunks — each doc's stream offset and starting chunk. The
-    * prefix sum runs per shard (`PARTITION BY source`), so shards pack in
-    * parallel; a global single-partition running sum would serialize the
-    * corpus through one task at 100 TB.
+    * prefix sum is per shard (`PARTITION BY source` semantics) but runs
+    * DISTRIBUTED via [[PrefixScan.scanState]]: the naive per-source window
+    * (kept as the oracle SQL) caps parallelism at the source count — a
+    * 100 TB corpus with a handful of sources would serialize through a
+    * handful of tasks — while the range-sharded prefix sum packs every
+    * shard of every source in parallel, bit-identically.
     */
   def pipePackPlan(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(graft.functions.Codes.tokens(col("text"))).cast("bigint")
           .as("n_tokens"))
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    d.withColumn("offset_in_shard",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    PrefixScan.scanState(d, Seq("source"), Seq(col("doc_id")),
+        col("n_tokens"), cumOut = Some("offset_in_shard"))
       .withColumn("chunk_id",
         floor(col("offset_in_shard") / ChunkTokens.toDouble).cast("bigint"))
       .select("doc_id", "source", "n_tokens", "offset_in_shard", "chunk_id")
@@ -203,10 +204,12 @@ object Pipeline {
     * EXACT median document length (window ranks, not a percentile sketch —
     * cross-engine exact, same discipline as q_median_order_value), and the
     * stratum's corpus share in integer ppm. One scan feeds both the
-    * aggregate and the median ranking (same (source, lang) shuffle key);
-    * the corpus total for the share is a window over the ~|sources×langs|
-    * aggregated rows, never a second corpus pass. This is the summary a
-    * training-mix report prints per shard at 100 TB.
+    * aggregate and the median ranking — the rank runs DISTRIBUTED via
+    * [[PrefixScan.scanState]] (a per-stratum row_number window would cap
+    * parallelism at |sources×langs|); the corpus total for the share is a
+    * window over the ~|sources×langs| aggregated rows, never a second
+    * corpus pass. This is the summary a training-mix report prints per
+    * shard at 100 TB.
     */
   def pipeDatasetStats(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.Codes
@@ -218,12 +221,12 @@ object Pipeline {
         sum(col("n_chars")).as("total_chars"),
         sum(col("tc")).as("total_tokens"),
         max(col("n_chars")).as("max_chars"))
-    val wRank = Window.partitionBy(col("source"), col("lang"))
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
-    val wGrp = Window.partitionBy(col("source"), col("lang"))
-    val med = d
-      .withColumn("rn", row_number().over(wRank))
-      .withColumn("n", count(lit(1)).over(wGrp))
+    // Exact median rank via the distributed scan state — the naive
+    // row_number window per (source, lang) stratum (kept as the oracle
+    // SQL) serializes each stratum through one task; see PrefixScan.
+    val med = PrefixScan.scanState(d, Seq("source", "lang"),
+        Seq(col("n_chars"), col("doc_id")), lit(1L),
+        rankOut = Some("rn"), totalOut = Some("n"))
       .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
         col("rn") * 2 === col("n") + 2)
       .groupBy(col("source"), col("lang"))
