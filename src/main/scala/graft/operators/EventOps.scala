@@ -453,19 +453,19 @@ object EventOps {
     * of an ops dashboard, computed EXACTLY via nearest-rank arithmetic
     * (rank ⌈q·n⌉ of the (value, event_id)-sorted group; the tie-break
     * makes the pick deterministic) rather than an approximate sketch
-    * (that path is `percentile_approx` / the HLL family). One shuffle:
-    * the per-hour window sort; the conditional-max rollup reuses its
-    * partitioning. At 100 TB an exact quantile NEEDS the per-group sort —
-    * hours parallelize across executors, and a skewed hour salts into
-    * sub-ranks the same way the SkewJoin utility does.
+    * (that path is `percentile_approx` / the HLL family). The per-hour
+    * rank runs DISTRIBUTED via [[PrefixScan.scanState]] (the naive
+    * per-hour window — kept as the oracle SQL — serializes a skewed hour
+    * through one task); the conditional-max rollup shuffles only map-side
+    * partials.
     */
   def evValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val byHour = Window.partitionBy(col("hour"))
-    val ranked = events(spark, dir)
-      .withColumn("hour", date_trunc("hour", col("ts")))
-      .withColumn("rn", row_number().over(
-        byHour.orderBy(col("value").asc, col("event_id").asc)))
-      .withColumn("n", count(lit(1)).over(byHour))
+    val ranked = PrefixScan.scanState(
+      events(spark, dir)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .select("hour", "value", "event_id"),
+      Seq("hour"), Seq(col("value"), col("event_id")), lit(1L),
+      rankOut = Some("rn"), totalOut = Some("n"))
     def rank(p: Int) = expr(s"(n * $p + 99) DIV 100") // ⌈n·p/100⌉
     ranked.groupBy(col("hour"), col("n").as("n_events"))
       .agg(max(when(col("rn") === rank(50), col("value"))).as("p50"),

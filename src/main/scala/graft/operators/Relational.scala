@@ -413,12 +413,12 @@ object Relational {
     val j = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .select(col("c_mktsegment"), m(col("o_totalprice")).as("price"),
         col("o_orderkey"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("c_mktsegment"))
-      .orderBy(col("price").asc, col("o_orderkey").asc)
-    j.withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("c_mktsegment"))))
+    // Median rank via the distributed scan state — a row_number window
+    // partitioned by the 5 market segments (kept as the oracle SQL) caps
+    // parallelism at 5 tasks over the full orders table; see PrefixScan.
+    PrefixScan.scanState(j, Seq("c_mktsegment"),
+        Seq(col("price"), col("o_orderkey")), lit(1L),
+        rankOut = Some("rn"), totalOut = Some("n"))
       .filter(col("rn") * 2 === col("n") || col("rn") * 2 === col("n") + 1 ||
         col("rn") * 2 === col("n") + 2)
       .groupBy(col("c_mktsegment"))
