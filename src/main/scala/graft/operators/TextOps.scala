@@ -662,7 +662,55 @@ object TextOps {
        |    THEN 1 ELSE 0 END AS BIGINT) AS crossdup_flag
        |FROM agg ORDER BY doc_id ASC""".stripMargin
 
+  // --- tx_bpe_merges: one BPE-training iteration --------------------------
+  /** Top-20 adjacent character pairs by corpus frequency — the merge-pick
+    * step of byte-pair-encoding tokenizer training (the starting vocabulary
+    * is single characters; each BPE round merges the most frequent adjacent
+    * pair). Scale shape: the ONLY corpus-sized stage is the word-count
+    * aggregate, whose shuffle carries distinct words (map-side combined);
+    * pair expansion, the weighted pair rollup, and the top-k all run over
+    * the vocabulary frame, which is sublinear in corpus size. `pair_count`
+    * weights by word frequency with within-word multiplicity ("aaa"
+    * contributes "aa" twice per occurrence); `n_words` is the distinct
+    * vocabulary words containing the pair. Deterministic (count desc, pair
+    * asc) tie-break, TakeOrdered — never a global sort.
+    */
+  def txBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // Guard len >= 2: Spark's sequence(1, n) runs DESCENDING for n < 1.
+    val pairs = wc.withColumn("pair", explode(
+      when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))))
+    pairs.groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_count"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(20)
+  }
+
+  val txBpeMergesSql: String =
+    s"""WITH toks AS (
+       |  SELECT ${tokensSql("text")} AS ts FROM documents
+       |), w0 AS (
+       |  SELECT unnest(ts) AS w FROM toks
+       |), wc AS (
+       |  SELECT w, COUNT(*) AS freq FROM w0 GROUP BY w
+       |), pr AS (
+       |  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair,
+       |    w, freq
+       |  FROM wc
+       |)
+       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count,
+       |  CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+       |FROM pr GROUP BY pair
+       |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_bpe_merges" -> txBpeMerges,
     "tx_crossdup" -> txCrossdup,
     "tx_diversity" -> txDiversity,
     "tx_countmin_freq" -> txCountminFreq,
@@ -678,6 +726,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_bpe_merges" -> txBpeMergesSql,
     "tx_crossdup" -> txCrossdupSql,
     "tx_diversity" -> txDiversitySql,
     "tx_countmin_freq" -> txCountminFreqSql,
