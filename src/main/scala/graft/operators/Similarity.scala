@@ -398,7 +398,117 @@ object Similarity {
        |FROM rep ORDER BY method ASC, query_id ASC""".stripMargin
   }
 
+  // --- sim_pq_codes: product-quantization compression codes --------------
+  private val PqM = 4    // subspaces over the 64-dim embeddings
+  private val PqSub = 16 // dims per subspace
+  private val PqK = 16   // centroids per subspace → 4-bit codes
+
+  /** Product quantization — the memory-compression half of a 100 TB ANN
+    * index (IVF partitions the corpus, PQ shrinks each resident vector):
+    * the 64-dim embedding splits into [[PqM]] subvectors, each assigned to
+    * the nearest of [[PqK]] per-subspace codebook entries, so a vector is
+    * stored as 4×4 bits instead of 64 floats. Codebooks are subvector
+    * slices of the first 16 corpus vectors (the deterministic k-means
+    * stand-in, exactly as [[simKnnIvf]]); assignment maximizes
+    * dot(x,c)/‖c‖ — x's own norm is constant across candidates, so
+    * dropping it avoids a zero-subvector division and changes nothing.
+    * `recon_cos` audits the distortion: cosine between the original vector
+    * and its reconstruction, computed WITHOUT materializing the
+    * reconstruction (Σ_m dot(x_m, c_m) and Σ_m ‖c_m‖² suffice).
+    * Scale shape: the codebook is a 64-row broadcast; assignment is one
+    * (vec, subspace)-keyed window over corpus×[[PqK]] scored rows; the
+    * rollup to one row per vector is map-side combinable.
+    */
+  def simPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    def slices(q: Column) = array((0 until PqM).map(m =>
+      slice(q, m * PqSub + 1, PqSub)): _*)
+    val sub = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("n2"),
+        posexplode(slices(col("q"))).as(Seq("m", "xs")))
+    val cent = nm.filter(col("vec_id").between(10, 9 + PqK))
+      .select(col("vec_id").as("c_id"),
+        posexplode(slices(col("q"))).as(Seq("m", "cs")))
+      .withColumn("cn2", dotSelf(col("cs")))
+    val dot = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DotLongExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("xs")),
+        org.apache.spark.sql.GraftBridge.expression(col("cs"))))
+    val scored = sub.join(broadcast(cent), "m")
+      .withColumn("dot", dot)
+      .withColumn("score", when(col("cn2") === 0, lit(-1.0e18))
+        .otherwise(col("dot").cast("double") / sqrt(col("cn2").cast("double"))))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    val mult = element_at(
+      array(lit(4096L), lit(256L), lit(16L), lit(1L)), col("m") + 1)
+    val best = scored.withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("m"), (col("c_id") - 10).as("code"),
+        col("n2"), col("dot"), col("cn2"), mult.as("mult"))
+    best.groupBy(col("vec_id"))
+      .agg(max(col("n2")).as("n2"),
+        sum(col("dot")).as("rdot"), sum(col("cn2")).as("rn2"),
+        max(when(col("m") === 0, col("code"))).as("code0"),
+        max(when(col("m") === 1, col("code"))).as("code1"),
+        max(when(col("m") === 2, col("code"))).as("code2"),
+        max(when(col("m") === 3, col("code"))).as("code3"),
+        sum(col("code") * col("mult")).as("pq_code"))
+      .withColumn("recon_cos",
+        when(col("n2") === 0 || col("rn2") === 0, lit(0.0))
+          .otherwise(round(col("rdot").cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("rn2").cast("double"))),
+            6)))
+      .select("vec_id", "code0", "code1", "code2", "code3", "pq_code",
+        "recon_cos")
+      .orderBy(col("vec_id").asc)
+  }
+
+  val simPqCodesSql: String = {
+    val sliceOf = (src: String) =>
+      s"$src.q[(u.m*$PqSub+1):(u.m*$PqSub+$PqSub)]"
+    s"""WITH ${Dedup.quantizedSql}, sub AS (
+       |  SELECT v.vec_id, v.n2, u.m AS m, ${sliceOf("v")} AS xs
+       |  FROM nm v, UNNEST(range($PqM)) AS u(m) WHERE v.vec_id >= 10
+       |), cent AS (
+       |  SELECT c.vec_id AS c_id, u.m AS m, ${sliceOf("c")} AS cs,
+       |    CAST(list_sum(list_transform(${sliceOf("c")}, x -> x * x))
+       |      AS BIGINT) AS cn2
+       |  FROM nm c, UNNEST(range($PqM)) AS u(m)
+       |  WHERE c.vec_id BETWEEN 10 AND ${9 + PqK}
+       |), best AS (
+       |  SELECT * FROM (
+       |    SELECT s.vec_id, s.m, c.c_id - 10 AS code, s.n2, c.cn2,
+       |      CAST(list_sum(list_transform(range(1, $PqSub + 1),
+       |        i -> s.xs[i] * c.cs[i])) AS BIGINT) AS dot,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CASE WHEN c.cn2 = 0 THEN -1e18
+       |          ELSE CAST(list_sum(list_transform(range(1, $PqSub + 1),
+       |            i -> s.xs[i] * c.cs[i])) AS DOUBLE) /
+       |            sqrt(CAST(c.cn2 AS DOUBLE)) END DESC,
+       |        c.c_id ASC) AS crk
+       |    FROM sub s JOIN cent c ON s.m = c.m
+       |  ) t WHERE crk = 1
+       |), agg AS (
+       |  SELECT vec_id, MAX(n2) AS n2,
+       |    CAST(SUM(dot) AS BIGINT) AS rdot, CAST(SUM(cn2) AS BIGINT) AS rn2,
+       |    CAST(MAX(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code0,
+       |    CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code1,
+       |    CAST(MAX(CASE WHEN m = 2 THEN code END) AS BIGINT) AS code2,
+       |    CAST(MAX(CASE WHEN m = 3 THEN code END) AS BIGINT) AS code3,
+       |    CAST(SUM(code * [4096, 256, 16, 1][m + 1]) AS BIGINT) AS pq_code
+       |  FROM best GROUP BY vec_id
+       |)
+       |SELECT vec_id, code0, code1, code2, code3, pq_code,
+       |  CASE WHEN n2 = 0 OR rn2 = 0 THEN 0.0
+       |    ELSE round(CAST(rdot AS DOUBLE) /
+       |      (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))), 6)
+       |  END AS recon_cos
+       |FROM agg ORDER BY vec_id ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_codes" -> simPqCodes,
     "sim_recall_report" -> simRecallReport,
     "sim_knn_ivf_trained" -> simKnnIvfTrained,
     "sim_topk_bruteforce" -> simTopkBruteforce,
@@ -406,6 +516,7 @@ object Similarity {
     "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "sim_pq_codes" -> simPqCodesSql,
     "sim_recall_report" -> simRecallReportSql,
     "sim_knn_ivf_trained" -> simKnnIvfTrainedSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
