@@ -18,6 +18,11 @@ object Similarity {
 
   private val K = 5
   private val NumPlanes = 8
+  // PQ constants live up here: simRecallReportSql (declared before the PQ
+  // section) interpolates simKnnPqSql, so these must initialize first.
+  private val PqM = 4    // subspaces over the 64-dim embeddings
+  private val PqSub = 16 // dims per subspace
+  private val PqK = 16   // centroids per subspace → 4-bit codes
 
   /** Deterministic pseudo-random hyperplane component: for plane j and
     * dimension i, w = ((aj * (i+1) + bj) % 97) - 48 — small signed ints,
@@ -369,6 +374,7 @@ object Similarity {
         .withColumn("method", lit(method))
     report(simKnnLsh(spark, dir), "lsh")
       .unionByName(report(simKnnIvf(spark, dir), "ivf"))
+      .unionByName(report(simKnnPq(spark, dir), "pq"))
       .withColumn("hit_ppm", expr("n_hits * 1000000 DIV n_approx"))
       .select("method", "query_id", "n_approx", "n_hits", "hit_ppm")
       .orderBy(col("method").asc, col("query_id").asc)
@@ -388,10 +394,14 @@ object Similarity {
        |  SELECT query_id, neighbor_id FROM ($simKnnLshSql) l
        |), ivf AS (
        |  SELECT query_id, neighbor_id FROM ($simKnnIvfSql) i
+       |), pq AS (
+       |  SELECT query_id, neighbor_id FROM ($simKnnPqSql) p
        |), rep AS (
        |  ${rep("lsh", "lsh")}
        |  UNION ALL
        |  ${rep("ivf", "ivf")}
+       |  UNION ALL
+       |  ${rep("pq", "pq")}
        |)
        |SELECT method, query_id, n_approx, n_hits,
        |  CAST(n_hits * 1000000 // n_approx AS BIGINT) AS hit_ppm
@@ -399,10 +409,6 @@ object Similarity {
   }
 
   // --- sim_pq_codes: product-quantization compression codes --------------
-  private val PqM = 4    // subspaces over the 64-dim embeddings
-  private val PqSub = 16 // dims per subspace
-  private val PqK = 16   // centroids per subspace → 4-bit codes
-
   /** Product quantization — the memory-compression half of a 100 TB ANN
     * index (IVF partitions the corpus, PQ shrinks each resident vector):
     * the 64-dim embedding splits into [[PqM]] subvectors, each assigned to
@@ -419,33 +425,47 @@ object Similarity {
     * (vec, subspace)-keyed window over corpus×[[PqK]] scored rows; the
     * rollup to one row per vector is map-side combinable.
     */
-  def simPqCodes(spark: SparkSession, dir: String): DataFrame = {
-    val nm = Dedup.quantized(spark, dir)
-    def slices(q: Column) = array((0 until PqM).map(m =>
-      slice(q, m * PqSub + 1, PqSub)): _*)
+  private def pqSlices(q: Column) = array((0 until PqM).map(m =>
+    slice(q, m * PqSub + 1, PqSub)): _*)
+
+  private def pqDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DotLongExpr(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
+
+  /** Per-subspace codebook: (c_id, m, cs, cn2) — [[PqK]]×[[PqM]] rows. */
+  private def pqCodebook(nm: DataFrame): DataFrame =
+    nm.filter(col("vec_id").between(10, 9 + PqK))
+      .select(col("vec_id").as("c_id"),
+        posexplode(pqSlices(col("q"))).as(Seq("m", "cs")))
+      .withColumn("cn2", dotSelf(col("cs")))
+
+  /** Per-(corpus vector, subspace) best codebook entry:
+    * (vec_id, m, code, n2, dot, cn2). Shared by the code dump and the ADC
+    * search.
+    */
+  private def pqAssign(nm: DataFrame): DataFrame = {
     val sub = nm.filter(col("vec_id") >= 10)
       .select(col("vec_id"), col("n2"),
-        posexplode(slices(col("q"))).as(Seq("m", "xs")))
-    val cent = nm.filter(col("vec_id").between(10, 9 + PqK))
-      .select(col("vec_id").as("c_id"),
-        posexplode(slices(col("q"))).as(Seq("m", "cs")))
-      .withColumn("cn2", dotSelf(col("cs")))
-    val dot = org.apache.spark.sql.GraftBridge.column(
-      graft.functions.DotLongExpr(
-        org.apache.spark.sql.GraftBridge.expression(col("xs")),
-        org.apache.spark.sql.GraftBridge.expression(col("cs"))))
-    val scored = sub.join(broadcast(cent), "m")
-      .withColumn("dot", dot)
+        posexplode(pqSlices(col("q"))).as(Seq("m", "xs")))
+    val scored = sub.join(broadcast(pqCodebook(nm)), "m")
+      .withColumn("dot", pqDot(col("xs"), col("cs")))
       .withColumn("score", when(col("cn2") === 0, lit(-1.0e18))
         .otherwise(col("dot").cast("double") / sqrt(col("cn2").cast("double"))))
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("score").desc, col("c_id").asc)
-    val mult = element_at(
-      array(lit(4096L), lit(256L), lit(16L), lit(1L)), col("m") + 1)
-    val best = scored.withColumn("crk", row_number().over(w))
+    scored.withColumn("crk", row_number().over(w))
       .filter(col("crk") === 1)
       .select(col("vec_id"), col("m"), (col("c_id") - 10).as("code"),
-        col("n2"), col("dot"), col("cn2"), mult.as("mult"))
+        col("n2"), col("dot"), col("cn2"))
+  }
+
+  def simPqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val mult = element_at(
+      array(lit(4096L), lit(256L), lit(16L), lit(1L)), col("m") + 1)
+    val best = pqAssign(nm).withColumn("mult", mult)
     best.groupBy(col("vec_id"))
       .agg(max(col("n2")).as("n2"),
         sum(col("dot")).as("rdot"), sum(col("cn2")).as("rn2"),
@@ -464,7 +484,7 @@ object Similarity {
       .orderBy(col("vec_id").asc)
   }
 
-  val simPqCodesSql: String = {
+  lazy val simPqCodesSql: String = {
     val sliceOf = (src: String) =>
       s"$src.q[(u.m*$PqSub+1):(u.m*$PqSub+$PqSub)]"
     s"""WITH ${Dedup.quantizedSql}, sub AS (
@@ -507,7 +527,109 @@ object Similarity {
        |FROM agg ORDER BY vec_id ASC""".stripMargin
   }
 
+  // --- sim_knn_pq: ANN search over the PQ codes (ADC) ---------------------
+  /** Approximate top-3 neighbors per query via ASYMMETRIC DISTANCE
+    * COMPUTATION over the PQ codes: each query precomputes its dot product
+    * against every codebook entry (a [[PqK]]×[[PqM]]×|queries| distance
+    * table — tiny, broadcast), and a corpus vector's approximate similarity
+    * is the sum of 4 table lookups selected by its stored code — the
+    * compressed corpus is never decoded and the full-dimension dot product
+    * never runs. cos(q, recon(v)) = Σ_m dot(q_m, c_{m,code_m}) /
+    * (‖q‖·‖recon‖) with ‖recon‖² = Σ_m ‖c_m‖², all from the code frame.
+    * At 100 TB this is the scan IVF probing would restrict to a cell; the
+    * plan composes (the code frame is cell-partitionable), and the scored
+    * rollup is map-side combinable. Ranks audited the same way as the
+    * other ANN variants via deterministic (score, neighbor_id) ordering.
+    */
+  def simKnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val dist = nm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("n2").as("qn2"),
+        posexplode(pqSlices(col("q"))).as(Seq("m", "qs")))
+      .join(pqCodebook(nm), "m")
+      .select(col("query_id"), col("qn2"), col("m"),
+        (col("c_id") - 10).as("code"),
+        pqDot(col("qs"), col("cs")).as("qdot"), col("cn2"))
+    // The codebook norm rides on the distance table (identical per
+    // (m, code) to the assignment's), so the code frame stays code-only.
+    val codes = pqAssign(nm)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+    val scored = codes.join(broadcast(dist), Seq("m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qdot")).as("adot"), sum(col("cn2")).as("rn2"),
+        max(col("qn2")).as("qn2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("approx_cos",
+        when(col("qn2") === 0 || col("rn2") === 0, lit(0.0))
+          .otherwise(round(col("adot").cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("rn2").cast("double"))),
+            6)))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select("query_id", "neighbor_id", "rk", "approx_cos")
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  lazy val simKnnPqSql: String = {
+    val sliceOf = (src: String) =>
+      s"$src.q[(u.m*$PqSub+1):(u.m*$PqSub+$PqSub)]"
+    s"""WITH ${Dedup.quantizedSql}, cent AS (
+       |  SELECT c.vec_id AS c_id, u.m AS m, ${sliceOf("c")} AS cs,
+       |    CAST(list_sum(list_transform(${sliceOf("c")}, x -> x * x))
+       |      AS BIGINT) AS cn2
+       |  FROM nm c, UNNEST(range($PqM)) AS u(m)
+       |  WHERE c.vec_id BETWEEN 10 AND ${9 + PqK}
+       |), sub AS (
+       |  SELECT v.vec_id, v.n2, u.m AS m, ${sliceOf("v")} AS xs
+       |  FROM nm v, UNNEST(range($PqM)) AS u(m) WHERE v.vec_id >= 10
+       |), best AS (
+       |  SELECT * FROM (
+       |    SELECT s.vec_id, s.m, c.c_id - 10 AS code, c.cn2,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CASE WHEN c.cn2 = 0 THEN -1e18
+       |          ELSE CAST(list_sum(list_transform(range(1, $PqSub + 1),
+       |            i -> s.xs[i] * c.cs[i])) AS DOUBLE) /
+       |            sqrt(CAST(c.cn2 AS DOUBLE)) END DESC,
+       |        c.c_id ASC) AS crk
+       |    FROM sub s JOIN cent c ON s.m = c.m
+       |  ) t WHERE crk = 1
+       |), dist AS (
+       |  SELECT s.vec_id AS query_id, s.n2 AS qn2, s.m, c.c_id - 10 AS code,
+       |    CAST(list_sum(list_transform(range(1, $PqSub + 1),
+       |      i -> s.qs[i] * c.cs[i])) AS BIGINT) AS qdot,
+       |    c.cn2
+       |  FROM (
+       |    SELECT q.vec_id, q.n2, u.m AS m, ${sliceOf("q")} AS qs
+       |    FROM nm q, UNNEST(range($PqM)) AS u(m) WHERE q.vec_id < 10
+       |  ) s JOIN cent c ON s.m = c.m
+       |), scored AS (
+       |  SELECT d.query_id, b.vec_id AS neighbor_id,
+       |    CAST(SUM(d.qdot) AS BIGINT) AS adot,
+       |    CAST(SUM(d.cn2) AS BIGINT) AS rn2,
+       |    MAX(d.qn2) AS qn2
+       |  FROM best b JOIN dist d ON b.m = d.m AND b.code = d.code
+       |  GROUP BY d.query_id, b.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN qn2 = 0 OR rn2 = 0 THEN 0.0
+       |      ELSE round(CAST(adot AS DOUBLE) /
+       |        (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))), 6)
+       |    END AS approx_cos
+       |  FROM scored
+       |), rk AS (
+       |  SELECT query_id, neighbor_id, approx_cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx_cos DESC, neighbor_id ASC) AS BIGINT) AS rk
+       |  FROM ranked
+       |)
+       |SELECT query_id, neighbor_id, rk, approx_cos FROM rk
+       |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_pq" -> simKnnPq,
     "sim_pq_codes" -> simPqCodes,
     "sim_recall_report" -> simRecallReport,
     "sim_knn_ivf_trained" -> simKnnIvfTrained,
@@ -516,6 +638,7 @@ object Similarity {
     "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_pq" -> simKnnPqSql,
     "sim_pq_codes" -> simPqCodesSql,
     "sim_recall_report" -> simRecallReportSql,
     "sim_knn_ivf_trained" -> simKnnIvfTrainedSql,
