@@ -65,6 +65,23 @@ class PrefixScanSpec extends SparkSpec {
     assert(got.toSeq == naivePlan.collect().toSeq)
   }
 
+  test("output is invariant to the shuffle-partition count (shard layout)") {
+    // Shard boundaries come from repartitionByRange, whose partition count
+    // follows spark.sql.shuffle.partitions — results must not depend on it
+    // (the offsets must compose correctly for ANY shard layout).
+    val rnd = new Random(11)
+    val rows = (1 to 500).map(k => (rnd.nextInt(3), k, rnd.nextInt(100).toLong))
+    val df = rows.toDF("g", "k", "v").repartition(5)
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    def result(n: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try distributed(df).select("g", "k", "v", "rnk", "cum", "n")
+        .orderBy("g", "k").collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+    }
+    assert(result("1") == result("3") && result("3") == result("13"))
+  }
+
   test("no corpus window partitioned only by the group keys remains") {
     // The rewritten plans' corpus-side windows must include the range-shard
     // column; per-group-only windows may appear solely over the aggregated
