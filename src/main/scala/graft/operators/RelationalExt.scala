@@ -976,6 +976,47 @@ object RelationalExt {
       |ORDER BY g_priority ASC, g_year ASC,
       |  o_orderpriority ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin
 
+  // --- q_grouping_sets: arbitrary subtotal lattice ------------------------
+  /** Explicit GROUPING SETS — the lattice shape ROLLUP/CUBE can't express:
+    * (priority, year) detail, (year, month) seasonality, and the grand
+    * total, in ONE aggregate (one Expand ×3 + one shuffle — exactly the
+    * requested sets, not the full cube). Per-column `grouping()` flags
+    * disambiguate subtotal rows, as q_cube_sales.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")).cast("bigint"))
+      .withColumn("o_month", month(col("o_orderdate")).cast("bigint"))
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_year")),
+          Seq(col("o_year"), col("o_month")),
+          Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderpriority"), col("o_year"), col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"),
+        grouping(col("o_orderpriority")).cast("bigint").as("g_priority"),
+        grouping(col("o_year")).cast("bigint").as("g_year"),
+        grouping(col("o_month")).cast("bigint").as("g_month"))
+      .orderBy(col("g_priority").asc, col("g_year").asc, col("g_month").asc,
+        col("o_orderpriority").asc_nulls_first, col("o_year").asc_nulls_first,
+        col("o_month").asc_nulls_first)
+
+  val qGroupingSetsSql: String =
+    """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS o_month,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  CAST(GROUPING(year(o_orderdate)) AS BIGINT) AS g_year,
+      |  CAST(GROUPING(month(o_orderdate)) AS BIGINT) AS g_month
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, year(o_orderdate)),
+      |  (year(o_orderdate), month(o_orderdate)), ())
+      |ORDER BY g_priority ASC, g_year ASC, g_month ASC,
+      |  o_orderpriority ASC NULLS FIRST, o_year ASC NULLS FIRST,
+      |  o_month ASC NULLS FIRST""".stripMargin
+
   // --- q_moving_revenue: RANGE-frame trailing 3-month window --------------
   /** Trailing 3-calendar-month revenue per order priority — a VALUE-range
     * window frame (`RANGE BETWEEN 2 PRECEDING AND CURRENT ROW` over a
@@ -1029,6 +1070,7 @@ object RelationalExt {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_moving_revenue" -> qMovingRevenue,
     "q_cube_sales" -> qCubeSales,
+    "q_grouping_sets" -> qGroupingSets,
     "q_column_stats" -> qColumnStats,
     "q_column_stats_approx" -> qColumnStatsApprox,
     "q12_late_priority" -> q12LatePriority,
@@ -1051,6 +1093,7 @@ object RelationalExt {
   val oracles: Map[String, String] = Map(
     "q_moving_revenue" -> qMovingRevenueSql,
     "q_cube_sales" -> qCubeSalesSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_column_stats" -> qColumnStatsSql,
     "q_column_stats_approx" -> qColumnStatsApproxSql,
     "q12_late_priority" -> q12Sql,
