@@ -293,6 +293,73 @@ object Namespace {
   def nsGrowthTrend(spark: SparkSession, dir: String): DataFrame =
     growthTrend(ObjectStoreView.keys(spark, dir))
 
+  /** Capacity forecast per volume: ordinary least squares over the monthly
+    * bytes-added series (x = month rank, y = bytes), projecting the next
+    * month — the capacity-planning read on the Recon utilization trend.
+    * All regression sums are exact integers over the ≤|months| aggregated
+    * frame (slope = (nΣxy−ΣxΣy)/D, D = nΣx²−(Σx)²); only the final
+    * slope/forecast divisions go to rounded doubles (the cross-engine emit
+    * discipline of SURVEY §4). One corpus scan + one monthly shuffle; the
+    * regression itself is a per-volume aggregate over month rows.
+    */
+  def growthForecast(keys: DataFrame): DataFrame = {
+    val monthly = keys
+      .groupBy(col("volume"), date_trunc("month", col("mtime")).as("month"))
+      .agg(sum(col("size")).as("y"))
+    // Month rank 0..n-1 per volume — a window over the aggregated monthly
+    // frame (metadata-sized), not the corpus.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("volume")).orderBy(col("month").asc)
+    monthly
+      .withColumn("x", (row_number().over(w) - 1).cast("bigint"))
+      .groupBy(col("volume"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("d", col("n_months") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope_bytes_per_month",
+        round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") / col("d").cast("double"), 6))
+      .withColumn("forecast_next_month_bytes",
+        round(((col("sy") * col("sxx") - col("sx") * col("sxy")) +
+          (col("n_months") * col("sxy") - col("sx") * col("sy")) *
+            col("n_months")).cast("double") / col("d").cast("double"), 6))
+      .select("volume", "n_months", "slope_bytes_per_month",
+        "forecast_next_month_bytes")
+      .orderBy(col("volume").asc)
+  }
+
+  def nsGrowthForecast(spark: SparkSession, dir: String): DataFrame =
+    growthForecast(ObjectStoreView.keys(spark, dir))
+
+  val nsGrowthForecastSql: String =
+    s"""WITH keys AS ($ks), monthly AS (
+       |  SELECT volume, date_trunc('month', mtime) AS month,
+       |    CAST(SUM(size) AS BIGINT) AS y
+       |  FROM keys GROUP BY volume, month
+       |), xy AS (
+       |  SELECT volume, y,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY volume ORDER BY month ASC)
+       |      - 1 AS BIGINT) AS x
+       |  FROM monthly
+       |), s AS (
+       |  SELECT volume, COUNT(*) AS n_months,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM xy GROUP BY volume
+       |)
+       |SELECT volume, n_months,
+       |  round(CAST(n_months * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n_months * sxx - sx * sx AS DOUBLE), 6)
+       |    AS slope_bytes_per_month,
+       |  round(CAST((sy * sxx - sx * sxy) +
+       |      (n_months * sxy - sx * sy) * n_months AS DOUBLE) /
+       |    CAST(n_months * sxx - sx * sx AS DOUBLE), 6)
+       |    AS forecast_next_month_bytes
+       |FROM s ORDER BY volume ASC""".stripMargin
+
   val nsGrowthTrendSql: String =
     s"""WITH keys AS ($ks), monthly AS (
        |  SELECT date_trunc('month', mtime) AS month,
@@ -842,6 +909,7 @@ object Namespace {
     "ns_common_prefixes" -> nsCommonPrefixes,
     "ns_list_v2_page" -> nsListV2Page,
     "ns_growth_trend" -> nsGrowthTrend,
+    "ns_growth_forecast" -> nsGrowthForecast,
     "ns_du" -> nsDu,
     "ns_filesize_histogram" -> nsFileSizeHistogram,
     "ns_table_counts" -> nsTableCounts,
@@ -865,6 +933,7 @@ object Namespace {
     "ns_common_prefixes" -> nsCommonPrefixesSql,
     "ns_list_v2_page" -> nsListV2PageSql,
     "ns_growth_trend" -> nsGrowthTrendSql,
+    "ns_growth_forecast" -> nsGrowthForecastSql,
     "ns_du" -> nsDuSql,
     "ns_filesize_histogram" -> nsFileSizeHistogramSql,
     "ns_table_counts" -> nsTableCountsSql,
