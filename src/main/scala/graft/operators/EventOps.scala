@@ -104,6 +104,72 @@ object EventOps {
         .as("conversion_rate"))
   }
 
+  /** Conversion-latency distribution: for every user whose first purchase
+    * follows their first signup, seconds from signup to that first
+    * purchase, summarized as EXACT nearest-rank p50/p90/p99 (integer
+    * microsecond arithmetic end-to-end; the division to whole seconds is
+    * integer DIV). The global rank runs DISTRIBUTED through
+    * [[PrefixScan.scanState]]'s empty-group case — the naive
+    * `ROW_NUMBER() OVER (ORDER BY ...)` (kept as the oracle) is a
+    * single-task total sort; here every shard ranks locally and shifts by
+    * broadcast offsets. Companion to [[evFunnel]]'s conversion-rate view.
+    */
+  def evFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    val conv = signups.join(purch, Seq("user_id"))
+      .filter(col("p_ts") > col("first_signup"))
+      .groupBy(col("user_id"), col("first_signup"))
+      .agg(min(col("p_ts")).as("first_conv"))
+      .withColumn("lat_us",
+        expr("unix_micros(first_conv) - unix_micros(first_signup)"))
+    val ranked = PrefixScan.scanState(
+      conv.select(col("user_id"), col("lat_us")),
+      Seq.empty, Seq(col("lat_us"), col("user_id")), lit(1L),
+      rankOut = Some("rn"), totalOut = Some("n"))
+    def rk(p: Int) = expr(s"(n * $p + 99) DIV 100")
+    ranked.groupBy(col("n").as("n_converted"))
+      .agg(
+        max(when(col("rn") === rk(50), expr("lat_us DIV 1000000")))
+          .as("p50_secs"),
+        max(when(col("rn") === rk(90), expr("lat_us DIV 1000000")))
+          .as("p90_secs"),
+        max(when(col("rn") === rk(99), expr("lat_us DIV 1000000")))
+          .as("p99_secs"))
+  }
+
+  val evFunnelTimeSql: String =
+    """WITH signups AS (
+      |  SELECT user_id, MIN(ts) AS first_signup FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), conv AS (
+      |  SELECT s.user_id, s.first_signup, MIN(p.ts) AS first_conv
+      |  FROM signups s JOIN (
+      |    SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+      |  ) p ON s.user_id = p.user_id AND p.ts > s.first_signup
+      |  GROUP BY s.user_id, s.first_signup
+      |), lat AS (
+      |  SELECT user_id,
+      |    epoch_us(first_conv) - epoch_us(first_signup) AS lat_us
+      |  FROM conv
+      |), ranked AS (
+      |  SELECT lat_us,
+      |    ROW_NUMBER() OVER (ORDER BY lat_us ASC, user_id ASC) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM lat
+      |)
+      |SELECT n AS n_converted,
+      |  CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100
+      |    THEN lat_us // 1000000 END) AS BIGINT) AS p50_secs,
+      |  CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100
+      |    THEN lat_us // 1000000 END) AS BIGINT) AS p90_secs,
+      |  CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100
+      |    THEN lat_us // 1000000 END) AS BIGINT) AS p99_secs
+      |FROM ranked GROUP BY n""".stripMargin
+
   val evFunnelSql: String =
     """WITH signups AS (
       |  SELECT user_id, MIN(ts) AS first_signup FROM events
@@ -558,6 +624,7 @@ object EventOps {
     "ev_tumbling_counts" -> evTumblingCounts,
     "ev_sessionize" -> evSessionize,
     "ev_funnel" -> evFunnel,
+    "ev_funnel_time" -> evFunnelTime,
     "ev_user_activity" -> evUserActivity,
     "ev_props_stats" -> evPropsStats)
 
@@ -574,6 +641,7 @@ object EventOps {
     "ev_tumbling_counts" -> evTumblingCountsSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_funnel" -> evFunnelSql,
+    "ev_funnel_time" -> evFunnelTimeSql,
     "ev_user_activity" -> evUserActivitySql,
     "ev_props_stats" -> evPropsStatsSql)
 }
