@@ -976,6 +976,59 @@ object RelationalExt {
       |ORDER BY g_priority ASC, g_year ASC,
       |  o_orderpriority ASC NULLS FIRST, o_year ASC NULLS FIRST""".stripMargin
 
+  // --- q_column_corr: exact-sum Pearson correlation -----------------------
+  /** Pearson correlation between quantity and extended price per return
+    * flag — the column-correlation statistic a cost-based optimizer and
+    * data-profiling ANALYZE collect alongside NDV/min/max (q_column_stats).
+    * Both columns quantize to exact integers (quantity is integral,
+    * price has 2 decimals → cents), and the moment sums run in DECIMAL —
+    * Σ(cents²) clears int64 around sf0.1, and a silent long wraparound
+    * would corrupt the statistic where DuckDB's HUGEINT sums would not;
+    * decimals keep both engines exact under any partitioning. The single
+    * division and sqrt emit as a rounded double (SURVEY §4). One scan,
+    * one tiny shuffle of 5 partial-agg rows — a `corr()` built-in over
+    * doubles would be merge-order-dependent and flake the oracle hash.
+    */
+  def qColumnCorr(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(10,0)").as("x"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("decimal(12,0)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("corr_qty_price",
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6))
+      .select("l_returnflag", "n", "corr_qty_price")
+      .orderBy(col("l_returnflag").asc)
+
+  val qColumnCorrSql: String =
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem
+      |), s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx,
+      |    SUM(y * y) AS syy
+      |  FROM q GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, n,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr_qty_price
+      |FROM s ORDER BY l_returnflag ASC""".stripMargin
+
   // --- q_grouping_sets: arbitrary subtotal lattice ------------------------
   /** Explicit GROUPING SETS — the lattice shape ROLLUP/CUBE can't express:
     * (priority, year) detail, (year, month) seasonality, and the grand
@@ -1071,6 +1124,7 @@ object RelationalExt {
     "q_moving_revenue" -> qMovingRevenue,
     "q_cube_sales" -> qCubeSales,
     "q_grouping_sets" -> qGroupingSets,
+    "q_column_corr" -> qColumnCorr,
     "q_column_stats" -> qColumnStats,
     "q_column_stats_approx" -> qColumnStatsApprox,
     "q12_late_priority" -> q12LatePriority,
@@ -1094,6 +1148,7 @@ object RelationalExt {
     "q_moving_revenue" -> qMovingRevenueSql,
     "q_cube_sales" -> qCubeSalesSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q_column_corr" -> qColumnCorrSql,
     "q_column_stats" -> qColumnStatsSql,
     "q_column_stats_approx" -> qColumnStatsApproxSql,
     "q12_late_priority" -> q12Sql,
