@@ -103,6 +103,42 @@ object Containers {
        |  CAST(SUM(total_bytes) AS BIGINT) AS total_bytes
        |FROM cont GROUP BY health ORDER BY health ASC""".stripMargin
 
+  // --- ct_repair_priority: the under-replication repair queue -------------
+  /** The ranked repair queue SCM's ReplicationManager works through: every
+    * container below the replication target, ordered by urgency — missing
+    * replica count first (0 live replicas = potential data loss at the
+    * head), then bytes at risk (missing × stored bytes, exact integer),
+    * container id as the deterministic tie-break. Top-20 via TakeOrdered —
+    * the queue head, never a global sort of the container set.
+    * Reference: SCM ReplicationManager under/mis-replication handling
+    * (hdds/server-scm/.../container/replication/ReplicationManager.java,
+    * UnderReplicatedProcessor).
+    */
+  def ctRepairPriority(spark: SparkSession, dir: String): DataFrame =
+    containerStats(spark, dir)
+      .filter(col("replicas") < Target)
+      .withColumn("missing_replicas", lit(Target) - col("replicas"))
+      .withColumn("risk_bytes", col("missing_replicas") * col("total_bytes"))
+      .withColumn("health",
+        when(col("replicas") === 0, "MISSING").otherwise("UNDER_REPLICATED"))
+      .select("container_id", "health", "replicas", "missing_replicas",
+        "n_keys", "total_bytes", "risk_bytes")
+      .orderBy(col("missing_replicas").desc, col("total_bytes").desc,
+        col("container_id").asc)
+      .limit(20)
+
+  val ctRepairPrioritySql: String =
+    s"""WITH $containerStatsSql
+       |SELECT container_id,
+       |  CASE WHEN replicas = 0 THEN 'MISSING'
+       |    ELSE 'UNDER_REPLICATED' END AS health,
+       |  replicas, $Target - replicas AS missing_replicas,
+       |  n_keys, total_bytes,
+       |  CAST(($Target - replicas) * total_bytes AS BIGINT) AS risk_bytes
+       |FROM cont WHERE replicas < $Target
+       |ORDER BY missing_replicas DESC, total_bytes DESC, container_id ASC
+       |LIMIT 20""".stripMargin
+
   // --- ct_cluster_state: one-row cluster totals ---------------------------
   /** Single scan of the container-key map (it carries volume/bucket/state
     * alongside container_id, so no join is needed for the rollup).
@@ -845,6 +881,7 @@ object Containers {
     "ct_keys_per_container" -> ctKeysPerContainer,
     "ct_missing_container_keys" -> ctMissingContainerKeys,
     "ct_unhealthy_containers" -> ctUnhealthyContainers,
+    "ct_repair_priority" -> ctRepairPriority,
     "ct_cluster_state" -> ctClusterState,
     "ct_node_report" -> ctNodeReport,
     "ct_pipeline_report" -> ctPipelineReport)
@@ -863,6 +900,7 @@ object Containers {
     "ct_keys_per_container" -> ctKeysPerContainerSql,
     "ct_missing_container_keys" -> ctMissingContainerKeysSql,
     "ct_unhealthy_containers" -> ctUnhealthyContainersSql,
+    "ct_repair_priority" -> ctRepairPrioritySql,
     "ct_cluster_state" -> ctClusterStateSql,
     "ct_node_report" -> ctNodeReportSql,
     "ct_pipeline_report" -> ctPipelineReportSql)

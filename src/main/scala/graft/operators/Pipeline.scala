@@ -79,6 +79,66 @@ object Pipeline {
        |    ELSE 'test' END AS split
        |FROM fp ORDER BY doc_id ASC""".stripMargin
 
+  // --- pipe_split_drift: split-balance audit ------------------------------
+  /** Does each train/val/test split carry the corpus's language mix? Per
+    * (split, lang): the stratum's share WITHIN its split vs the corpus-wide
+    * share, and the signed drift, all in exact integer ppm — the
+    * split-balance audit run after [[pipeSplit]]'s content-hash
+    * assignment (hash splits are unstratified by construction, so drift is
+    * expected noise at small n and must be measured, not assumed). Shape:
+    * one corpus aggregate to the (split × lang) cell frame; every
+    * share/total is a window over that metadata-sized frame.
+    */
+  def pipeSplitDrift(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val sp = Dedup.fingerprints(Tables.documents(spark, dir))
+      .withColumn("split",
+        when(col("h1") % 1000 < 900, "train")
+          .when(col("h1") % 1000 < 950, "val")
+          .otherwise("test"))
+      .select("doc_id", "split")
+    val cell = sp.join(langs, "doc_id")
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    cell
+      .withColumn("split_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("split"))))
+      .withColumn("lang_total",
+        sum(col("n_docs")).over(Window.partitionBy(col("lang"))))
+      .withColumn("corpus_total",
+        sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("split_ppm", expr("n_docs * 1000000 DIV split_total"))
+      .withColumn("corpus_ppm", expr("lang_total * 1000000 DIV corpus_total"))
+      .withColumn("drift_ppm", col("split_ppm") - col("corpus_ppm"))
+      .select("split", "lang", "n_docs", "split_ppm", "corpus_ppm",
+        "drift_ppm")
+      .orderBy(col("split").asc, col("lang").asc)
+  }
+
+  val pipeSplitDriftSql: String =
+    s"""WITH ${Dedup.fingerprintsSql}, sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h1 % 1000 < 900 THEN 'train'
+       |      WHEN h1 % 1000 < 950 THEN 'val' ELSE 'test' END AS split
+       |  FROM fp
+       |), cell AS (
+       |  SELECT s.split, d.lang, COUNT(*) AS n_docs
+       |  FROM sp s JOIN documents d ON s.doc_id = d.doc_id
+       |  GROUP BY s.split, d.lang
+       |), t AS (
+       |  SELECT split, lang, n_docs,
+       |    SUM(n_docs) OVER (PARTITION BY split) AS split_total,
+       |    SUM(n_docs) OVER (PARTITION BY lang) AS lang_total,
+       |    SUM(n_docs) OVER () AS corpus_total
+       |  FROM cell
+       |)
+       |SELECT split, lang, n_docs,
+       |  CAST(n_docs * 1000000 // split_total AS BIGINT) AS split_ppm,
+       |  CAST(lang_total * 1000000 // corpus_total AS BIGINT) AS corpus_ppm,
+       |  CAST(n_docs * 1000000 // split_total
+       |    - lang_total * 1000000 // corpus_total AS BIGINT) AS drift_ppm
+       |FROM t ORDER BY split ASC, lang ASC""".stripMargin
+
   // --- pipe_pack_plan: token-stream packing layout per shard --------------
   private val ChunkTokens = 512
 
@@ -480,6 +540,7 @@ object Pipeline {
     "pipe_mixture_weights" -> pipeMixtureWeights,
     "pipe_curate" -> pipeCurate,
     "pipe_split" -> pipeSplit,
+    "pipe_split_drift" -> pipeSplitDrift,
     "pipe_pack_plan" -> pipePackPlan,
     "pipe_sample" -> pipeSample)
 
@@ -491,6 +552,7 @@ object Pipeline {
     "pipe_mixture_weights" -> pipeMixtureWeightsSql,
     "pipe_curate" -> pipeCurateSql,
     "pipe_split" -> pipeSplitSql,
+    "pipe_split_drift" -> pipeSplitDriftSql,
     "pipe_pack_plan" -> pipePackPlanSql,
     "pipe_sample" -> pipeSampleSql)
 }
