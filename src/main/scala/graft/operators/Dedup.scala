@@ -298,6 +298,31 @@ object Dedup {
        |  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
        |FROM lab3 ORDER BY doc_id ASC""".stripMargin
 
+  // --- dd_cluster_sizes: near-dup cluster-size distribution ---------------
+  /** How duplicated is the corpus? Distribution of near-dup cluster sizes
+    * (clusters from [[canonicalLabels]], size 1 = unique doc): per size,
+    * the cluster count and total docs bound up in clusters of that size —
+    * the report that decides whether near-dedup is worth its cost on a
+    * corpus and catches pathological super-clusters before canonicalize-
+    * and-drop runs. Two tiny aggregates over the label frame; the heavy
+    * lifting (LSH → verify → propagation) is the shared canonical subplan.
+    */
+  def ddClusterSizes(spark: SparkSession, dir: String): DataFrame =
+    canonicalLabels(Tables.documents(spark, dir))
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size").asc)
+
+  val ddClusterSizesSql: String =
+    s"""WITH $canonicalCtes, cl AS (
+       |  SELECT label, COUNT(*) AS cluster_size FROM lab3 GROUP BY label
+       |)
+       |SELECT cluster_size, COUNT(*) AS n_clusters,
+       |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+       |FROM cl GROUP BY cluster_size ORDER BY cluster_size ASC""".stripMargin
+
   // --- dd_components: fixpoint connected components over verified edges ---
   /** Connected components of the verified near-dup graph to FIXPOINT
     * (SURVEY §6's open item; [[ddCanonical]] runs a fixed 3-round horizon).
@@ -583,6 +608,7 @@ object Dedup {
     "dd_simhash" -> ddSimhash,
     "dd_embed_cosine" -> ddEmbedCosine,
     "dd_canonical" -> ddCanonical,
+    "dd_cluster_sizes" -> ddClusterSizes,
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
@@ -593,5 +619,6 @@ object Dedup {
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "dd_canonical" -> ddCanonicalSql,
+    "dd_cluster_sizes" -> ddClusterSizesSql,
     "dd_components" -> ddComponentsSql)
 }
