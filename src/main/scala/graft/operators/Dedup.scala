@@ -456,6 +456,87 @@ object Dedup {
        |) t ORDER BY doc_a ASC, doc_b ASC""".stripMargin
   }
 
+  // --- dd_lsh_audit: candidate-stage precision / estimate-error report ----
+  /** One-row audit of the banded-LSH candidate stage — the go/no-go gauge
+    * for the dedup recipe's blocking parameters: candidate count, how many
+    * survive exact Jaccard ≥ 0.6 (precision in exact ppm), and how far the
+    * 64-hash signature estimate strays from exact Jaccard (mean/max
+    * absolute error in ppm — integer arithmetic end-to-end; the ≥ 0.6 test
+    * on floored ppm is algebraically identical to the exact rational
+    * compare). Candidates too LOW precision → widen bands; estimate error
+    * too HIGH → more hashes. Shape: the candidate frame joins shingle sets
+    * and signatures by doc key (both exchanges reused from the dd_* family
+    * subplans), then ONE aggregate — the report never materializes
+    * anything pair-quadratic beyond the bucket-capped candidates.
+    */
+  def ddLshAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sigs = signatures(docs)
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    val sets = docs
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
+    val err = abs(col("est_ppm") - col("exact_ppm"))
+    lshPairs(sigs)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("bigint"))
+      .withColumn("n_union",
+        size(col("sg_a")) + size(col("sg_b")) - col("n_inter"))
+      .withColumn("n_eq", aggregate(
+        zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("exact_ppm", expr("n_inter * 1000000 DIV n_union"))
+      .withColumn("est_ppm", expr(s"n_eq * 1000000 DIV $NumHashes"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("exact_ppm") >= 600000L, 1L).otherwise(0L))
+          .as("n_verified"),
+        sum(err).as("sum_err"),
+        max(err).as("max_abs_err_ppm"))
+      .withColumn("precision_ppm", expr("n_verified * 1000000 DIV n_candidates"))
+      .withColumn("mean_abs_err_ppm", expr("sum_err DIV n_candidates"))
+      .select("n_candidates", "n_verified", "precision_ppm",
+        "mean_abs_err_ppm", "max_abs_err_ppm")
+  }
+
+  val ddLshAuditSql: String = {
+    val agree = (0 until NumHashes)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $signaturesSql, $lshPairsSql, sets AS (
+       |  SELECT doc_id, scs AS sg FROM sc
+       |), p AS (
+       |  SELECT
+       |    CAST(len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS n_inter,
+       |    CAST(len(sa.sg) + len(sb.sg)
+       |      - len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS n_union,
+       |    CAST($agree AS BIGINT) AS n_eq
+       |  FROM cand c
+       |  JOIN sets sa ON c.doc_a = sa.doc_id
+       |  JOIN sets sb ON c.doc_b = sb.doc_id
+       |  JOIN sigs a ON c.doc_a = a.doc_id
+       |  JOIN sigs b ON c.doc_b = b.doc_id
+       |), e AS (
+       |  SELECT n_inter * 1000000 // n_union AS exact_ppm,
+       |    n_eq * 1000000 // $NumHashes AS est_ppm
+       |  FROM p
+       |)
+       |SELECT COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN exact_ppm >= 600000 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_verified,
+       |  CAST(SUM(CASE WHEN exact_ppm >= 600000 THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS precision_ppm,
+       |  CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+       |    AS mean_abs_err_ppm,
+       |  CAST(MAX(ABS(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+       |FROM e""".stripMargin
+  }
+
   // --- dd_simhash: 16-bit simhash + bucket sizes ---------------------------
   /** Array-native: per-doc distinct token-hash array, 16 sign sums as
     * array aggregates — map-only until the bucket-size window (the one
@@ -609,6 +690,7 @@ object Dedup {
     "dd_embed_cosine" -> ddEmbedCosine,
     "dd_canonical" -> ddCanonical,
     "dd_cluster_sizes" -> ddClusterSizes,
+    "dd_lsh_audit" -> ddLshAudit,
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
@@ -620,5 +702,6 @@ object Dedup {
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "dd_canonical" -> ddCanonicalSql,
     "dd_cluster_sizes" -> ddClusterSizesSql,
+    "dd_lsh_audit" -> ddLshAuditSql,
     "dd_components" -> ddComponentsSql)
 }

@@ -611,7 +611,141 @@ object EventOps {
        |) t ORDER BY day ASC""".stripMargin
   }
 
+  // --- ev_sliding_counts: hopping-window aggregation ----------------------
+  /** Sliding (hopping) window counts: 1-hour windows advancing every 15
+    * minutes — the batch form of Structured Streaming's
+    * `window(ts, '1 hour', '15 minutes')`. Each event belongs to exactly
+    * window/slide = 4 windows, so the fan-out is a BOUNDED explode of the
+    * 4 slide offsets per event (never a θ-join of events against a window
+    * table). Window starts are integer-µs arithmetic identical in both
+    * engines; the aggregate is map-side combinable, so the shuffle carries
+    * (window, type) cells — 4× the tumbling cell count, independent of the
+    * event volume. Complements [[evTumblingCounts]] (tumbling twin).
+    */
+  def evSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val slideUs = 900000000L // 15-minute slide; 4 slides per 1-hour window
+    events(spark, dir)
+      .select(col("event_type"), col("value"),
+        expr(s"unix_micros(ts) DIV $slideUs * $slideUs").as("b"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("window_start",
+        timestamp_micros(col("b") - col("k") * slideUs))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumValue(col("value")).as("sum_value"))
+      .orderBy(col("window_start").asc, col("event_type").asc)
+  }
+
+  val evSlidingCountsSql: String =
+    s"""WITH w AS (
+       |  SELECT event_type, value,
+       |    make_timestamp(epoch_us(ts) // 900000000 * 900000000
+       |      - k.k * 900000000) AS window_start
+       |  FROM events, (SELECT unnest(range(4)) AS k) k
+       |)
+       |SELECT window_start, event_type, COUNT(*) AS n_events,
+       |  $sumValueSql AS sum_value
+       |FROM w GROUP BY window_start, event_type
+       |ORDER BY window_start ASC, event_type ASC""".stripMargin
+
+  // --- ev_session_stats: session-length/duration distribution -------------
+  /** The session-quality report over [[evSessionize]]'s gap-based sessions:
+    * session count, single-event (bounce) sessions, and EXACT nearest-rank
+    * p50/p90 of both session length (events) and session duration
+    * (seconds, integer-µs arithmetic end-to-end). The global ranks over
+    * the session frame run DISTRIBUTED via [[PrefixScan.scanState]]'s
+    * empty-group case — the naive `ROW_NUMBER() OVER (ORDER BY ...)` (kept
+    * as the oracle) is a single-task total sort, unacceptable when the
+    * session frame is user-base-sized. Two rank passes (by length, by
+    * duration) over the aggregated session frame, each fully parallel.
+    */
+  def evSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = 1800
+    val sess = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"))
+    def rk(p: Int) = expr(s"(n * $p + 99) DIV 100") // ⌈n·p/100⌉
+    val byLen = PrefixScan.scanState(sess, Seq.empty,
+      Seq(col("n_events"), col("user_id"), col("session_seq")), lit(1L),
+      rankOut = Some("rn"), totalOut = Some("n"))
+    val lenStats = byLen.agg(
+      max(col("n")).as("n_sessions"),
+      sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_single_event"),
+      max(when(col("rn") === rk(50), col("n_events"))).as("p50_events"),
+      max(when(col("rn") === rk(90), col("n_events"))).as("p90_events"))
+    val byDur = PrefixScan.scanState(sess, Seq.empty,
+      Seq(col("dur_us"), col("user_id"), col("session_seq")), lit(1L),
+      rankOut = Some("rn"), totalOut = Some("n"))
+    val durStats = byDur.agg(
+      max(when(col("rn") === rk(50), expr("dur_us DIV 1000000")))
+        .as("p50_duration_s"),
+      max(when(col("rn") === rk(90), expr("dur_us DIV 1000000")))
+        .as("p90_duration_s"))
+    lenStats.crossJoin(durStats)
+  }
+
+  val evSessionStatsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), sessions AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS session_seq
+      |  FROM marked
+      |), sess AS (
+      |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+      |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+      |  FROM sessions GROUP BY user_id, session_seq
+      |), by_len AS (
+      |  SELECT n_events,
+      |    ROW_NUMBER() OVER (ORDER BY n_events ASC, user_id ASC,
+      |      session_seq ASC) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM sess
+      |), by_dur AS (
+      |  SELECT dur_us,
+      |    ROW_NUMBER() OVER (ORDER BY dur_us ASC, user_id ASC,
+      |      session_seq ASC) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM sess
+      |), len_stats AS (
+      |  SELECT CAST(MAX(n) AS BIGINT) AS n_sessions,
+      |    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_single_event,
+      |    MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_events END)
+      |      AS p50_events,
+      |    MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_events END)
+      |      AS p90_events
+      |  FROM by_len
+      |), dur_stats AS (
+      |  SELECT
+      |    CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100
+      |      THEN dur_us // 1000000 END) AS BIGINT) AS p50_duration_s,
+      |    CAST(MAX(CASE WHEN rn = (n * 90 + 99) // 100
+      |      THEN dur_us // 1000000 END) AS BIGINT) AS p90_duration_s
+      |  FROM by_dur
+      |)
+      |SELECT * FROM len_stats, dur_stats""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_sliding_counts" -> evSlidingCounts,
+    "ev_session_stats" -> evSessionStats,
     "ev_dau_sketch" -> evDauSketch,
     "ev_pivot_monthly" -> evPivotMonthly,
     "ev_value_quantiles" -> evValueQuantiles,
@@ -629,6 +763,8 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_sliding_counts" -> evSlidingCountsSql,
+    "ev_session_stats" -> evSessionStatsSql,
     "ev_dau_sketch" -> evDauSketchSql,
     "ev_pivot_monthly" -> evPivotMonthlySql,
     "ev_value_quantiles" -> evValueQuantilesSql,

@@ -409,6 +409,64 @@ object Pipeline {
        |FROM p ORDER BY doc_id ASC""".stripMargin
   }
 
+  // --- pipe_token_budget: quality-greedy selection to a token budget ------
+  private val BudgetPct = 60L
+
+  /** Token-budgeted corpus selection: a training run has room for
+    * [[BudgetPct]]% of the corpus tokens — take documents best-first
+    * (quality desc, doc_id tie-break) until the next document would
+    * overflow the budget. Per doc: its tokens, its exclusive running total
+    * in that order, and the keep/drop verdict. The greedy order's running
+    * sum is the classic single-task-sort trap — here the exact exclusive
+    * cumsum runs DISTRIBUTED via [[PrefixScan.scanState]]'s empty-group
+    * case (range shards on the quality order, per-shard sums, broadcast
+    * offsets); the budget itself is a 1-row aggregate broadcast back.
+    * The naive total-order window is kept as the oracle.
+    */
+  def pipeTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Codes.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val scored = d.join(
+      TextOps.txQuality(spark, dir).select("doc_id", "quality_score"),
+      "doc_id")
+    val tot = scored.agg(sum(col("n_tokens")).as("total_tokens"))
+    PrefixScan.scanState(scored, Seq.empty,
+        Seq(negate(col("quality_score")), col("doc_id")), col("n_tokens"),
+        cumOut = Some("cum_before"))
+      .crossJoin(broadcast(tot))
+      .withColumn("selected",
+        col("cum_before") + col("n_tokens") <=
+          expr(s"total_tokens * $BudgetPct DIV 100"))
+      .select("doc_id", "quality_score", "n_tokens", "cum_before", "selected")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val pipeTokenBudgetSql: String = {
+    import graft.functions.Codes
+    val qualityCte = TextOps.txQualitySql.replace("ORDER BY doc_id ASC", "")
+    s"""WITH q AS ($qualityCte), d AS (
+       |  SELECT doc_id,
+       |    CAST(len(${Codes.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), scored AS (
+       |  SELECT d.doc_id, q.quality_score, d.n_tokens
+       |  FROM d JOIN q ON d.doc_id = q.doc_id
+       |), cum AS (
+       |  SELECT doc_id, quality_score, n_tokens,
+       |    COALESCE(CAST(SUM(n_tokens) OVER (
+       |      ORDER BY quality_score DESC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+       |      AS cum_before,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens
+       |  FROM scored
+       |)
+       |SELECT doc_id, quality_score, n_tokens, cum_before,
+       |  cum_before + n_tokens <= total_tokens * $BudgetPct // 100 AS selected
+       |FROM cum ORDER BY doc_id ASC""".stripMargin
+  }
+
   // --- pipe_vocab_coverage: tokenizer-vocabulary OOV report ---------------
 
   /** Vocabulary coverage: build the top-1000 corpus vocabulary (count
@@ -534,6 +592,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_dedup_funnel" -> pipeDedupFunnel,
+    "pipe_token_budget" -> pipeTokenBudget,
     "pipe_vocab_coverage" -> pipeVocabCoverage,
     "pipe_curriculum" -> pipeCurriculum,
     "pipe_dataset_stats" -> pipeDatasetStats,
@@ -546,6 +605,7 @@ object Pipeline {
 
   val oracles: Map[String, String] = Map(
     "pipe_dedup_funnel" -> pipeDedupFunnelSql,
+    "pipe_token_budget" -> pipeTokenBudgetSql,
     "pipe_vocab_coverage" -> pipeVocabCoverageSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_dataset_stats" -> pipeDatasetStatsSql,

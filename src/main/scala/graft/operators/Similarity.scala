@@ -226,6 +226,72 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
 
+  // --- sim_cluster_purity: IVF cell vs label agreement audit --------------
+  /** Clustering-quality audit of the IVF coarse quantizer against the
+    * embeddings' ground-truth `label` column: per cell — vector count,
+    * distinct labels present, the majority label (count desc, label asc
+    * tie-break) and its share in exact integer ppm. High purity means the
+    * coarse cells respect the semantic classes, i.e. cell-restricted ANN
+    * probing loses little recall. Shape: the same broadcast-centroid
+    * argmax assignment as [[simKnnIvf]] (16-row broadcast, one
+    * high-cardinality per-vector window over 16 candidates), then every
+    * rollup/window runs over the ≤|cells|×|labels| cell-label frame —
+    * metadata-sized at any corpus scale.
+    */
+  def simClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val centroids = nm.filter(col("vec_id").between(10, 25))
+      .select(col("vec_id").as("c_id"), col("q").as("qc"), col("n2").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val assigned = nm.crossJoin(broadcast(centroids))
+      .withColumn("cos_c",
+        Dedup.cosine(col("q"), col("qc"), col("n2"), col("nc")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("label"), col("c_id").as("cell"))
+    val cellLabel = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n"))
+    val byCell = Window.partitionBy(col("cell"))
+    val wMaj = byCell.orderBy(col("n").desc, col("label").asc)
+    cellLabel
+      .withColumn("cell_n", sum(col("n")).over(byCell))
+      .withColumn("n_labels", count(lit(1)).over(byCell))
+      .withColumn("rk", row_number().over(wMaj))
+      .filter(col("rk") === 1)
+      .select(col("cell"), col("cell_n").as("n_vectors"),
+        col("n_labels").cast("bigint").as("n_labels"),
+        col("label").as("majority_label"),
+        expr("n * 1000000 DIV cell_n").as("purity_ppm"))
+      .orderBy(col("cell").asc)
+  }
+
+  val simClusterPuritySql: String =
+    s"""WITH ${Dedup.quantizedSql}, cent AS (
+       |  SELECT vec_id AS c_id, q AS qc, n2 AS nc FROM nm
+       |  WHERE vec_id BETWEEN 10 AND 25
+       |), asg AS (
+       |  SELECT * FROM (
+       |    SELECT v.vec_id, v.label, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Dedup.cosineSql("v.q", "c.qc", "v.n2", "c.nc")} DESC,
+       |        c.c_id ASC) AS crk
+       |    FROM nm v CROSS JOIN cent c
+       |  ) t WHERE crk = 1
+       |), cl AS (
+       |  SELECT cell, label, COUNT(*) AS n FROM asg GROUP BY cell, label
+       |), t AS (
+       |  SELECT cell, label, n,
+       |    CAST(SUM(n) OVER (PARTITION BY cell) AS BIGINT) AS cell_n,
+       |    CAST(COUNT(*) OVER (PARTITION BY cell) AS BIGINT) AS n_labels,
+       |    ROW_NUMBER() OVER (PARTITION BY cell
+       |      ORDER BY n DESC, label ASC) AS rk
+       |  FROM cl
+       |)
+       |SELECT cell, cell_n AS n_vectors, n_labels, label AS majority_label,
+       |  CAST(n * 1000000 // cell_n AS BIGINT) AS purity_ppm
+       |FROM t WHERE rk = 1 ORDER BY cell ASC""".stripMargin
+
   // --- sim_knn_ivf_trained: IVF with Lloyd-trained centroids --------------
   private val TrainRounds = 2
 
@@ -375,6 +441,7 @@ object Similarity {
     report(simKnnLsh(spark, dir), "lsh")
       .unionByName(report(simKnnIvf(spark, dir), "ivf"))
       .unionByName(report(simKnnPq(spark, dir), "pq"))
+      .unionByName(report(simKnnIvfPq(spark, dir), "ivfpq"))
       .withColumn("hit_ppm", expr("n_hits * 1000000 DIV n_approx"))
       .select("method", "query_id", "n_approx", "n_hits", "hit_ppm")
       .orderBy(col("method").asc, col("query_id").asc)
@@ -396,12 +463,16 @@ object Similarity {
        |  SELECT query_id, neighbor_id FROM ($simKnnIvfSql) i
        |), pq AS (
        |  SELECT query_id, neighbor_id FROM ($simKnnPqSql) p
+       |), ivfpq AS (
+       |  SELECT query_id, neighbor_id FROM ($simKnnIvfPqSql) ip
        |), rep AS (
        |  ${rep("lsh", "lsh")}
        |  UNION ALL
        |  ${rep("ivf", "ivf")}
        |  UNION ALL
        |  ${rep("pq", "pq")}
+       |  UNION ALL
+       |  ${rep("ivfpq", "ivfpq")}
        |)
        |SELECT method, query_id, n_approx, n_hits,
        |  CAST(n_hits * 1000000 // n_approx AS BIGINT) AS hit_ppm
@@ -628,7 +699,152 @@ object Similarity {
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
   }
 
+  // --- sim_knn_ivfpq: IVF cell probing + ADC over PQ codes ----------------
+  /** The production 100 TB ANN shape — IVF and PQ COMPOSED: the corpus is
+    * partitioned into coarse cells ([[simKnnIvf]]'s broadcast-argmax
+    * assignment) and stored as 4×4-bit PQ codes ([[pqAssign]]); a query
+    * probes its 2 best cells and scores ONLY the code frames of those
+    * cells via asymmetric distance computation ([[simKnnPq]]'s broadcast
+    * distance table, here keyed by (cell, m, code) so the join itself
+    * prunes to the probed cells). Neither the full-dimension corpus nor
+    * the uncompressed vectors of unprobed cells are ever touched — memory
+    * is the code bytes, scan cost is the probed-cell fraction. Recall vs
+    * the exact truth set is audited in [[simRecallReport]].
+    */
+  def simKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val centroids = nm.filter(col("vec_id").between(10, 25))
+      .select(col("vec_id").as("c_id"), col("q").as("qc"), col("n2").as("nc"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val cells = nm.filter(col("vec_id") >= 10)
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c",
+        Dedup.cosine(col("q"), col("qc"), col("n2"), col("nc")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("c_id").as("cell"))
+    val codes = pqAssign(nm)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"))
+      .join(cells, "neighbor_id")
+    val queriesDf = nm.filter(col("vec_id") < 10)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val probes = queriesDf
+      .select(col("vec_id").as("query_id"), col("q"), col("n2"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cos_c",
+        Dedup.cosine(col("q"), col("qc"), col("n2"), col("nc")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= 2)
+      .select(col("query_id"), col("c_id").as("cell"))
+    val dist = queriesDf
+      .select(col("vec_id").as("query_id"), col("n2").as("qn2"),
+        posexplode(pqSlices(col("q"))).as(Seq("m", "qs")))
+      .join(pqCodebook(nm), "m")
+      .select(col("query_id"), col("qn2"), col("m"),
+        (col("c_id") - 10).as("code"),
+        pqDot(col("qs"), col("cs")).as("qdot"), col("cn2"))
+      .join(probes, "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id").asc)
+    codes.join(broadcast(dist), Seq("cell", "m", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qdot")).as("adot"), sum(col("cn2")).as("rn2"),
+        max(col("qn2")).as("qn2"))
+      .withColumn("approx_cos",
+        when(col("qn2") === 0 || col("rn2") === 0, lit(0.0))
+          .otherwise(round(col("adot").cast("double") /
+            (sqrt(col("qn2").cast("double")) * sqrt(col("rn2").cast("double"))),
+            6)))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select("query_id", "neighbor_id", "rk", "approx_cos")
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  lazy val simKnnIvfPqSql: String = {
+    val sliceOf = (src: String) =>
+      s"$src.q[(u.m*$PqSub+1):(u.m*$PqSub+$PqSub)]"
+    s"""WITH ${Dedup.quantizedSql}, ivfcent AS (
+       |  SELECT vec_id AS c_id, q AS qc, n2 AS nc FROM nm
+       |  WHERE vec_id BETWEEN 10 AND 25
+       |), cells AS (
+       |  SELECT * FROM (
+       |    SELECT v.vec_id AS neighbor_id, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Dedup.cosineSql("v.q", "c.qc", "v.n2", "c.nc")} DESC,
+       |        c.c_id ASC) AS crk
+       |    FROM nm v CROSS JOIN ivfcent c WHERE v.vec_id >= 10
+       |  ) t WHERE crk = 1
+       |), pqcent AS (
+       |  SELECT c.vec_id AS c_id, u.m AS m, ${sliceOf("c")} AS cs,
+       |    CAST(list_sum(list_transform(${sliceOf("c")}, x -> x * x))
+       |      AS BIGINT) AS cn2
+       |  FROM nm c, UNNEST(range($PqM)) AS u(m)
+       |  WHERE c.vec_id BETWEEN 10 AND ${9 + PqK}
+       |), sub AS (
+       |  SELECT v.vec_id, v.n2, u.m AS m, ${sliceOf("v")} AS xs
+       |  FROM nm v, UNNEST(range($PqM)) AS u(m) WHERE v.vec_id >= 10
+       |), best AS (
+       |  SELECT * FROM (
+       |    SELECT s.vec_id, s.m, c.c_id - 10 AS code,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |        CASE WHEN c.cn2 = 0 THEN -1e18
+       |          ELSE CAST(list_sum(list_transform(range(1, $PqSub + 1),
+       |            i -> s.xs[i] * c.cs[i])) AS DOUBLE) /
+       |            sqrt(CAST(c.cn2 AS DOUBLE)) END DESC,
+       |        c.c_id ASC) AS crk
+       |    FROM sub s JOIN pqcent c ON s.m = c.m
+       |  ) t WHERE crk = 1
+       |), probes AS (
+       |  SELECT * FROM (
+       |    SELECT s.vec_id AS query_id, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        ${Dedup.cosineSql("s.q", "c.qc", "s.n2", "c.nc")} DESC,
+       |        c.c_id ASC) AS prk
+       |    FROM nm s CROSS JOIN ivfcent c WHERE s.vec_id < 10
+       |  ) t WHERE prk <= 2
+       |), dist AS (
+       |  SELECT s.vec_id AS query_id, s.n2 AS qn2, s.m, c.c_id - 10 AS code,
+       |    CAST(list_sum(list_transform(range(1, $PqSub + 1),
+       |      i -> s.qs[i] * c.cs[i])) AS BIGINT) AS qdot,
+       |    c.cn2
+       |  FROM (
+       |    SELECT q.vec_id, q.n2, u.m AS m, ${sliceOf("q")} AS qs
+       |    FROM nm q, UNNEST(range($PqM)) AS u(m) WHERE q.vec_id < 10
+       |  ) s JOIN pqcent c ON s.m = c.m
+       |), scored AS (
+       |  SELECT d.query_id, b.vec_id AS neighbor_id,
+       |    CAST(SUM(d.qdot) AS BIGINT) AS adot,
+       |    CAST(SUM(d.cn2) AS BIGINT) AS rn2,
+       |    MAX(d.qn2) AS qn2
+       |  FROM best b
+       |  JOIN cells cl ON b.vec_id = cl.neighbor_id
+       |  JOIN probes p ON cl.cell = p.cell
+       |  JOIN dist d ON d.query_id = p.query_id
+       |    AND b.m = d.m AND b.code = d.code
+       |  GROUP BY d.query_id, b.vec_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN qn2 = 0 OR rn2 = 0 THEN 0.0
+       |      ELSE round(CAST(adot AS DOUBLE) /
+       |        (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(rn2 AS DOUBLE))), 6)
+       |    END AS approx_cos
+       |  FROM scored
+       |), rkd AS (
+       |  SELECT query_id, neighbor_id, approx_cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY approx_cos DESC, neighbor_id ASC) AS BIGINT) AS rk
+       |  FROM ranked
+       |)
+       |SELECT query_id, neighbor_id, rk, approx_cos FROM rkd
+       |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_ivfpq" -> simKnnIvfPq,
+    "sim_cluster_purity" -> simClusterPurity,
     "sim_knn_pq" -> simKnnPq,
     "sim_pq_codes" -> simPqCodes,
     "sim_recall_report" -> simRecallReport,
@@ -638,6 +854,8 @@ object Similarity {
     "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_ivfpq" -> simKnnIvfPqSql,
+    "sim_cluster_purity" -> simClusterPuritySql,
     "sim_knn_pq" -> simKnnPqSql,
     "sim_pq_codes" -> simPqCodesSql,
     "sim_recall_report" -> simRecallReportSql,

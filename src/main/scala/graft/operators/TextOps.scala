@@ -709,7 +709,58 @@ object TextOps {
        |FROM pr GROUP BY pair
        |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  // --- tx_rarity: per-doc mean corpus-frequency rank -----------------------
+  /** Zipf-rank rarity scoring — the log-free twin of a unigram-LM
+    * perplexity filter: every corpus token type gets its frequency rank
+    * (1 = most frequent; count desc, token asc tie-break), and a document
+    * scores the mean rank of its token stream — rare-token-heavy documents
+    * rank high, boilerplate ranks low. Cross-engine exact: ranks are
+    * integers, the mean is one double division of exact integer sums.
+    * Shape: one explode → token-type aggregate (map-side combinable,
+    * shuffle carries distinct tokens), the vocabulary rank runs
+    * DISTRIBUTED via [[PrefixScan.scanState]]'s empty-group case (the
+    * naive total-order ROW_NUMBER — kept as the oracle — would serialize
+    * the vocabulary through one task), and the rank joins back to the
+    * token stream on the token key (AQE broadcasts it when the vocabulary
+    * is small; at 100 TB it is a shuffle join on distinct tokens, never
+    * on documents).
+    */
+  def txRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = PrefixScan.scanState(vocab, Seq.empty,
+        Seq(negate(col("cnt")), col("tok")), lit(1L),
+        rankOut = Some("rank"))
+      .select(col("tok"), col("rank"))
+    toks.join(ranked, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rank")).as("sum_rank"))
+      .withColumn("mean_rank",
+        col("sum_rank").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "sum_rank", "mean_rank")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txRaritySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS tok FROM documents
+       |), vocab AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+       |), ranked AS (
+       |  SELECT tok,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT)
+       |      AS rank
+       |  FROM vocab
+       |)
+       |SELECT t.doc_id, COUNT(*) AS n_tokens,
+       |  CAST(SUM(r.rank) AS BIGINT) AS sum_rank,
+       |  CAST(CAST(SUM(r.rank) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_rank
+       |FROM toks t JOIN ranked r ON t.tok = r.tok
+       |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_rarity" -> txRarity,
     "tx_bpe_merges" -> txBpeMerges,
     "tx_crossdup" -> txCrossdup,
     "tx_diversity" -> txDiversity,
@@ -726,6 +777,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_rarity" -> txRaritySql,
     "tx_bpe_merges" -> txBpeMergesSql,
     "tx_crossdup" -> txCrossdupSql,
     "tx_diversity" -> txDiversitySql,

@@ -46,6 +46,21 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding (hopping) 1-hour windows advancing every 15 minutes — the
+    * streaming twin of EventOps.evSlidingCounts. The built-in `window(ts,
+    * '1 hour', '15 minutes')` performs the same bounded 4-offset fan-out
+    * the batch operator spells out; state is the open window set under the
+    * 2-hour watermark.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Streaming pending-deletion accounting — the trash-emptier / lifecycle
     * twin of the batch `ns_trash_pending` rollup: deleted-key records
     * stream in and per-day per-bucket pending counts/bytes aggregate under

@@ -22,13 +22,19 @@ class PlanShapeSpec extends SparkSpec {
     * q_hll_distinct combines two 1-row aggregates (sketch + exact count);
     * ct_balancer_moves attaches the 1-row n_under scalar to the move list
     * before its equi-join round-robin assignment; ct_safemode_status
-    * cross-joins four 1-row rule counters into the exit-rule report.
+    * cross-joins four 1-row rule counters into the exit-rule report;
+    * sim_cluster_purity broadcasts the 16-row centroid set for the argmax
+    * assignment (same shape as sim_knn_ivf); pipe_token_budget attaches
+    * the 1-row total-tokens budget scalar; ev_session_stats combines two
+    * 1-row percentile aggregates into its report row.
     */
   private val allowedNestedLoop =
     Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained",
       "q_idle_rich_custs", "q15_top_supplier", "q11_revenue_concentration",
       "pipe_mixture_weights", "q_hll_distinct", "sim_recall_report",
-      "ct_balancer_moves", "ct_safemode_status")
+      "ct_balancer_moves", "ct_safemode_status",
+      "sim_cluster_purity", "sim_knn_ivfpq", "pipe_token_budget",
+      "ev_session_stats")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype

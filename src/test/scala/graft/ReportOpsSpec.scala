@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Dedup, EventOps, Pipeline, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the r9 audit/report operators beyond the DuckDB oracle
+  * gate: sliding windows vs Spark's built-in hopping `window()`, budget
+  * selection vs a locally-recomputed greedy reference, and internal
+  * consistency between each audit report and the frames it audits.
+  */
+class ReportOpsSpec extends SparkSpec {
+
+  test("ev_sliding_counts matches the built-in hopping window() formulation") {
+    val builtin = EventOps.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    val mine = EventOps.evSlidingCounts(spark, sf)
+      .select("window_start", "event_type", "n_events")
+    assert(mine.exceptAll(builtin).isEmpty, "rows not in built-in window()")
+    assert(builtin.exceptAll(mine).isEmpty, "built-in window() rows missing")
+  }
+
+  test("ev_session_stats agrees with the sessionize frame") {
+    val stats = EventOps.evSessionStats(spark, sf).collect().head
+    val sessions = EventOps.evSessionize(spark, sf)
+    assert(stats.getAs[Long]("n_sessions") == sessions.count())
+    assert(stats.getAs[Long]("n_single_event") ==
+      sessions.filter(col("n_events") === 1).count())
+    assert(stats.getAs[Long]("p50_events") <= stats.getAs[Long]("p90_events"))
+    assert(stats.getAs[Long]("p50_duration_s") <=
+      stats.getAs[Long]("p90_duration_s"))
+  }
+
+  test("pipe_token_budget matches a locally-recomputed greedy reference") {
+    val rows = Pipeline.pipeTokenBudget(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val budget = total * 60 / 100
+    var cum = 0L
+    rows.sortBy(r => (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id")))
+      .foreach { r =>
+        assert(r.getAs[Long]("cum_before") == cum,
+          s"doc ${r.getAs[Long]("doc_id")} cum_before")
+        val n = r.getAs[Long]("n_tokens")
+        assert(r.getAs[Boolean]("selected") == (cum + n <= budget),
+          s"doc ${r.getAs[Long]("doc_id")} selected")
+        cum += n
+      }
+    val selectedTokens = rows.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("n_tokens")).sum
+    assert(selectedTokens <= budget, "selection overshoots the budget")
+  }
+
+  test("sim_cluster_purity partitions every vector and bounds purity") {
+    val purity = Similarity.simClusterPurity(spark, sf)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val summed = purity.agg(sum(col("n_vectors"))).collect().head.getLong(0)
+    assert(summed == nVecs, "cells do not partition the vector set")
+    assert(purity.filter(col("purity_ppm") <= 0 ||
+      col("purity_ppm") > 1000000).isEmpty)
+    assert(purity.filter(col("n_labels") < 1).isEmpty)
+  }
+
+  test("dd_lsh_audit is consistent with the candidate and verify stages") {
+    val audit = Dedup.ddLshAudit(spark, sf).collect().head
+    val nCand = Dedup.ddMinhashLsh(spark, sf).count()
+    assert(audit.getAs[Long]("n_candidates") == nCand)
+    val nVerified = Dedup.ddNgramJaccard(spark, sf).count()
+    assert(audit.getAs[Long]("n_verified") == nVerified,
+      "ppm-floored >= 0.6 must agree with the rounded-double verify")
+    assert(audit.getAs[Long]("mean_abs_err_ppm") <=
+      audit.getAs[Long]("max_abs_err_ppm"))
+  }
+
+  test("sim_knn_ivfpq ranks are well-formed and audited in the recall report") {
+    val res = Similarity.simKnnIvfPq(spark, sf).collect()
+    res.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rk")).sorted
+      assert(ranks.length <= 3 && ranks.sameElements(1L to ranks.length),
+        s"query $q ranks: ${ranks.mkString(",")}")
+      val byRank = rows.sortBy(_.getAs[Long]("rk"))
+        .map(_.getAs[Double]("approx_cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not non-increasing")
+    }
+    val methods = Similarity.simRecallReport(spark, sf)
+      .select("method").distinct().collect().map(_.getString(0)).toSet
+    assert(methods == Set("lsh", "ivf", "pq", "ivfpq"))
+  }
+
+  test("tx_rarity token counts and rank bounds hold") {
+    val rarity = TextOps.txRarity(spark, sf)
+    val counts = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.Codes.tokens(col("text"))).cast("bigint")
+          .as("expected"))
+    val joined = rarity.join(counts, "doc_id")
+    assert(joined.filter(col("n_tokens") =!= col("expected")).isEmpty,
+      "per-doc token count must match the tokenizer")
+    val vocabSize = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Codes.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).collect().head.getLong(0)
+    assert(rarity.filter(col("mean_rank") < 1.0 ||
+      col("mean_rank") > vocabSize.toDouble).isEmpty)
+  }
+}

@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming sliding counts equal the batch hopping-window aggregation") {
+    val stream = StreamOps.eventStream(spark, eventsDir)
+    val q = StreamOps.slidingCounts(stream)
+      .writeStream
+      .format("memory")
+      .queryName("sliding_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sliding_test")
+      .select("window_start", "event_type", "n_events", "sum_value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = EventOps.evSlidingCounts(spark, sf)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("keyed-state sessionization matches the batch window sessionization") {
     val batchEvents = EventOps.events(spark, sf)
     val sessions = StreamOps.finalSessions(spark, batchEvents)
