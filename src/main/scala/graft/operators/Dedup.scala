@@ -537,6 +537,44 @@ object Dedup {
        |FROM e""".stripMargin
   }
 
+  // --- dd_shingle_hist: duplicate-shingle-level histogram ------------------
+  /** Corpus duplication profile at the shingle level: how many distinct
+    * word-3gram shingles occur in exactly k documents, with each level's
+    * share of the distinct-shingle vocabulary in integer ppm — the
+    * dataset-card duplication curve (a long high-df tail ⇒ boilerplate /
+    * templated text; df=1 mass ⇒ unique content). Shape: per-doc distinct
+    * shingle codes (two-stage projection, see [[signatures]]) → one
+    * aggregate to document frequency per code (the shuffle carries 8-byte
+    * codes, never text) → histogram + share over the ≤|distinct df| row
+    * frame. Complements [[graft.operators.TextOps]]'s tx_crossdup scalar
+    * with the full distribution.
+    */
+  def ddShingleHist(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), explode(shingleCodes3(col("tcs"))).as("x"))
+      .distinct()
+    val dfreq = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
+    dfreq.groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
+      .withColumn("share_ppm", expr(
+        "n_shingles * 1000000 DIV sum(n_shingles) OVER ()"))
+      .select("df", "n_shingles", "share_ppm")
+      .orderBy(col("df").asc)
+  }
+
+  val ddShingleHistSql: String =
+    s"""WITH $signaturesSql, sh AS (
+       |  SELECT DISTINCT doc_id, unnest(scs) AS x FROM sc
+       |), dfreq AS (
+       |  SELECT x, COUNT(*) AS df FROM sh GROUP BY x
+       |), hist AS (
+       |  SELECT df, COUNT(*) AS n_shingles FROM dfreq GROUP BY df
+       |)
+       |SELECT df, n_shingles,
+       |  CAST(n_shingles * 1000000 // SUM(n_shingles) OVER () AS BIGINT)
+       |    AS share_ppm
+       |FROM hist ORDER BY df ASC""".stripMargin
+
   // --- dd_simhash: 16-bit simhash + bucket sizes ---------------------------
   /** Array-native: per-doc distinct token-hash array, 16 sign sums as
     * array aggregates — map-only until the bucket-size window (the one
@@ -691,6 +729,7 @@ object Dedup {
     "dd_canonical" -> ddCanonical,
     "dd_cluster_sizes" -> ddClusterSizes,
     "dd_lsh_audit" -> ddLshAudit,
+    "dd_shingle_hist" -> ddShingleHist,
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
@@ -703,5 +742,6 @@ object Dedup {
     "dd_canonical" -> ddCanonicalSql,
     "dd_cluster_sizes" -> ddClusterSizesSql,
     "dd_lsh_audit" -> ddLshAuditSql,
+    "dd_shingle_hist" -> ddShingleHistSql,
     "dd_components" -> ddComponentsSql)
 }

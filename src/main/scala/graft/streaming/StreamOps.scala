@@ -61,6 +61,31 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming per-day approximate distinct users — the incremental twin of
+    * EventOps.evDauSketch and the 100 TB streaming-DAU shape: the
+    * [[graft.functions.HllRegAgg]] TypedImperativeAggregate runs as the
+    * streaming aggregation state, so each open day holds a constant 1 KiB
+    * register buffer (vs an exact distinct's per-user state growth) and
+    * partials fold into it batch by batch under the 48-hour watermark. The
+    * estimate arithmetic is identical to the batch query, so the memory-sink
+    * rows equal the batch rows exactly (StreamingSpec).
+    */
+  def dauSketchStream(events: DataFrame): DataFrame = {
+    import graft.functions.HllRegAgg
+    events
+      .withWatermark("ts", "48 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"),
+        HllRegAgg.of(expr(s"CAST(user_id AS BIGINT) % ${HllRegAgg.P}"))
+          .as("regs"))
+      .withColumn("hit", expr(HllRegAgg.hitFoldSql))
+      .withColumn("denom_hit", expr(HllRegAgg.denomHitFoldSql))
+      .withColumn("denom",
+        col("denom_hit") + (lit(1024L) - col("hit")) * 32768L)
+      .select(col("window.start").as("day"), col("n_events"), col("hit"),
+        col("denom"), expr(HllRegAgg.estimateSql).as("dau_est"))
+  }
+
   /** Streaming pending-deletion accounting — the trash-emptier / lifecycle
     * twin of the batch `ns_trash_pending` rollup: deleted-key records
     * stream in and per-day per-bucket pending counts/bytes aggregate under

@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming HLL DAU sketch equals the batch sketch per day") {
+    val stream = StreamOps.eventStream(spark, eventsDir)
+    val q = StreamOps.dauSketchStream(stream)
+      .writeStream
+      .format("memory")
+      .queryName("dau_sketch_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("dau_sketch_test")
+      .select("day", "n_events", "hit", "denom", "dau_est")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    val batch = EventOps.evDauSketch(spark, sf)
+      .select("day", "n_events", "hit", "denom", "dau_est")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("keyed-state sessionization matches the batch window sessionization") {
     val batchEvents = EventOps.events(spark, sf)
     val sessions = StreamOps.finalSessions(spark, batchEvents)
