@@ -421,7 +421,61 @@ object Multimodal {
        |  energy < $SilenceThreshold AS silent
        |FROM w ORDER BY doc_id ASC, window_idx ASC""".stripMargin
 
+  // --- mm_trim_plan: audio silence-trim layout -----------------------------
+  /** Silence trimming plan over the windowed PCM energy — the audio
+    * curation step that drops leading/trailing silence before training:
+    * per payload the first and last NON-silent window bound the kept span
+    * (interior silence is retained — trimming is edges-only), plus the
+    * kept fraction in exact integer ppm; fully-silent payloads keep
+    * nothing. One aggregate over [[mmAudioEnergy]]'s window frame (the
+    * typed per-partition decode runs once; conditional min/max are
+    * map-side combinable), so the plan costs one shuffle on doc_id.
+    */
+  def mmTrimPlan(spark: SparkSession, dir: String): DataFrame =
+    mmAudioEnergy(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        min(when(!col("silent"), col("window_idx"))).cast("bigint")
+          .as("start_window"),
+        max(when(!col("silent"), col("window_idx"))).cast("bigint")
+          .as("end_window"))
+      .withColumn("kept_windows",
+        when(col("start_window").isNull, 0L)
+          .otherwise(col("end_window") - col("start_window") + 1L))
+      .withColumn("kept_ppm", expr("kept_windows * 1000000 DIV n_windows"))
+      .select("doc_id", "n_windows", "start_window", "end_window",
+        "kept_windows", "kept_ppm")
+      .orderBy(col("doc_id").asc)
+
+  val mmTrimPlanSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(u.w AS INTEGER) AS window_idx,
+       |    COALESCE(CAST(list_sum(list_transform(
+       |      string_split(substring(text, u.w * $AudioWindowBytes + 1,
+       |        $AudioWindowBytes), ''),
+       |      c -> CAST(ascii(c) AS BIGINT) * CAST(ascii(c) AS BIGINT)))
+       |      AS BIGINT), 0) AS energy
+       |  FROM documents,
+       |    UNNEST(range(0, (length(text) + ${AudioWindowBytes - 1})
+       |      // $AudioWindowBytes)) AS u(w)
+       |), t AS (
+       |  SELECT doc_id, COUNT(*) AS n_windows,
+       |    CAST(MIN(CASE WHEN energy >= $SilenceThreshold
+       |      THEN window_idx END) AS BIGINT) AS start_window,
+       |    CAST(MAX(CASE WHEN energy >= $SilenceThreshold
+       |      THEN window_idx END) AS BIGINT) AS end_window
+       |  FROM w GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_windows, start_window, end_window,
+       |  CAST(CASE WHEN start_window IS NULL THEN 0
+       |    ELSE end_window - start_window + 1 END AS BIGINT) AS kept_windows,
+       |  CAST((CASE WHEN start_window IS NULL THEN 0
+       |    ELSE end_window - start_window + 1 END) * 1000000 // n_windows
+       |    AS BIGINT) AS kept_ppm
+       |FROM t ORDER BY doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_trim_plan" -> mmTrimPlan,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
     "mm_scene_cut" -> mmSceneCut,
@@ -431,6 +485,7 @@ object Multimodal {
     "mm_audio_energy" -> mmAudioEnergy)
 
   val oracles: Map[String, String] = Map(
+    "mm_trim_plan" -> mmTrimPlanSql,
     "mm_decode_stub" -> mmDecodeStubSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_scene_cut" -> mmSceneCutSql,

@@ -132,6 +132,25 @@ object StreamOps {
       .agg(sum(col("d")).as("n_files"),
         sum(col("d") * col("size")).as("total_bytes"))
 
+  /** Incremental per-directory namespace-summary maintenance over a CDC
+    * stream — the streaming twin of [[graft.operators.Namespace.du]] and
+    * the exact shape of Recon's NSSummaryTask incremental pipeline
+    * (recon/.../tasks/NSSummaryTask.java folds PUT/DELETE deltas from
+    * getDBUpdates into per-directory numOfFiles/sizeOfFiles, persisted in
+    * the NSSummary map): signed +1/−1 folds per key event, keyed by the
+    * depth-3 directory. State is one row per LIVE directory — bounded by
+    * the namespace's directory count, not the stream length — so no
+    * watermark is needed. At 100 TB this replaces a full-namespace rescan
+    * per du report with a delta fold.
+    */
+  def nsDuStream(updates: DataFrame, depth: Int = 3): DataFrame =
+    updates
+      .withColumn("dir", substring_index(col("key"), "/", depth))
+      .withColumn("d", when(col("op") === "DELETE", -1L).otherwise(1L))
+      .groupBy(col("volume"), col("bucket"), col("dir"))
+      .agg(sum(col("d")).as("num_files"),
+        sum(col("d") * col("size")).as("size_of_files"))
+
   /** Streaming OM audit-log op-mix — the incremental twin of
     * [[graft.operators.Audit.nsAuditOpMix]]: audit entries derive per-row
     * from the event stream (shared [[graft.operators.Audit.auditEntries]]

@@ -166,6 +166,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("CDC du maintenance converges to the batch per-directory summary") {
+    // Same delta construction as the histogram test: every key PUT once,
+    // size-divisible-by-3 keys deleted later — net = the remainder.
+    val keys = ObjectStoreView.keys(spark, sf)
+    val puts = keys.select(lit("PUT").as("op"), col("volume"), col("bucket"),
+      col("key"), col("size"))
+    val dels = keys.filter(col("size") % 3 === 0)
+      .select(lit("DELETE").as("op"), col("volume"), col("bucket"),
+        col("key"), col("size"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-du")
+    puts.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    dels.coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.nsDuStream(stream)
+      .writeStream.format("memory").queryName("cdc_du_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.table("cdc_du_test")
+      .filter(col("num_files") =!= 0)
+      .select("volume", "bucket", "dir", "num_files", "size_of_files")
+      .collect().map(key).toSet
+    val batch = operators.Namespace.du(keys.filter(col("size") % 3 =!= 0), 3)
+      .collect().map(key).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming audit op-mix equals the batch rollup") {
     val q = StreamOps.auditOpMixStream(StreamOps.eventStream(spark, eventsDir))
       .writeStream.format("memory").queryName("audit_mix_test")
