@@ -543,17 +543,18 @@ object Dedup {
     * share of the distinct-shingle vocabulary in integer ppm — the
     * dataset-card duplication curve (a long high-df tail ⇒ boilerplate /
     * templated text; df=1 mass ⇒ unique content). Shape: per-doc distinct
-    * shingle codes (two-stage projection, see [[signatures]]) → one
-    * aggregate to document frequency per code (the shuffle carries 8-byte
-    * codes, never text) → histogram + share over the ≤|distinct df| row
-    * frame. Complements [[graft.operators.TextOps]]'s tx_crossdup scalar
-    * with the full distribution.
+    * shingle codes (two-stage projection, see [[signatures]]; the arrays
+    * are array_distinct per doc, so the exploded (doc, code) stream needs
+    * NO dedup exchange) → one aggregate to document frequency per code
+    * (map-side partial counts; the shuffle carries 8-byte codes, never
+    * text) → histogram + share over the ≤|distinct df| row frame.
+    * Complements [[graft.operators.TextOps]]'s tx_crossdup scalar with the
+    * full distribution.
     */
   def ddShingleHist(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
       .select(col("doc_id"), explode(shingleCodes3(col("tcs"))).as("x"))
-      .distinct()
     val dfreq = sh.groupBy(col("x")).agg(count(lit(1)).as("df"))
     dfreq.groupBy(col("df")).agg(count(lit(1)).as("n_shingles"))
       .withColumn("share_ppm", expr(
@@ -564,7 +565,7 @@ object Dedup {
 
   val ddShingleHistSql: String =
     s"""WITH $signaturesSql, sh AS (
-       |  SELECT DISTINCT doc_id, unnest(scs) AS x FROM sc
+       |  SELECT doc_id, unnest(scs) AS x FROM sc
        |), dfreq AS (
        |  SELECT x, COUNT(*) AS df FROM sh GROUP BY x
        |), hist AS (

@@ -709,6 +709,69 @@ object TextOps {
        |FROM pr GROUP BY pair
        |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  // --- tx_gopher_rules: composite rule-based quality filter ----------------
+  /** Gopher-style rule filter (the published heuristic battery a curation
+    * run applies before model-based scoring): per document the raw signals
+    * (word count, total word chars, alphabetic words, stopword hits) and
+    * one flag per rule — word count in [20, 1000], mean word length in
+    * [3, 10], ≥ 80% alphabetic words, ≥ 2 stopwords — plus the composite
+    * verdict. Every ratio test is cleared of division (3·n ≤ chars ≤ 10·n,
+    * alpha·10 ≥ n·8), so flags are exact integer comparisons in both
+    * engines. Map-only over the corpus; the token array materializes once
+    * per doc (multi-reference, so CollapseProject keeps the projection).
+    */
+  def txGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+    val d = t.select(col("doc_id"),
+      size(col("ts")).cast("bigint").as("n_words"),
+      aggregate(transform(col("ts"), x => length(x).cast("long")),
+        lit(0L), (a, v) => a + v).as("word_chars"),
+      size(filter(col("ts"), x => x.rlike("^[a-z]+$"))).cast("bigint")
+        .as("alpha_words"),
+      size(filter(col("ts"), x => array_contains(arrLit(EnStop), x)))
+        .cast("bigint").as("stop_hits"))
+    d.withColumn("f_word_count", col("n_words").between(20L, 1000L))
+      .withColumn("f_mean_word_len",
+        col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10)
+      .withColumn("f_alpha_ratio", col("alpha_words") * 10 >= col("n_words") * 8)
+      .withColumn("f_stopwords", col("stop_hits") >= 2L)
+      .withColumn("pass",
+        col("f_word_count") && col("f_mean_word_len") &&
+          col("f_alpha_ratio") && col("f_stopwords"))
+      .select("doc_id", "n_words", "word_chars", "alpha_words", "stop_hits",
+        "f_word_count", "f_mean_word_len", "f_alpha_ratio", "f_stopwords",
+        "pass")
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txGopherRulesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS ts FROM documents
+       |), d AS (
+       |  SELECT doc_id,
+       |    CAST(len(ts) AS BIGINT) AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(ts, x -> length(x))), 0)
+       |      AS BIGINT) AS word_chars,
+       |    CAST(len(list_filter(ts, x -> regexp_full_match(x, '[a-z]+')))
+       |      AS BIGINT) AS alpha_words,
+       |    CAST(len(list_filter(ts, x -> list_contains(${listLit(EnStop)}, x)))
+       |      AS BIGINT) AS stop_hits
+       |  FROM t
+       |)
+       |SELECT doc_id, n_words, word_chars, alpha_words, stop_hits,
+       |  n_words BETWEEN 20 AND 1000 AS f_word_count,
+       |  word_chars >= n_words * 3 AND word_chars <= n_words * 10
+       |    AS f_mean_word_len,
+       |  alpha_words * 10 >= n_words * 8 AS f_alpha_ratio,
+       |  stop_hits >= 2 AS f_stopwords,
+       |  (n_words BETWEEN 20 AND 1000)
+       |    AND (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+       |    AND (alpha_words * 10 >= n_words * 8)
+       |    AND (stop_hits >= 2) AS pass
+       |FROM d ORDER BY doc_id ASC""".stripMargin
+
   // --- tx_rarity: per-doc mean corpus-frequency rank -----------------------
   /** Zipf-rank rarity scoring — the log-free twin of a unigram-LM
     * perplexity filter: every corpus token type gets its frequency rank
@@ -760,6 +823,7 @@ object TextOps {
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_gopher_rules" -> txGopherRules,
     "tx_rarity" -> txRarity,
     "tx_bpe_merges" -> txBpeMerges,
     "tx_crossdup" -> txCrossdup,
@@ -777,6 +841,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_gopher_rules" -> txGopherRulesSql,
     "tx_rarity" -> txRaritySql,
     "tx_bpe_merges" -> txBpeMergesSql,
     "tx_crossdup" -> txCrossdupSql,

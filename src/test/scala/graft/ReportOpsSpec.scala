@@ -89,6 +89,21 @@ class ReportOpsSpec extends SparkSpec {
     assert(methods == Set("lsh", "ivf", "pq", "ivfpq"))
   }
 
+  test("tx_gopher_rules verdict is the conjunction of its flags") {
+    val rows = TextOps.txGopherRules(spark, sf).collect()
+    rows.foreach { r =>
+      val expected = r.getAs[Boolean]("f_word_count") &&
+        r.getAs[Boolean]("f_mean_word_len") &&
+        r.getAs[Boolean]("f_alpha_ratio") && r.getAs[Boolean]("f_stopwords")
+      assert(r.getAs[Boolean]("pass") == expected,
+        s"doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Long]("alpha_words") <= r.getAs[Long]("n_words"))
+      assert(r.getAs[Long]("stop_hits") <= r.getAs[Long]("n_words"))
+    }
+    assert(rows.exists(_.getAs[Boolean]("pass")),
+      "no document passes — thresholds are miscalibrated for the corpus")
+  }
+
   test("tx_rarity token counts and rank bounds hold") {
     val rarity = TextOps.txRarity(spark, sf)
     val counts = Tables.documents(spark, sf)
