@@ -779,14 +779,15 @@ object TextOps {
     * scores the mean rank of its token stream — rare-token-heavy documents
     * rank high, boilerplate ranks low. Cross-engine exact: ranks are
     * integers, the mean is one double division of exact integer sums.
-    * Shape: one explode → token-type aggregate (map-side combinable,
-    * shuffle carries distinct tokens), the vocabulary rank runs
-    * DISTRIBUTED via [[PrefixScan.scanState]]'s empty-group case (the
-    * naive total-order ROW_NUMBER — kept as the oracle — would serialize
-    * the vocabulary through one task), and the rank joins back to the
-    * token stream on the token key (AQE broadcasts it when the vocabulary
-    * is small; at 100 TB it is a shuffle join on distinct tokens, never
-    * on documents).
+    * Shape: one explode → token-type aggregate (map-side combinable, its
+    * shuffle carries distinct tokens with partial counts), the vocabulary
+    * rank runs DISTRIBUTED via [[PrefixScan.scanState]]'s empty-group
+    * case (the naive total-order ROW_NUMBER — kept as the oracle — would
+    * serialize the vocabulary through one task), and the ranked frame
+    * joins back to the token stream on the token key — AQE broadcasts it
+    * while the vocabulary fits (leaving the corpus stream UNSHUFFLED: the
+    * per-doc rollup exchanges map-side partials only), degrading to a
+    * token-keyed shuffle join only when it doesn't.
     */
   def txRarity(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
