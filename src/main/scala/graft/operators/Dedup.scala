@@ -576,6 +576,75 @@ object Dedup {
        |    AS share_ppm
        |FROM hist ORDER BY df ASC""".stripMargin
 
+  // --- dd_threshold_sweep: pair yield per Jaccard threshold ----------------
+  private val SweepThresholds = Seq(50, 60, 70, 80, 90)
+
+  /** Threshold-tuning sweep for the near-dup verify stage: how many
+    * candidate pairs survive exact Jaccard ≥ t for t ∈ {0.5 … 0.9}, with
+    * each level's share of the candidate set in integer ppm — the report a
+    * curation run reads before committing to a dedup threshold (too low ⇒
+    * distinct documents merged, too high ⇒ near-dups kept). ONE aggregate
+    * of conditional sums over the scored candidate frame (the ≥ t tests
+    * are the division-free 2·n_inter ≥ n_union form), exploded to 5 rows;
+    * nothing beyond the bucket-capped candidates is ever materialized.
+    */
+  def ddThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sets = docs
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
+    val scored = lshPairs(signatures(docs))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("bigint"))
+      .withColumn("n_union",
+        size(col("sg_a")) + size(col("sg_b")) - col("n_inter"))
+    val aggCols = count(lit(1)).as("n_candidates") +:
+      SweepThresholds.map(t =>
+        sum(when(col("n_inter") * 100 >= col("n_union") * t, 1L)
+          .otherwise(0L)).as(s"ge$t"))
+    val agg = scored.agg(aggCols.head, aggCols.tail: _*)
+    agg.select(explode(array(SweepThresholds.map(t =>
+        struct(lit(t.toLong).as("threshold_pct"), col(s"ge$t").as("n_pairs"),
+          col("n_candidates"))): _*)).as("s"))
+      .select(col("s.threshold_pct").as("threshold_pct"),
+        col("s.n_pairs").as("n_pairs"),
+        expr("s.n_pairs * 1000000 DIV s.n_candidates").as("pairs_ppm"))
+      .orderBy(col("threshold_pct").asc)
+  }
+
+  val ddThresholdSweepSql: String = {
+    val conds = SweepThresholds
+      .map(t => s"CAST(SUM(CASE WHEN n_inter * 100 >= n_union * $t " +
+        s"THEN 1 ELSE 0 END) AS BIGINT) AS ge$t")
+      .mkString(",\n       |    ")
+    val rows = SweepThresholds
+      .map(t => s"SELECT $t AS threshold_pct, ge$t AS n_pairs, " +
+        s"n_candidates FROM agg")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH $signaturesSql, $lshPairsSql, sets AS (
+       |  SELECT doc_id, scs AS sg FROM sc
+       |), p AS (
+       |  SELECT
+       |    CAST(len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS n_inter,
+       |    CAST(len(sa.sg) + len(sb.sg)
+       |      - len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS n_union
+       |  FROM cand c
+       |  JOIN sets sa ON c.doc_a = sa.doc_id
+       |  JOIN sets sb ON c.doc_b = sb.doc_id
+       |), agg AS (
+       |  SELECT COUNT(*) AS n_candidates,
+       |    $conds
+       |  FROM p
+       |), rows AS (
+       |  $rows
+       |)
+       |SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct, n_pairs,
+       |  CAST(n_pairs * 1000000 // n_candidates AS BIGINT) AS pairs_ppm
+       |FROM rows ORDER BY threshold_pct ASC""".stripMargin
+  }
+
   // --- dd_simhash: 16-bit simhash + bucket sizes ---------------------------
   /** Array-native: per-doc distinct token-hash array, 16 sign sums as
     * array aggregates — map-only until the bucket-size window (the one
@@ -731,6 +800,7 @@ object Dedup {
     "dd_cluster_sizes" -> ddClusterSizes,
     "dd_lsh_audit" -> ddLshAudit,
     "dd_shingle_hist" -> ddShingleHist,
+    "dd_threshold_sweep" -> ddThresholdSweep,
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
@@ -744,5 +814,6 @@ object Dedup {
     "dd_cluster_sizes" -> ddClusterSizesSql,
     "dd_lsh_audit" -> ddLshAuditSql,
     "dd_shingle_hist" -> ddShingleHistSql,
+    "dd_threshold_sweep" -> ddThresholdSweepSql,
     "dd_components" -> ddComponentsSql)
 }

@@ -743,7 +743,72 @@ object EventOps {
       |)
       |SELECT * FROM len_stats, dur_stats""".stripMargin
 
+  // --- ev_bot_detection: automation-rate signals per user -----------------
+  /** Bot/automation screening — the user-data hygiene pass a training
+    * pipeline runs before learning from behavioral streams: per user the
+    * event volume, active minutes, the burst peak (max events within any
+    * single minute) and the minimum inter-event gap in µs, plus a flag for
+    * superhuman cadence (a ≥10-event burst minute, or repeated sub-second
+    * gaps). Shape: one (user, minute) cell aggregate rolled up per user
+    * (both map-side combinable) joined with a per-user LAG-gap aggregate —
+    * two shuffles on user_id, reusing the same partitioning; all
+    * thresholds are exact integer compares.
+    */
+  def evBotDetection(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cells = ev
+      .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("active_minutes"),
+        max(col("n")).as("max_per_minute"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")))
+      .groupBy(col("user_id"))
+      .agg(min(col("gap_us")).as("min_gap_us"),
+        sum(when(col("gap_us") < 1000000L, 1L).otherwise(0L))
+          .as("subsecond_gaps"))
+    cells.join(gaps, "user_id")
+      .withColumn("is_bot",
+        col("max_per_minute") >= 10L || col("subsecond_gaps") >= 3L)
+      .select("user_id", "n_events", "active_minutes", "max_per_minute",
+        "min_gap_us", "subsecond_gaps", "is_bot")
+      .orderBy(col("user_id").asc)
+  }
+
+  val evBotDetectionSql: String =
+    """WITH cells AS (
+      |  SELECT user_id, date_trunc('minute', ts) AS minute, COUNT(*) AS n
+      |  FROM events GROUP BY user_id, minute
+      |), peru AS (
+      |  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+      |    COUNT(*) AS active_minutes, MAX(n) AS max_per_minute
+      |  FROM cells GROUP BY user_id
+      |), gaps AS (
+      |  SELECT user_id,
+      |    CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+      |    CAST(SUM(CASE WHEN gap_us < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS subsecond_gaps
+      |  FROM (
+      |    SELECT user_id,
+      |      epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts ASC, event_id ASC)) AS gap_us
+      |    FROM events
+      |  ) g GROUP BY user_id
+      |)
+      |SELECT p.user_id, n_events, active_minutes, max_per_minute,
+      |  min_gap_us, subsecond_gaps,
+      |  max_per_minute >= 10 OR subsecond_gaps >= 3 AS is_bot
+      |FROM peru p JOIN gaps g ON p.user_id = g.user_id
+      |ORDER BY p.user_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_bot_detection" -> evBotDetection,
     "ev_sliding_counts" -> evSlidingCounts,
     "ev_session_stats" -> evSessionStats,
     "ev_dau_sketch" -> evDauSketch,
@@ -763,6 +828,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_bot_detection" -> evBotDetectionSql,
     "ev_sliding_counts" -> evSlidingCountsSql,
     "ev_session_stats" -> evSessionStatsSql,
     "ev_dau_sketch" -> evDauSketchSql,
