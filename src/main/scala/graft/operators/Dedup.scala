@@ -576,6 +576,75 @@ object Dedup {
        |    AS share_ppm
        |FROM hist ORDER BY df ASC""".stripMargin
 
+  // --- dd_semantic_clusters: components over embedding near-dup pairs -----
+  /** SEMANTIC dedup clustering — the embedding-space counterpart of
+    * [[ddCanonical]] (SemDeDup-style): min-label propagation (fixed
+    * 3-round horizon, both engines) over the cosine-verified near-dup
+    * pairs from [[ddEmbedCosine]], labeling each vector with its
+    * cluster's minimum vec_id plus the cluster size. Same scale shape as
+    * the text-side canonicalization: the edge set is localCheckpoint'ed
+    * once (the hyperplane-banding + cosine-verify pipeline runs exactly
+    * once, not per round), propagation touches only edge-endpoint
+    * vectors, and the full corpus joins once at the end for identity
+    * labels — the rounds scale with the semantic-dup graph, not the
+    * embedding count.
+    */
+  def ddSemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ddEmbedCosine(spark, dir).select("vec_a", "vec_b")
+    val edges = pairs.select(explode(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("vec_id")).distinct()
+      .select(col("vec_id"), col("vec_id").as("label"))
+    for (_ <- 1 to 3) {
+      val nbr = edges
+        .join(labels.select(col("vec_id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      labels = labels
+        .join(nbr.select(col("src").as("vec_id"), col("nbr_min")),
+          Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    }
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(labels.withColumnRenamed("label", "lp"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("lp"), col("vec_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))))
+      .orderBy(col("vec_id").asc)
+  }
+
+  // lazy: ddEmbedCosineSql is declared later in the file (object vals
+  // initialize in declaration order — eager interpolation would read null).
+  lazy val ddSemanticClustersSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""vn$i AS (
+         |  SELECT e.src, MIN(l.label) AS nbr_min
+         |  FROM vedges e JOIN vlab${i - 1} l ON e.dst = l.vec_id
+         |  GROUP BY e.src
+         |), vlab$i AS (
+         |  SELECT l.vec_id,
+         |    least(l.label, coalesce(n.nbr_min, l.label)) AS label
+         |  FROM vlab${i - 1} l LEFT JOIN vn$i n ON l.vec_id = n.src
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH vpairs AS (
+       |  SELECT vec_a, vec_b FROM ($ddEmbedCosineSql) p
+       |), vedges AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM vpairs
+       |  UNION ALL
+       |  SELECT vec_b AS src, vec_a AS dst FROM vpairs
+       |), vlab0 AS (
+       |  SELECT vec_id, vec_id AS label FROM embeddings
+       |), $rounds
+       |SELECT vec_id, label AS cluster_id,
+       |  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+       |FROM vlab3 ORDER BY vec_id ASC""".stripMargin
+  }
+
   // --- dd_threshold_sweep: pair yield per Jaccard threshold ----------------
   private val SweepThresholds = Seq(50, 60, 70, 80, 90)
 
@@ -801,6 +870,7 @@ object Dedup {
     "dd_lsh_audit" -> ddLshAudit,
     "dd_shingle_hist" -> ddShingleHist,
     "dd_threshold_sweep" -> ddThresholdSweep,
+    "dd_semantic_clusters" -> ddSemanticClusters,
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
@@ -815,5 +885,6 @@ object Dedup {
     "dd_lsh_audit" -> ddLshAuditSql,
     "dd_shingle_hist" -> ddShingleHistSql,
     "dd_threshold_sweep" -> ddThresholdSweepSql,
+    "dd_semantic_clusters" -> ddSemanticClustersSql,
     "dd_components" -> ddComponentsSql)
 }

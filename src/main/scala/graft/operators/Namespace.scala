@@ -902,7 +902,61 @@ object Namespace {
        |GROUP BY volume, bucket, CAST(FLOOR(bytes_before / 1000000000) AS BIGINT)
        |ORDER BY volume ASC, bucket ASC, group_id ASC""".stripMargin
 
+  // --- ns_scan_plan: balanced distributed-scan task layout -----------------
+  private val ScanTasks = 32
+
+  /** Balanced scan-task assignment for a full-namespace job — the planning
+    * step before a 1000-executor read: keys ranked globally by size
+    * (desc, path tie-break) and dealt round-robin over [[ScanTasks]] tasks
+    * (the LPT-style heuristic: co-ranking adjacent sizes apart bounds any
+    * task at ~1/N of the bytes), reported per task with its byte share
+    * and signed skew vs the ideal 1/N in exact ppm. The global size rank
+    * runs DISTRIBUTED via [[PrefixScan.scanState]]'s empty-group case (a
+    * total-order ROW_NUMBER — kept as the oracle — would serialize the
+    * namespace through one task); the per-task rollup and share windows
+    * run over the N-row task frame.
+    */
+  def scanPlan(keys: DataFrame, nTasks: Int): DataFrame = {
+    val ranked = PrefixScan.scanState(
+      keys.select("volume", "bucket", "key", "size"), Seq.empty,
+      Seq(negate(col("size")), col("volume"), col("bucket"), col("key")),
+      lit(1L), rankOut = Some("rnk"))
+    ranked.withColumn("task_id", expr(s"(rnk - 1) % $nTasks"))
+      .groupBy(col("task_id"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("task_bytes"))
+      .withColumn("total_bytes",
+        sum(col("task_bytes")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("bytes_ppm", expr("task_bytes * 1000000 DIV total_bytes"))
+      .withColumn("skew_ppm",
+        col("bytes_ppm") - lit(1000000L / nTasks))
+      .select("task_id", "n_keys", "task_bytes", "bytes_ppm", "skew_ppm")
+      .orderBy(col("task_id").asc)
+  }
+
+  def nsScanPlan(spark: SparkSession, dir: String): DataFrame =
+    scanPlan(ObjectStoreView.keys(spark, dir), ScanTasks)
+
+  val nsScanPlanSql: String =
+    s"""WITH keys AS ($ks), ranked AS (
+       |  SELECT size,
+       |    ROW_NUMBER() OVER (ORDER BY size DESC, volume ASC, bucket ASC,
+       |      key ASC) AS rnk
+       |  FROM keys
+       |), t AS (
+       |  SELECT (rnk - 1) % $ScanTasks AS task_id, COUNT(*) AS n_keys,
+       |    CAST(SUM(size) AS BIGINT) AS task_bytes
+       |  FROM ranked GROUP BY task_id
+       |)
+       |SELECT CAST(task_id AS BIGINT) AS task_id, n_keys, task_bytes,
+       |  CAST(task_bytes * 1000000 // SUM(task_bytes) OVER () AS BIGINT)
+       |    AS bytes_ppm,
+       |  CAST(task_bytes * 1000000 // SUM(task_bytes) OVER ()
+       |    - ${1000000L / ScanTasks} AS BIGINT) AS skew_ppm
+       |FROM t ORDER BY task_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_scan_plan" -> nsScanPlan,
     "ns_compaction_plan" -> nsCompactionPlan,
     "ns_lookup_key" -> nsLookupKey,
     "ns_list_prefix" -> nsListPrefix,
@@ -927,6 +981,7 @@ object Namespace {
     "ns_liststatus" -> nsListStatus)
 
   val oracles: Map[String, String] = Map(
+    "ns_scan_plan" -> nsScanPlanSql,
     "ns_compaction_plan" -> nsCompactionPlanSql,
     "ns_lookup_key" -> nsLookupKeySql,
     "ns_list_prefix" -> nsListPrefixSql,
