@@ -743,6 +743,43 @@ object EventOps {
       |)
       |SELECT * FROM len_stats, dur_stats""".stripMargin
 
+  // --- ev_path_trigrams: top 3-step user journeys --------------------------
+  /** Journey analysis one step beyond [[evTransitions]]'s first-order
+    * matrix: the 20 most common 3-event-type sequences users actually walk
+    * (consecutive per user in time order, deterministic event_id
+    * tie-break). Shape: two LEAD windows per user (high-cardinality
+    * partitioning — fully parallel), a map-side-combinable trigram count,
+    * and a TakeOrdered top-20 with full-path tie-break — the raw stream is
+    * shuffled once for the windows and never again.
+    */
+  def evPathTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("e1").asc, col("e2").asc,
+        col("e3").asc)
+      .limit(20)
+  }
+
+  val evPathTrigramsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS e1,
+      |    lead(event_type, 1) OVER w AS e2,
+      |    lead(event_type, 2) OVER w AS e3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |)
+      |SELECT e1, e2, e3, COUNT(*) AS n_paths
+      |FROM seq WHERE e3 IS NOT NULL
+      |GROUP BY e1, e2, e3
+      |ORDER BY n_paths DESC, e1 ASC, e2 ASC, e3 ASC
+      |LIMIT 20""".stripMargin
+
   // --- ev_bot_detection: automation-rate signals per user -----------------
   /** Bot/automation screening — the user-data hygiene pass a training
     * pipeline runs before learning from behavioral streams: per user the
@@ -808,6 +845,7 @@ object EventOps {
       |ORDER BY p.user_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_path_trigrams" -> evPathTrigrams,
     "ev_bot_detection" -> evBotDetection,
     "ev_sliding_counts" -> evSlidingCounts,
     "ev_session_stats" -> evSessionStats,
@@ -828,6 +866,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_path_trigrams" -> evPathTrigramsSql,
     "ev_bot_detection" -> evBotDetectionSql,
     "ev_sliding_counts" -> evSlidingCountsSql,
     "ev_session_stats" -> evSessionStatsSql,

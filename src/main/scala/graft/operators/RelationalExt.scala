@@ -1120,7 +1120,48 @@ object RelationalExt {
       |FROM monthly
       |ORDER BY o_orderpriority ASC, m_idx ASC""".stripMargin
 
+  // --- q_histogram_equidepth: equi-depth column histogram ------------------
+  private val HistBuckets = 10
+
+  /** Equi-depth (equi-height) histogram over `l_extendedprice` — the
+    * third leg of the ANALYZE statistics family (exact NDV: q_column_stats;
+    * sketch NDV: q_column_stats_approx): [[HistBuckets]] buckets holding
+    * equal row counts, each reporting its exact value bounds — what a CBO
+    * uses for selectivity on skewed columns where equi-WIDTH buckets
+    * mislead. Bucket membership is pure arithmetic on the exact global
+    * rank, `(rank−1)·B DIV n`, which is the distributed-safe formulation:
+    * the rank runs via [[graft.operators.PrefixScan.scanState]]'s
+    * empty-group case (the naive total-order ROW_NUMBER is kept as the
+    * oracle), and the rollup to B rows is map-side combinable.
+    */
+  def qHistogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").as("v"), col("l_orderkey"),
+        col("l_linenumber"))
+    graft.operators.PrefixScan.scanState(v, Seq.empty,
+        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), lit(1L),
+        rankOut = Some("rn"), totalOut = Some("n"))
+      .withColumn("bucket", expr(s"(rn - 1) * $HistBuckets DIV n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy(col("bucket").asc)
+  }
+
+  val qHistogramEquidepthSql: String =
+    s"""WITH ranked AS (
+       |  SELECT l_extendedprice AS v,
+       |    ROW_NUMBER() OVER (ORDER BY l_extendedprice ASC, l_orderkey ASC,
+       |      l_linenumber ASC) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM lineitem
+       |)
+       |SELECT CAST((rn - 1) * $HistBuckets // n AS BIGINT) AS bucket,
+       |  COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+       |FROM ranked GROUP BY bucket ORDER BY bucket ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram_equidepth" -> qHistogramEquidepth,
     "q_moving_revenue" -> qMovingRevenue,
     "q_cube_sales" -> qCubeSales,
     "q_grouping_sets" -> qGroupingSets,
@@ -1145,6 +1186,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_histogram_equidepth" -> qHistogramEquidepthSql,
     "q_moving_revenue" -> qMovingRevenueSql,
     "q_cube_sales" -> qCubeSalesSql,
     "q_grouping_sets" -> qGroupingSetsSql,
