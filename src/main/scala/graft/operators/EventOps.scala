@@ -743,6 +743,43 @@ object EventOps {
       |)
       |SELECT * FROM len_stats, dur_stats""".stripMargin
 
+  // --- ev_inactive_users: churn / inactivity report ------------------------
+  /** Churn screening: per user the event count, last-seen second, whole
+    * days inactive relative to the stream's latest activity, and a 30-day
+    * churn flag — integer-µs arithmetic end-to-end. Shape: one user-keyed
+    * aggregate (map-side combinable) + the 1-row global max broadcast
+    * back; nothing re-scans the stream.
+    */
+  def evInactiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val peru = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    val tot = ev.agg(max(unix_micros(col("ts"))).as("global_us"))
+    peru.crossJoin(broadcast(tot))
+      .withColumn("last_seen",
+        date_trunc("second", timestamp_micros(col("last_us"))))
+      .withColumn("days_inactive",
+        expr("(global_us - last_us) DIV 86400000000"))
+      .withColumn("churned", col("days_inactive") >= 30L)
+      .select("user_id", "n_events", "last_seen", "days_inactive", "churned")
+      .orderBy(col("user_id").asc)
+  }
+
+  val evInactiveUsersSql: String =
+    """WITH peru AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    MAX(epoch_us(ts)) AS last_us
+      |  FROM events GROUP BY user_id
+      |), tot AS (
+      |  SELECT MAX(epoch_us(ts)) AS global_us FROM events
+      |)
+      |SELECT user_id, n_events,
+      |  date_trunc('second', make_timestamp(last_us)) AS last_seen,
+      |  CAST((global_us - last_us) // 86400000000 AS BIGINT) AS days_inactive,
+      |  (global_us - last_us) // 86400000000 >= 30 AS churned
+      |FROM peru, tot ORDER BY user_id ASC""".stripMargin
+
   // --- ev_path_trigrams: top 3-step user journeys --------------------------
   /** Journey analysis one step beyond [[evTransitions]]'s first-order
     * matrix: the 20 most common 3-event-type sequences users actually walk
@@ -845,6 +882,7 @@ object EventOps {
       |ORDER BY p.user_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_inactive_users" -> evInactiveUsers,
     "ev_path_trigrams" -> evPathTrigrams,
     "ev_bot_detection" -> evBotDetection,
     "ev_sliding_counts" -> evSlidingCounts,
@@ -866,6 +904,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_inactive_users" -> evInactiveUsersSql,
     "ev_path_trigrams" -> evPathTrigramsSql,
     "ev_bot_detection" -> evBotDetectionSql,
     "ev_sliding_counts" -> evSlidingCountsSql,

@@ -709,6 +709,52 @@ object TextOps {
        |FROM pr GROUP BY pair
        |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  // --- tx_charset_profile: character-class composition ---------------------
+  /** Character-class mix per document — the cheap encoding/noise screen
+    * (mojibake, binary spill, digit-heavy tables all surface here before
+    * any tokenizer runs): alphabetic / digit / whitespace / other shares
+    * of the raw text in exact integer ppm. Counts come from length deltas
+    * under class-targeted regexp_replace (global-flag in both engines);
+    * pure map work over the corpus scan, no shuffle but the output order.
+    */
+  def txCharsetProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+      .withColumn("n_alpha",
+        col("n_chars") - length(regexp_replace(col("text"), "[A-Za-z]", "")))
+      .withColumn("n_digit",
+        col("n_chars") - length(regexp_replace(col("text"), "[0-9]", "")))
+      .withColumn("n_space",
+        col("n_chars") - length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("d", greatest(col("n_chars"), lit(1L)))
+      .select(col("doc_id"), col("n_chars"),
+        expr("n_alpha * 1000000 DIV d").as("alpha_ppm"),
+        expr("n_digit * 1000000 DIV d").as("digit_ppm"),
+        expr("n_space * 1000000 DIV d").as("space_ppm"),
+        expr("(n_chars - n_alpha - n_digit - n_space) * 1000000 DIV d")
+          .as("other_ppm"))
+      .orderBy(col("doc_id").asc)
+
+  val txCharsetProfileSql: String =
+    """WITH c AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+      |      AS BIGINT) AS n_alpha,
+      |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+      |      AS BIGINT) AS n_digit,
+      |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+      |      AS BIGINT) AS n_space
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars,
+      |  CAST(n_alpha * 1000000 // greatest(n_chars, 1) AS BIGINT) AS alpha_ppm,
+      |  CAST(n_digit * 1000000 // greatest(n_chars, 1) AS BIGINT) AS digit_ppm,
+      |  CAST(n_space * 1000000 // greatest(n_chars, 1) AS BIGINT) AS space_ppm,
+      |  CAST((n_chars - n_alpha - n_digit - n_space) * 1000000
+      |    // greatest(n_chars, 1) AS BIGINT) AS other_ppm
+      |FROM c ORDER BY doc_id ASC""".stripMargin
+
   // --- tx_gopher_rules: composite rule-based quality filter ----------------
   /** Gopher-style rule filter (the published heuristic battery a curation
     * run applies before model-based scoring): per document the raw signals
@@ -824,6 +870,7 @@ object TextOps {
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_charset_profile" -> txCharsetProfile,
     "tx_gopher_rules" -> txGopherRules,
     "tx_rarity" -> txRarity,
     "tx_bpe_merges" -> txBpeMerges,
@@ -842,6 +889,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_charset_profile" -> txCharsetProfileSql,
     "tx_gopher_rules" -> txGopherRulesSql,
     "tx_rarity" -> txRaritySql,
     "tx_bpe_merges" -> txBpeMergesSql,
