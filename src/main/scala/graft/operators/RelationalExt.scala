@@ -1160,7 +1160,63 @@ object RelationalExt {
        |  COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
        |FROM ranked GROUP BY bucket ORDER BY bucket ASC""".stripMargin
 
+  // --- q_sample_estimate: deterministic-sample estimation audit ------------
+  /** TABLESAMPLE-style estimation with its error measured against truth in
+    * the SAME single scan: a deterministic 10% Bernoulli sample (integer
+    * hash of the row key — reproducible across engines, reshuffles and
+    * reruns, unlike rand()-based sampling) estimates row count and revenue
+    * (scaled ×10), reported next to the exact values with signed error in
+    * ppm. ONE pass with conditional aggregates — the pattern that prices a
+    * 100 TB "quick estimate" before paying for the exact job; revenue runs
+    * in exact BIGINT cents so the only approximation is the sampling
+    * itself.
+    */
+  def qSampleEstimate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+          .as("cents"),
+        expr("(l_orderkey * 76543 + l_linenumber) % 100 < 10").as("in_sample"))
+      .agg(count(lit(1)).as("exact_rows"),
+        sum(col("cents")).as("exact_cents"),
+        (sum(when(col("in_sample"), 1L).otherwise(0L)) * 10).as("est_rows"),
+        (sum(when(col("in_sample"), col("cents")).otherwise(0L)) * 10)
+          .as("est_cents"))
+      // Signed error as (est·1M DIV exact) − 1M: the division stays on
+      // non-negative operands, where Spark's truncating DIV and DuckDB's
+      // flooring // agree (they differ on negative numerators).
+      .withColumn("rows_err_ppm",
+        expr("est_rows * 1000000 DIV exact_rows - 1000000"))
+      .withColumn("cents_err_ppm",
+        expr("est_cents * 1000000 DIV exact_cents - 1000000"))
+      .select("exact_rows", "est_rows", "rows_err_ppm",
+        "exact_cents", "est_cents", "cents_err_ppm")
+
+  val qSampleEstimateSql: String =
+    """WITH d AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS cents,
+      |    (l_orderkey * 76543 + l_linenumber) % 100 < 10 AS in_sample
+      |  FROM lineitem
+      |), agg AS (
+      |  SELECT COUNT(*) AS exact_rows,
+      |    CAST(SUM(cents) AS BIGINT) AS exact_cents,
+      |    CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END) * 10 AS BIGINT)
+      |      AS est_rows,
+      |    CAST(SUM(CASE WHEN in_sample THEN cents ELSE 0 END) * 10 AS BIGINT)
+      |      AS est_cents
+      |  FROM d
+      |)
+      |SELECT exact_rows, est_rows,
+      |  CAST(est_rows * 1000000 // exact_rows - 1000000 AS BIGINT)
+      |    AS rows_err_ppm,
+      |  exact_cents, est_cents,
+      |  CAST(est_cents * 1000000 // exact_cents - 1000000 AS BIGINT)
+      |    AS cents_err_ppm
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_estimate" -> qSampleEstimate,
     "q_histogram_equidepth" -> qHistogramEquidepth,
     "q_moving_revenue" -> qMovingRevenue,
     "q_cube_sales" -> qCubeSales,
@@ -1186,6 +1242,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_sample_estimate" -> qSampleEstimateSql,
     "q_histogram_equidepth" -> qHistogramEquidepthSql,
     "q_moving_revenue" -> qMovingRevenueSql,
     "q_cube_sales" -> qCubeSalesSql,
