@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, EventOps, Pipeline, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, Pipeline, RelationalExt, Similarity, TextOps}
 import org.apache.spark.sql.functions._
 
 /** Invariants for the r9 audit/report operators beyond the DuckDB oracle
@@ -87,6 +87,29 @@ class ReportOpsSpec extends SparkSpec {
     val methods = Similarity.simRecallReport(spark, sf)
       .select("method").distinct().collect().map(_.getString(0)).toSet
     assert(methods == Set("lsh", "ivf", "pq", "ivfpq"))
+  }
+
+  test("q_histogram_equidepth buckets are equal-depth and value-ordered") {
+    val rows = RelationalExt.qHistogramEquidepth(spark, sf)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    val counts = rows.map(_.getAs[Long]("n_rows"))
+    assert(counts.sum == Tables.lineitem(spark, sf).count())
+    assert(counts.max - counts.min <= 1, "buckets not equal-depth")
+    rows.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+        "bucket value ranges overlap")
+    }
+  }
+
+  test("ev_inactive_users anchors at the latest activity") {
+    val rows = EventOps.evInactiveUsers(spark, sf).collect()
+    assert(rows.exists(_.getAs[Long]("days_inactive") == 0L),
+      "some user must carry the stream's latest event")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("churned") ==
+        (r.getAs[Long]("days_inactive") >= 30L))
+    }
   }
 
   test("tx_gopher_rules verdict is the conjunction of its flags") {
