@@ -467,6 +467,51 @@ object Pipeline {
        |FROM cum ORDER BY doc_id ASC""".stripMargin
   }
 
+  // --- pipe_quality_calibration: per-language score quantiles --------------
+  /** Is one quality bar fair across languages? Exact nearest-rank
+    * p10/p50/p90 of the quality score per language — the calibration table
+    * read before applying a single global threshold (a stricter-scoring
+    * language would otherwise be silently over-filtered). Ranks run
+    * DISTRIBUTED via [[PrefixScan.scanState]] grouped by lang (the naive
+    * per-lang window serializes each language through one task); the
+    * quantile picks are conditional maxes over the ranked frame, map-side
+    * combinable. Scores are cross-engine bit-identical (tx_quality), so
+    * the quantiles hash-match.
+    */
+  def pipeQualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.txQuality(spark, dir).select("doc_id", "quality_score")
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    val ranked = PrefixScan.scanState(scored, Seq("lang"),
+      Seq(col("quality_score"), col("doc_id")), lit(1L),
+      rankOut = Some("rn"), totalOut = Some("n"))
+    def rk(p: Int) = expr(s"(n * $p + 99) DIV 100")
+    ranked.groupBy(col("lang"), col("n").as("n_docs"))
+      .agg(max(when(col("rn") === rk(10), col("quality_score"))).as("p10"),
+        max(when(col("rn") === rk(50), col("quality_score"))).as("p50"),
+        max(when(col("rn") === rk(90), col("quality_score"))).as("p90"))
+      .orderBy(col("lang").asc)
+  }
+
+  val pipeQualityCalibrationSql: String = {
+    val qualityCte = TextOps.txQualitySql.replace("ORDER BY doc_id ASC", "")
+    s"""WITH q AS ($qualityCte), ranked AS (
+       |  SELECT d.lang, q.quality_score,
+       |    ROW_NUMBER() OVER (PARTITION BY d.lang
+       |      ORDER BY q.quality_score ASC, q.doc_id ASC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+       |  FROM q JOIN documents d ON q.doc_id = d.doc_id
+       |)
+       |SELECT lang, n AS n_docs,
+       |  MAX(CASE WHEN rn = (n * 10 + 99) // 100 THEN quality_score END)
+       |    AS p10,
+       |  MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN quality_score END)
+       |    AS p50,
+       |  MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN quality_score END)
+       |    AS p90
+       |FROM ranked GROUP BY lang, n
+       |ORDER BY lang ASC""".stripMargin
+  }
+
   // --- pipe_vocab_coverage: tokenizer-vocabulary OOV report ---------------
 
   /** Vocabulary coverage: build the top-1000 corpus vocabulary (count
@@ -593,6 +638,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_dedup_funnel" -> pipeDedupFunnel,
     "pipe_token_budget" -> pipeTokenBudget,
+    "pipe_quality_calibration" -> pipeQualityCalibration,
     "pipe_vocab_coverage" -> pipeVocabCoverage,
     "pipe_curriculum" -> pipeCurriculum,
     "pipe_dataset_stats" -> pipeDatasetStats,
@@ -606,6 +652,7 @@ object Pipeline {
   val oracles: Map[String, String] = Map(
     "pipe_dedup_funnel" -> pipeDedupFunnelSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
+    "pipe_quality_calibration" -> pipeQualityCalibrationSql,
     "pipe_vocab_coverage" -> pipeVocabCoverageSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_dataset_stats" -> pipeDatasetStatsSql,
