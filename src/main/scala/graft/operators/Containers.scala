@@ -196,6 +196,49 @@ object Containers {
        |  CAST(SUM(total_bytes) AS BIGINT) AS hosted_bytes
        |FROM placed GROUP BY node_id ORDER BY node_id ASC""".stripMargin
 
+  // --- ct_rack_report: per-rack utilization rollup -------------------------
+  /** Per-rack capacity view over the same arithmetic placement as
+    * [[ctNodeReport]] / [[ctPlacementViolations]] (rack = node % 4, 5
+    * nodes per rack): distinct datanodes seen, hosted container replicas,
+    * replica bytes and each rack's byte share in exact ppm — what a
+    * rack-aware balancer reads before choosing move targets
+    * (ContainerBalancer + SCMContainerPlacementRackAware semantics).
+    * Bounded replica explode → one rack rollup; the share window runs
+    * over the 4-row rack frame.
+    */
+  def ctRackReport(spark: SparkSession, dir: String): DataFrame =
+    containerStats(spark, dir)
+      .filter(col("replicas") >= 1)
+      .select(col("container_id"), col("total_bytes"),
+        explode(sequence(lit(1), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+      .withColumn("rack", col("node_id") % 4)
+      .groupBy(col("rack"))
+      .agg(countDistinct(col("node_id")).as("n_nodes"),
+        count(lit(1)).as("n_replicas"),
+        sum(col("total_bytes")).as("replica_bytes"))
+      .withColumn("bytes_ppm", expr(
+        "replica_bytes * 1000000 DIV sum(replica_bytes) OVER ()"))
+      .select("rack", "n_nodes", "n_replicas", "replica_bytes", "bytes_ppm")
+      .orderBy(col("rack").asc)
+
+  val ctRackReportSql: String =
+    s"""WITH $containerStatsSql, placed AS (
+       |  SELECT (cont.container_id * 31 + u.r * 17) % 20 AS node_id,
+       |    cont.total_bytes
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  WHERE cont.replicas >= 1
+       |), racks AS (
+       |  SELECT node_id % 4 AS rack, COUNT(DISTINCT node_id) AS n_nodes,
+       |    COUNT(*) AS n_replicas,
+       |    CAST(SUM(total_bytes) AS BIGINT) AS replica_bytes
+       |  FROM placed GROUP BY rack
+       |)
+       |SELECT rack, n_nodes, n_replicas, replica_bytes,
+       |  CAST(replica_bytes * 1000000 // SUM(replica_bytes) OVER ()
+       |    AS BIGINT) AS bytes_ppm
+       |FROM racks ORDER BY rack ASC""".stripMargin
+
   // --- ct_pipeline_report: write-pipeline rollup ---------------------------
   /** Containers with replicas ≥ 1 write through pipeline container_id % 30
     * (fixed-arithmetic placement; the reference tracks Raft pipelines in
@@ -868,6 +911,7 @@ object Containers {
        |) t ORDER BY node_type ASC, host ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_rack_report" -> ctRackReport,
     "ct_task_status" -> ctTaskStatus,
     "ct_service_list" -> ctServiceList,
     "ct_ec_storage_overhead" -> ctEcStorageOverhead,
@@ -887,6 +931,7 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_rack_report" -> ctRackReportSql,
     "ct_task_status" -> ctTaskStatusSql,
     "ct_service_list" -> ctServiceListSql,
     "ct_ec_storage_overhead" -> ctEcStorageOverheadSql,
