@@ -1,0 +1,43 @@
+package graft
+
+/** Results must be BIT-IDENTICAL across cluster layouts — the property the
+  * whole oracle discipline rests on (SURVEY §4): decimal sums are
+  * associative, every rank/top-k has a unique tie-break, the distributed
+  * prefix scan is shard-invariant. This spec re-runs one representative
+  * query per ordering-sensitive family under a different
+  * `spark.sql.shuffle.partitions` (a runtime-settable conf, so the same
+  * session genuinely re-plans) and asserts row-set equality with the
+  * 4-partition baseline. A failure means some operator's output depends on
+  * partition count — the class of bug that passes every single-layout test
+  * and corrupts results only on the real cluster.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // Ordering/aggregation-sensitive representatives: exact ranks (PrefixScan
+  // consumers), window tie-breaks, top-k cuts, decimal sums, label
+  // propagation, LSH bucketing, the custom top-k operator, sketch merges.
+  private val names = Seq(
+    "q1_pricing_summary", "q_median_order_value", "q_histogram_equidepth",
+    "ev_value_quantiles", "ev_session_stats", "ns_compaction_plan",
+    "ns_scan_plan", "ns_top_keys_per_bucket", "pipe_curriculum",
+    "pipe_token_budget", "dd_minhash_lsh", "dd_canonical",
+    "ev_dau_sketch", "tx_rarity", "sim_knn_ivfpq")
+
+  private def rows(name: String): Set[String] =
+    SparkEntry.queries(name)(spark, sf).collect()
+      .map(_.mkString("")).toSet
+
+  names.foreach { name =>
+    test(s"$name is invariant to the shuffle-partition count") {
+      val conf = spark.conf
+      val before = conf.get("spark.sql.shuffle.partitions")
+      val base = rows(name)
+      try {
+        conf.set("spark.sql.shuffle.partitions", "7")
+        assert(rows(name) == base, s"$name differs at 7 shuffle partitions")
+        conf.set("spark.sql.shuffle.partitions", "13")
+        assert(rows(name) == base, s"$name differs at 13 shuffle partitions")
+      } finally conf.set("spark.sql.shuffle.partitions", before)
+    }
+  }
+}
