@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FoldCodeExpr, StrCodesExpr}
+import graft.functions.{DotLongExpr, FoldCodeExpr, StrCodesExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -52,7 +52,11 @@ object GraftFunctions {
       info("graft_fold_code",
         "graft_fold_code(str, mult, p) - full-string polynomial fold fingerprint"),
       (exprs: Seq[Expression]) => FoldCodeExpr(exprs.head,
-        longLit(exprs(1), "mult"), longLit(exprs(2), "p"))))
+        longLit(exprs(1), "mult"), longLit(exprs(2), "p"))),
+    (FunctionIdentifier("graft_dot_long"),
+      info("graft_dot_long",
+        "graft_dot_long(a, b) - exact integer dot product of two long arrays"),
+      (exprs: Seq[Expression]) => DotLongExpr(exprs.head, exprs(1))))
 
   /** Register on an already-running session (tests, REPL). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, b) =>

@@ -21,6 +21,15 @@ class ExtensionsSpec extends SparkSpec {
       CodeKernels.strCode(UTF8String.fromString("c"))))
   }
 
+  test("graft_dot_long evaluates the compiled dot kernel from SQL text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+        |       graft_dot_long(array(), array()) AS z""".stripMargin).head()
+    assert(r.getLong(0) === 32L)
+    assert(r.getLong(1) === 0L)
+  }
+
   test("SQL-text dedup fingerprints equal the DataFrame-API dedup keys") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("graft_docs_ext")
