@@ -1184,11 +1184,16 @@ object RelationalExt {
           .as("est_cents"))
       // Signed error as (est·1M DIV exact) − 1M: the division stays on
       // non-negative operands, where Spark's truncating DIV and DuckDB's
-      // flooring // agree (they differ on negative numerators).
+      // flooring // agree (they differ on negative numerators). The cents
+      // legs are first reduced to 1000-dollar units — cents·1M crosses
+      // 2^63 at roughly 4× sf0.1 (caught by the scaling probe), while the
+      // reduced ratio is identical to ±1 ppm and headroom extends ~1e5×;
+      // greatest(…,1) keeps sub-$1000 corpora defined (err reads −1M).
       .withColumn("rows_err_ppm",
         expr("est_rows * 1000000 DIV exact_rows - 1000000"))
       .withColumn("cents_err_ppm",
-        expr("est_cents * 1000000 DIV exact_cents - 1000000"))
+        expr("(est_cents DIV 100000) * 1000000 " +
+          "DIV greatest(exact_cents DIV 100000, 1L) - 1000000"))
       .select("exact_rows", "est_rows", "rows_err_ppm",
         "exact_cents", "est_cents", "cents_err_ppm")
 
@@ -1211,7 +1216,8 @@ object RelationalExt {
       |  CAST(est_rows * 1000000 // exact_rows - 1000000 AS BIGINT)
       |    AS rows_err_ppm,
       |  exact_cents, est_cents,
-      |  CAST(est_cents * 1000000 // exact_cents - 1000000 AS BIGINT)
+      |  CAST((est_cents // 100000) * 1000000
+      |    // greatest(exact_cents // 100000, 1) - 1000000 AS BIGINT)
       |    AS cents_err_ppm
       |FROM agg""".stripMargin
 
