@@ -217,8 +217,8 @@ object Containers {
       .agg(countDistinct(col("node_id")).as("n_nodes"),
         count(lit(1)).as("n_replicas"),
         sum(col("total_bytes")).as("replica_bytes"))
-      .withColumn("bytes_ppm", expr(
-        "replica_bytes * 1000000 DIV sum(replica_bytes) OVER ()"))
+      .withColumn("bytes_ppm", expr(graft.functions.Codes.sharePpmExpr(
+        "replica_bytes", "sum(replica_bytes) OVER ()")))
       .select("rack", "n_nodes", "n_replicas", "replica_bytes", "bytes_ppm")
       .orderBy(col("rack").asc)
 
@@ -235,8 +235,8 @@ object Containers {
        |  FROM placed GROUP BY rack
        |)
        |SELECT rack, n_nodes, n_replicas, replica_bytes,
-       |  CAST(replica_bytes * 1000000 // SUM(replica_bytes) OVER ()
-       |    AS BIGINT) AS bytes_ppm
+       |  CAST(${graft.functions.Codes.sharePpmSql("replica_bytes",
+               "SUM(replica_bytes) OVER ()")} AS BIGINT) AS bytes_ppm
        |FROM racks ORDER BY rack ASC""".stripMargin
 
   // --- ct_pipeline_report: write-pipeline rollup ---------------------------
@@ -756,7 +756,8 @@ object Containers {
         sum(col("logical")).as("logical_bytes"),
         sum(col("physical")).as("physical_bytes"))
       .withColumn("overhead_ppm",
-        expr("(physical_bytes - logical_bytes) * 1000000 DIV logical_bytes"))
+        expr(graft.functions.Codes.sharePpmExpr(
+          "physical_bytes - logical_bytes", "logical_bytes")))
       .withColumn("savings_vs_ratis3_bytes",
         col("logical_bytes") * 3L - col("physical_bytes"))
       .orderBy(col("replication_config").asc)
@@ -789,7 +790,8 @@ object Containers {
        |  CAST(SUM(n_keys) AS BIGINT) AS n_keys,
        |  CAST(SUM(logical) AS BIGINT) AS logical_bytes,
        |  CAST(SUM(physical) AS BIGINT) AS physical_bytes,
-       |  CAST((SUM(physical) - SUM(logical)) * 1000000 // SUM(logical)
+       |  CAST(${graft.functions.Codes.sharePpmSql(
+               "SUM(physical) - SUM(logical)", "SUM(logical)")}
        |    AS BIGINT) AS overhead_ppm,
        |  CAST(SUM(logical) * 3 - SUM(physical) AS BIGINT)
        |    AS savings_vs_ratis3_bytes

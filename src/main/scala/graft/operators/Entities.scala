@@ -263,7 +263,8 @@ object Entities {
       .unionByName(volumes.select(lit("VOLUME").as("entity_type"),
         col("volume"), col("bucket"), col("quota_bytes"), col("used_bytes")))
     entities
-      .withColumn("used_ppm", expr("used_bytes * 1000000 DIV quota_bytes"))
+      .withColumn("used_ppm", expr(graft.functions.Codes
+        .sharePpmExpr("used_bytes", "quota_bytes")))
       .withColumn("headroom_bytes", col("quota_bytes") - col("used_bytes"))
       .withColumn("enforcement",
         when(col("used_ppm") >= 1000000L, "DENY_WRITES")
@@ -287,14 +288,19 @@ object Entities {
        |    CAST(SUM(used_bytes) AS BIGINT)
        |  FROM per_bucket GROUP BY volume
        |)
+       |, scored AS (
+       |  SELECT entity_type, volume, bucket, quota_bytes, used_bytes,
+       |    CAST(${graft.functions.Codes.sharePpmSql("used_bytes",
+                 "quota_bytes")} AS BIGINT) AS used_ppm
+       |  FROM entities
+       |)
        |SELECT entity_type, volume, bucket, quota_bytes, used_bytes,
-       |  CAST(used_bytes * 1000000 // quota_bytes AS BIGINT) AS used_ppm,
+       |  used_ppm,
        |  quota_bytes - used_bytes AS headroom_bytes,
-       |  CASE WHEN used_bytes * 1000000 // quota_bytes >= 1000000
-       |      THEN 'DENY_WRITES'
-       |    WHEN used_bytes * 1000000 // quota_bytes >= 900000 THEN 'WARN'
+       |  CASE WHEN used_ppm >= 1000000 THEN 'DENY_WRITES'
+       |    WHEN used_ppm >= 900000 THEN 'WARN'
        |    ELSE 'ALLOW' END AS enforcement
-       |FROM entities
+       |FROM scored
        |ORDER BY entity_type ASC, volume ASC, bucket ASC NULLS FIRST""".stripMargin
 
   // --- ns_check_access: point ACL decision for one (user, volume) --------

@@ -927,7 +927,8 @@ object Namespace {
       .withColumn("total_bytes",
         sum(col("task_bytes")).over(
           org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("bytes_ppm", expr("task_bytes * 1000000 DIV total_bytes"))
+      .withColumn("bytes_ppm", expr(graft.functions.Codes
+        .sharePpmExpr("task_bytes", "total_bytes")))
       .withColumn("skew_ppm",
         col("bytes_ppm") - lit(1000000L / nTasks))
       .select("task_id", "n_keys", "task_bytes", "bytes_ppm", "skew_ppm")
@@ -949,9 +950,10 @@ object Namespace {
        |  FROM ranked GROUP BY task_id
        |)
        |SELECT CAST(task_id AS BIGINT) AS task_id, n_keys, task_bytes,
-       |  CAST(task_bytes * 1000000 // SUM(task_bytes) OVER () AS BIGINT)
-       |    AS bytes_ppm,
-       |  CAST(task_bytes * 1000000 // SUM(task_bytes) OVER ()
+       |  CAST(${graft.functions.Codes.sharePpmSql("task_bytes",
+               "SUM(task_bytes) OVER ()")} AS BIGINT) AS bytes_ppm,
+       |  CAST(${graft.functions.Codes.sharePpmSql("task_bytes",
+               "SUM(task_bytes) OVER ()")}
        |    - ${1000000L / ScanTasks} AS BIGINT) AS skew_ppm
        |FROM t ORDER BY task_id ASC""".stripMargin
 

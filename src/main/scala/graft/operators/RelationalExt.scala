@@ -1185,20 +1185,19 @@ object RelationalExt {
       // Signed error as (est·1M DIV exact) − 1M: the division stays on
       // non-negative operands, where Spark's truncating DIV and DuckDB's
       // flooring // agree (they differ on negative numerators). The cents
-      // legs are first reduced to 1000-dollar units — cents·1M crosses
-      // 2^63 at roughly 4× sf0.1 (caught by the scaling probe), while the
-      // reduced ratio is identical to ±1 ppm and headroom extends ~1e5×;
-      // greatest(…,1) keeps sub-$1000 corpora defined (err reads −1M).
+      // leg goes through the overflow-guarded share helper — cents·1M
+      // crosses 2^63 at roughly 4× sf0.1, caught live by the scaling
+      // probe (Codes.sharePpmExpr reduces both legs past the bound).
       .withColumn("rows_err_ppm",
         expr("est_rows * 1000000 DIV exact_rows - 1000000"))
       .withColumn("cents_err_ppm",
-        expr("(est_cents DIV 100000) * 1000000 " +
-          "DIV greatest(exact_cents DIV 100000, 1L) - 1000000"))
+        expr(graft.functions.Codes.sharePpmExpr("est_cents", "exact_cents") +
+          " - 1000000"))
       .select("exact_rows", "est_rows", "rows_err_ppm",
         "exact_cents", "est_cents", "cents_err_ppm")
 
   val qSampleEstimateSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
       |      AS cents,
       |    (l_orderkey * 76543 + l_linenumber) % 100 < 10 AS in_sample
@@ -1216,8 +1215,8 @@ object RelationalExt {
       |  CAST(est_rows * 1000000 // exact_rows - 1000000 AS BIGINT)
       |    AS rows_err_ppm,
       |  exact_cents, est_cents,
-      |  CAST((est_cents // 100000) * 1000000
-      |    // greatest(exact_cents // 100000, 1) - 1000000 AS BIGINT)
+      |  CAST(${graft.functions.Codes.sharePpmSql("est_cents",
+             "exact_cents")} - 1000000 AS BIGINT)
       |    AS cents_err_ppm
       |FROM agg""".stripMargin
 
