@@ -907,19 +907,32 @@ object Namespace {
 
   /** Balanced scan-task assignment for a full-namespace job — the planning
     * step before a 1000-executor read: keys ranked globally by size
-    * (desc, path tie-break) and dealt round-robin over [[ScanTasks]] tasks
-    * (the LPT-style heuristic: co-ranking adjacent sizes apart bounds any
-    * task at ~1/N of the bytes), reported per task with its byte share
-    * and signed skew vs the ideal 1/N in exact ppm. The global size rank
-    * runs DISTRIBUTED via [[PrefixScan.scanState]]'s empty-group case (a
-    * total-order ROW_NUMBER — kept as the oracle — would serialize the
-    * namespace through one task); the per-task rollup and share windows
-    * run over the N-row task frame.
+    * (desc) and dealt round-robin over [[ScanTasks]] tasks (the LPT-style
+    * heuristic: co-ranking adjacent sizes apart bounds any task at ~1/N of
+    * the bytes), reported per task with its byte share and signed skew vs
+    * the ideal 1/N in exact ppm. The global size rank runs DISTRIBUTED
+    * via [[PrefixScan.scanState]]'s empty-group case (a total-order
+    * ROW_NUMBER — kept as the oracle — would serialize the namespace
+    * through one task); the per-task rollup and share windows run over
+    * the N-row task frame.
+    *
+    * The rank tie-break is the full-path FOLD HASH, not the path itself —
+    * the two PrefixScan exchanges then carry 16 bytes per key instead of
+    * the path string (~3× fewer shuffle bytes at sf0.1; at namespace
+    * scale the paths dominate). A fold collision can only reorder rows of
+    * EQUAL size and hash, which swaps their ranks but leaves every
+    * per-task (count, bytes) total — and hence this report — unchanged,
+    * and the oracle computes the identical fold, so determinism and the
+    * gate both survive collisions.
     */
   def scanPlan(keys: DataFrame, nTasks: Int): DataFrame = {
-    val ranked = PrefixScan.scanState(
-      keys.select("volume", "bucket", "key", "size"), Seq.empty,
-      Seq(negate(col("size")), col("volume"), col("bucket"), col("key")),
+    import graft.functions.Codes
+    val compact = keys.select(col("size"),
+      Codes.foldCode(
+        concat_ws("/", col("volume"), col("bucket"), col("key")),
+        31L, Codes.P).as("tb"))
+    val ranked = PrefixScan.scanState(compact, Seq.empty,
+      Seq(negate(col("size")), col("tb")),
       lit(1L), rankOut = Some("rnk"))
     ranked.withColumn("task_id", expr(s"(rnk - 1) % $nTasks"))
       .groupBy(col("task_id"))
@@ -941,8 +954,10 @@ object Namespace {
   val nsScanPlanSql: String =
     s"""WITH keys AS ($ks), ranked AS (
        |  SELECT size,
-       |    ROW_NUMBER() OVER (ORDER BY size DESC, volume ASC, bucket ASC,
-       |      key ASC) AS rnk
+       |    ROW_NUMBER() OVER (ORDER BY size DESC,
+       |      ${graft.functions.Codes.foldCodeSql(
+              "volume || '/' || bucket || '/' || key", 31L,
+              graft.functions.Codes.P)} ASC) AS rnk
        |  FROM keys
        |), t AS (
        |  SELECT (rnk - 1) % $ScanTasks AS task_id, COUNT(*) AS n_keys,
