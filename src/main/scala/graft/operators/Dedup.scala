@@ -714,6 +714,58 @@ object Dedup {
        |FROM rows ORDER BY threshold_pct ASC""".stripMargin
   }
 
+  // --- dd_modality_agreement: lexical vs semantic near-dup overlap ---------
+  /** Do the TEXT near-dups and the EMBEDDING near-dups agree? One-row
+    * audit joining the Jaccard-verified pair set (dd_ngram_jaccard
+    * semantics) against the cosine-verified pair set (dd_embed_cosine,
+    * vec_id ≡ doc_id in the driver data): pairs found by both, by text
+    * only, by embedding only, and the pair-set Jaccard agreement in ppm.
+    * Low agreement flags a miscalibrated threshold on one side (or
+    * embeddings that don't track surface text — paraphrase-heavy
+    * corpora); the per-modality audits are dd_lsh_audit and
+    * sim_recall_report. Shape: FULL OUTER equi-join of two near-dup-graph-
+    * sized pair frames (both bucket-capped) + one aggregate.
+    */
+  def ddModalityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val tp = verifiedPairs(Tables.documents(spark, dir))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val ep = ddEmbedCosine(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        lit(1L).as("e"))
+    tp.join(ep, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(coalesce(col("t"), lit(0L))).as("n_text_pairs"),
+        sum(coalesce(col("e"), lit(0L))).as("n_embed_pairs"),
+        sum(when(col("t") === 1L && col("e") === 1L, 1L).otherwise(0L))
+          .as("n_both"))
+      .withColumn("text_only", col("n_text_pairs") - col("n_both"))
+      .withColumn("embed_only", col("n_embed_pairs") - col("n_both"))
+      .withColumn("agreement_ppm", expr(
+        "n_both * 1000000 DIV greatest(n_text_pairs + n_embed_pairs - n_both, 1L)"))
+      .select("n_text_pairs", "n_embed_pairs", "n_both", "text_only",
+        "embed_only", "agreement_ppm")
+  }
+
+  lazy val ddModalityAgreementSql: String =
+    s"""WITH $scoredSqlCtes, verified AS (
+       |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.6
+       |), ep AS (
+       |  SELECT vec_a AS doc_a, vec_b AS doc_b FROM ($ddEmbedCosineSql) e
+       |), j AS (
+       |  SELECT CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END AS t,
+       |    CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS e
+       |  FROM verified v FULL OUTER JOIN ep p
+       |    ON v.doc_a = p.doc_a AND v.doc_b = p.doc_b
+       |)
+       |SELECT CAST(SUM(t) AS BIGINT) AS n_text_pairs,
+       |  CAST(SUM(e) AS BIGINT) AS n_embed_pairs,
+       |  CAST(SUM(t * e) AS BIGINT) AS n_both,
+       |  CAST(SUM(t) - SUM(t * e) AS BIGINT) AS text_only,
+       |  CAST(SUM(e) - SUM(t * e) AS BIGINT) AS embed_only,
+       |  CAST(SUM(t * e) * 1000000
+       |    // greatest(SUM(t) + SUM(e) - SUM(t * e), 1) AS BIGINT)
+       |    AS agreement_ppm
+       |FROM j""".stripMargin
+
   // --- dd_simhash: 16-bit simhash + bucket sizes ---------------------------
   /** Array-native: per-doc distinct token-hash array, 16 sign sums as
     * array aggregates — map-only until the bucket-size window (the one
@@ -871,6 +923,7 @@ object Dedup {
     "dd_shingle_hist" -> ddShingleHist,
     "dd_threshold_sweep" -> ddThresholdSweep,
     "dd_semantic_clusters" -> ddSemanticClusters,
+    "dd_modality_agreement" -> ddModalityAgreement,
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
@@ -886,5 +939,6 @@ object Dedup {
     "dd_shingle_hist" -> ddShingleHistSql,
     "dd_threshold_sweep" -> ddThresholdSweepSql,
     "dd_semantic_clusters" -> ddSemanticClustersSql,
+    "dd_modality_agreement" -> ddModalityAgreementSql,
     "dd_components" -> ddComponentsSql)
 }
