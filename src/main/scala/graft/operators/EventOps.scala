@@ -743,6 +743,79 @@ object EventOps {
       |)
       |SELECT * FROM len_stats, dur_stats""".stripMargin
 
+  // --- ev_funnel_steps: ordered multi-step funnel ---------------------------
+  /** Three-step ORDERED funnel (signup → first later click → first later
+    * purchase), one row per stage with the users remaining and the
+    * stage-over-stage retention in exact ppm — [[evFunnel]]'s two-event
+    * conversion generalized to an ordered path (an event counts only
+    * strictly after the previous stage's anchoring event). Shape: each
+    * stage is a user-keyed conditional min-timestamp aggregate joined back
+    * on user_id — three shuffles sharing one partitioning, never a
+    * per-user sort of the raw stream.
+    */
+  def evFunnelSteps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val agg = s1.agg(count(lit(1)).as("n1"))
+      .crossJoin(broadcast(s2.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(s3.agg(count(lit(1)).as("n3"))))
+    agg.select(explode(array(
+        struct(lit(1L).as("step"), lit("signup").as("stage"),
+          col("n1").as("n_users"), lit(1000000L).as("retention_ppm")),
+        struct(lit(2L).as("step"), lit("click_after_signup").as("stage"),
+          col("n2").as("n_users"),
+          expr("n2 * 1000000 DIV greatest(n1, 1L)").as("retention_ppm")),
+        struct(lit(3L).as("step"), lit("purchase_after_click").as("stage"),
+          col("n3").as("n_users"),
+          expr("n3 * 1000000 DIV greatest(n2, 1L)").as("retention_ppm"))))
+        .as("s"))
+      .select(col("s.step").as("step"), col("s.stage").as("stage"),
+        col("s.n_users").as("n_users"),
+        col("s.retention_ppm").as("retention_ppm"))
+      .orderBy(col("step").asc)
+  }
+
+  val evFunnelStepsSql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t2
+      |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t3
+      |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id
+      |), agg AS (
+      |  SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |    (SELECT COUNT(*) FROM s2) AS n2,
+      |    (SELECT COUNT(*) FROM s3) AS n3
+      |), stages AS (
+      |  SELECT 1 AS step, 'signup' AS stage, n1 AS n_users,
+      |    CAST(1000000 AS BIGINT) AS retention_ppm FROM agg
+      |  UNION ALL
+      |  SELECT 2, 'click_after_signup', n2,
+      |    CAST(n2 * 1000000 // greatest(n1, 1) AS BIGINT) FROM agg
+      |  UNION ALL
+      |  SELECT 3, 'purchase_after_click', n3,
+      |    CAST(n3 * 1000000 // greatest(n2, 1) AS BIGINT) FROM agg
+      |)
+      |SELECT CAST(step AS BIGINT) AS step, stage,
+      |  CAST(n_users AS BIGINT) AS n_users, retention_ppm
+      |FROM stages ORDER BY step ASC""".stripMargin
+
   // --- ev_inactive_users: churn / inactivity report ------------------------
   /** Churn screening: per user the event count, last-seen second, whole
     * days inactive relative to the stream's latest activity, and a 30-day
@@ -882,6 +955,7 @@ object EventOps {
       |ORDER BY p.user_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_funnel_steps" -> evFunnelSteps,
     "ev_inactive_users" -> evInactiveUsers,
     "ev_path_trigrams" -> evPathTrigrams,
     "ev_bot_detection" -> evBotDetection,
@@ -904,6 +978,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_funnel_steps" -> evFunnelStepsSql,
     "ev_inactive_users" -> evInactiveUsersSql,
     "ev_path_trigrams" -> evPathTrigramsSql,
     "ev_bot_detection" -> evBotDetectionSql,

@@ -709,6 +709,50 @@ object TextOps {
        |FROM pr GROUP BY pair
        |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  // --- tx_sentence_stats: sentence segmentation signals --------------------
+  /** Sentence-level structure signals (the Gopher battery's
+    * mean-words-per-sentence heuristic, plus the degenerate-structure
+    * flags it needs): '.'-split segments with ≥ 1 token count as
+    * sentences; per doc the sentence count, total words, longest
+    * sentence, and mean words/sentence (one double division of exact
+    * integers — bit-stable cross-engine). Run-on text (no periods) shows
+    * as n_sentences = 1 with a large mean; list-like text as many tiny
+    * sentences. Map-only; the per-sentence word-count array materializes
+    * once per doc (multi-reference projection).
+    */
+  def txSentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    val wcCol = transform(split(col("text"), "\\."),
+      s => size(filter(split(trim(lower(s)), " +"), t => length(t) > 0)))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), wcCol.as("wc"))
+      .select(col("doc_id"), filter(col("wc"), c => c > 0).as("wcnz"))
+    d.select(col("doc_id"),
+        size(col("wcnz")).cast("bigint").as("n_sentences"),
+        aggregate(col("wcnz"), lit(0L), (a, v) => a + v).as("n_words"),
+        coalesce(array_max(col("wcnz")), lit(0)).cast("bigint")
+          .as("max_sentence_words"))
+      .withColumn("mean_words_per_sentence",
+        col("n_words").cast("double") /
+          greatest(col("n_sentences"), lit(1L)))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txSentenceStatsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(list_transform(string_split(text, '.'),
+      |      s -> len(list_filter(string_split_regex(trim(lower(s)), ' +'),
+      |        t -> length(t) > 0))), c -> c > 0) AS wcnz
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(wcnz) AS BIGINT) AS n_sentences,
+      |  CAST(COALESCE(list_sum(wcnz), 0) AS BIGINT) AS n_words,
+      |  CAST(COALESCE(list_max(wcnz), 0) AS BIGINT) AS max_sentence_words,
+      |  CAST(CAST(COALESCE(list_sum(wcnz), 0) AS BIGINT) AS DOUBLE)
+      |    / greatest(len(wcnz), 1) AS mean_words_per_sentence
+      |FROM w ORDER BY doc_id ASC""".stripMargin
+
   // --- tx_charset_profile: character-class composition ---------------------
   /** Character-class mix per document — the cheap encoding/noise screen
     * (mojibake, binary spill, digit-heavy tables all surface here before
@@ -870,6 +914,7 @@ object TextOps {
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_sentence_stats" -> txSentenceStats,
     "tx_charset_profile" -> txCharsetProfile,
     "tx_gopher_rules" -> txGopherRules,
     "tx_rarity" -> txRarity,
@@ -889,6 +934,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_sentence_stats" -> txSentenceStatsSql,
     "tx_charset_profile" -> txCharsetProfileSql,
     "tx_gopher_rules" -> txGopherRulesSql,
     "tx_rarity" -> txRaritySql,

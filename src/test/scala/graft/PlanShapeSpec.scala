@@ -27,7 +27,8 @@ class PlanShapeSpec extends SparkSpec {
     * assignment (same shape as sim_knn_ivf); pipe_token_budget attaches
     * the 1-row total-tokens budget scalar; ev_session_stats combines two
     * 1-row percentile aggregates into its report row; ev_inactive_users
-    * attaches the 1-row global-max-activity scalar.
+    * attaches the 1-row global-max-activity scalar; ev_funnel_steps
+    * combines three 1-row stage counters into its funnel rows.
     */
   private val allowedNestedLoop =
     Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained",
@@ -35,7 +36,7 @@ class PlanShapeSpec extends SparkSpec {
       "pipe_mixture_weights", "q_hll_distinct", "sim_recall_report",
       "ct_balancer_moves", "ct_safemode_status",
       "sim_cluster_purity", "sim_knn_ivfpq", "pipe_token_budget",
-      "ev_session_stats", "ev_inactive_users")
+      "ev_session_stats", "ev_inactive_users", "ev_funnel_steps")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype
