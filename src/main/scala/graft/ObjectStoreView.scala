@@ -159,7 +159,8 @@ object ObjectStoreView {
     keysFrom(Tables.lineitem(spark, sfDir)).select(
       ((col("l_orderkey") * 7 + col("l_linenumber")) % 1024)
         .cast("bigint").as("container_id"),
-      col("volume"), col("bucket"), col("key"), col("size"), col("state"))
+      col("volume"), col("bucket"), col("key"), col("size"), col("mtime"),
+      col("state"))
 
   val containerKeysSql: String =
     """SELECT
@@ -171,6 +172,7 @@ object ObjectStoreView {
       |    CAST(l_orderkey AS VARCHAR) || '-' ||
       |    CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size,
+      |  l_shipdate AS mtime,
       |  CASE WHEN l_linestatus = 'O' THEN 'OPEN' ELSE 'CLOSED' END AS state
       |FROM lineitem""".stripMargin
 

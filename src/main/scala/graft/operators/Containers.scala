@@ -239,6 +239,61 @@ object Containers {
                "SUM(replica_bytes) OVER ()")} AS BIGINT) AS bytes_ppm
        |FROM racks ORDER BY rack ASC""".stripMargin
 
+  // --- ct_cold_containers: access-tier / archival planning -----------------
+  /** Storage-tiering report: containers classed HOT (< 30 days since their
+    * newest key), WARM (< 365) or COLD by whole days between each
+    * container's latest key mtime and the namespace's latest activity
+    * (integer-µs arithmetic — the archival-candidate sweep an
+    * object-store lifecycle policy runs before moving cold containers to
+    * dense storage). Per tier: containers, keys, bytes, and the exact
+    * age-day range. One container aggregate + a 1-row broadcast maximum;
+    * the tier rollup runs over the container frame.
+    */
+  def ctColdContainers(spark: SparkSession, dir: String): DataFrame = {
+    val per = ObjectStoreView.containerKeys(spark, dir)
+      .groupBy(col("container_id"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"),
+        // mtime reads as TIMESTAMP_NTZ from the native-µs parquet; the
+        // cast reinterprets the same wall-clock micros under the UTC
+        // session, matching DuckDB's epoch_us of its naive read.
+        max(unix_micros(col("mtime").cast("timestamp"))).as("last_us"))
+    val tot = per.agg(max(col("last_us")).as("now_us"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("age_days", expr("(now_us - last_us) DIV 86400000000"))
+      .withColumn("tier",
+        when(col("age_days") < 30, "HOT")
+          .when(col("age_days") < 365, "WARM")
+          .otherwise("COLD"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_containers"), sum(col("n_keys")).as("n_keys"),
+        sum(col("total_bytes")).as("total_bytes"),
+        min(col("age_days")).as("min_age_days"),
+        max(col("age_days")).as("max_age_days"))
+      .orderBy(col("tier").asc)
+  }
+
+  val ctColdContainersSql: String =
+    s"""WITH container_keys AS ($cks), per AS (
+       |  SELECT container_id, COUNT(*) AS n_keys,
+       |    CAST(SUM(size) AS BIGINT) AS total_bytes,
+       |    MAX(epoch_us(mtime)) AS last_us
+       |  FROM container_keys GROUP BY container_id
+       |), tot AS (
+       |  SELECT MAX(last_us) AS now_us FROM per
+       |), aged AS (
+       |  SELECT n_keys, total_bytes,
+       |    (now_us - last_us) // 86400000000 AS age_days
+       |  FROM per, tot
+       |)
+       |SELECT CASE WHEN age_days < 30 THEN 'HOT'
+       |    WHEN age_days < 365 THEN 'WARM' ELSE 'COLD' END AS tier,
+       |  COUNT(*) AS n_containers,
+       |  CAST(SUM(n_keys) AS BIGINT) AS n_keys,
+       |  CAST(SUM(total_bytes) AS BIGINT) AS total_bytes,
+       |  CAST(MIN(age_days) AS BIGINT) AS min_age_days,
+       |  CAST(MAX(age_days) AS BIGINT) AS max_age_days
+       |FROM aged GROUP BY tier ORDER BY tier ASC""".stripMargin
+
   // --- ct_pipeline_report: write-pipeline rollup ---------------------------
   /** Containers with replicas ≥ 1 write through pipeline container_id % 30
     * (fixed-arithmetic placement; the reference tracks Raft pipelines in
@@ -913,6 +968,7 @@ object Containers {
        |) t ORDER BY node_type ASC, host ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_cold_containers" -> ctColdContainers,
     "ct_rack_report" -> ctRackReport,
     "ct_task_status" -> ctTaskStatus,
     "ct_service_list" -> ctServiceList,
@@ -933,6 +989,7 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_cold_containers" -> ctColdContainersSql,
     "ct_rack_report" -> ctRackReportSql,
     "ct_task_status" -> ctTaskStatusSql,
     "ct_service_list" -> ctServiceListSql,

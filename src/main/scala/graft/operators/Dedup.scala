@@ -858,7 +858,11 @@ object Dedup {
     * Shape: 2 bucket aggregations + an id-keyed join back for vectors —
     * no CartesianProduct / BroadcastNestedLoopJoin at any size.
     */
-  def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame = {
+  /** The scored candidate stage shared by [[ddEmbedCosine]] and
+    * [[ddCosineSweep]]: every bucket-capped LSH candidate pair with its
+    * exact cosine, UNFILTERED.
+    */
+  private def embedScoredPairs(spark: SparkSession, dir: String): DataFrame = {
     val nm = quantized(spark, dir)
     // One explode over the two (band, bucket) structs — the 16 hyperplane
     // dot products run once per vector, not once per band-union branch.
@@ -880,15 +884,15 @@ object Dedup {
       .join(nm.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("nb")), "vec_b")
       .withColumn("cos_sim",
         round(cosine(col("qa"), col("qb"), col("na"), col("nb")), 6))
-      .filter(col("cos_sim") >= 0.4)
-      .select("vec_a", "vec_b", "cos_sim")
-      .orderBy(col("vec_a").asc, col("vec_b").asc)
   }
 
-  val ddEmbedCosineSql: String = {
+  /** CTE chain ending in escored(vec_a, vec_b, cos_sim) — the SQL twin of
+    * [[embedScoredPairs]].
+    */
+  private val embedScoredSqlCtes: String = {
     val band0 = Similarity.bandBucketSql("q", 0 until 8)
     val band1 = Similarity.bandBucketSql("q", 8 until 16)
-    s"""WITH $quantizedSql, banded AS (
+    s"""$quantizedSql, banded AS (
        |  SELECT 0 AS band, $band0 AS bkt, vec_id FROM nm
        |  UNION ALL
        |  SELECT 1 AS band, $band1 AS bkt, vec_id FROM nm
@@ -900,14 +904,73 @@ object Dedup {
        |  FROM bcnt a JOIN bcnt b
        |    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
        |    AND a.n <= $EmbedMaxBucket AND b.n <= $EmbedMaxBucket
-       |)
-       |SELECT c.vec_a, c.vec_b,
-       |  round(${cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6) AS cos_sim
-       |FROM cand c
-       |JOIN nm a ON c.vec_a = a.vec_id
-       |JOIN nm b ON c.vec_b = b.vec_id
-       |WHERE round(${cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6) >= 0.4
+       |), escored AS (
+       |  SELECT c.vec_a, c.vec_b,
+       |    round(${cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6) AS cos_sim
+       |  FROM cand c
+       |  JOIN nm a ON c.vec_a = a.vec_id
+       |  JOIN nm b ON c.vec_b = b.vec_id
+       |)""".stripMargin
+  }
+
+  def ddEmbedCosine(spark: SparkSession, dir: String): DataFrame =
+    embedScoredPairs(spark, dir)
+      .filter(col("cos_sim") >= 0.4)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+
+  val ddEmbedCosineSql: String =
+    s"""WITH $embedScoredSqlCtes
+       |SELECT vec_a, vec_b, cos_sim FROM escored
+       |WHERE cos_sim >= 0.4
        |ORDER BY vec_a ASC, vec_b ASC""".stripMargin
+
+  // --- dd_cosine_sweep: pair yield per cosine threshold --------------------
+  private val CosineSweep = Seq(30, 40, 50, 60, 70)
+
+  /** The embedding-side twin of [[ddThresholdSweep]]: candidate pairs
+    * surviving exact cosine ≥ t for t ∈ {0.30 … 0.70}, with each level's
+    * candidate share in integer ppm — the threshold-tuning table for the
+    * semantic near-dup verify. ONE conditional-sum aggregate over the
+    * shared scored candidate frame ([[embedScoredPairs]] — the banding +
+    * cosine pipeline runs once), exploded to 5 rows.
+    */
+  def ddCosineSweep(spark: SparkSession, dir: String): DataFrame = {
+    val aggCols = count(lit(1)).as("n_candidates") +:
+      CosineSweep.map(t =>
+        sum(when(col("cos_sim") >= t / 100.0, 1L).otherwise(0L))
+          .as(s"ge$t"))
+    val agg = embedScoredPairs(spark, dir).agg(aggCols.head, aggCols.tail: _*)
+    agg.select(explode(array(CosineSweep.map(t =>
+        struct(lit(t.toLong).as("threshold_pct"), col(s"ge$t").as("n_pairs"),
+          col("n_candidates"))): _*)).as("s"))
+      .select(col("s.threshold_pct").as("threshold_pct"),
+        col("s.n_pairs").as("n_pairs"),
+        expr("s.n_pairs * 1000000 DIV greatest(s.n_candidates, 1L)")
+          .as("pairs_ppm"))
+      .orderBy(col("threshold_pct").asc)
+  }
+
+  val ddCosineSweepSql: String = {
+    val conds = CosineSweep
+      .map(t => s"CAST(SUM(CASE WHEN cos_sim >= ${t / 100.0} " +
+        s"THEN 1 ELSE 0 END) AS BIGINT) AS ge$t")
+      .mkString(",\n       |    ")
+    val rows = CosineSweep
+      .map(t => s"SELECT $t AS threshold_pct, ge$t AS n_pairs, " +
+        s"n_candidates FROM agg")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH $embedScoredSqlCtes, agg AS (
+       |  SELECT COUNT(*) AS n_candidates,
+       |    $conds
+       |  FROM escored
+       |), rows AS (
+       |  $rows
+       |)
+       |SELECT CAST(threshold_pct AS BIGINT) AS threshold_pct, n_pairs,
+       |  CAST(n_pairs * 1000000 // greatest(n_candidates, 1) AS BIGINT)
+       |    AS pairs_ppm
+       |FROM rows ORDER BY threshold_pct ASC""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -924,6 +987,7 @@ object Dedup {
     "dd_threshold_sweep" -> ddThresholdSweep,
     "dd_semantic_clusters" -> ddSemanticClusters,
     "dd_modality_agreement" -> ddModalityAgreement,
+    "dd_cosine_sweep" -> ddCosineSweep,
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
@@ -940,5 +1004,6 @@ object Dedup {
     "dd_threshold_sweep" -> ddThresholdSweepSql,
     "dd_semantic_clusters" -> ddSemanticClustersSql,
     "dd_modality_agreement" -> ddModalityAgreementSql,
+    "dd_cosine_sweep" -> ddCosineSweepSql,
     "dd_components" -> ddComponentsSql)
 }

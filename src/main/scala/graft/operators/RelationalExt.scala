@@ -1220,7 +1220,65 @@ object RelationalExt {
       |    AS cents_err_ppm
       |FROM agg""".stripMargin
 
+  // --- q_revenue_topdecile: customer revenue concentration (Lorenz point) --
+  /** How concentrated is revenue across customers? The Lorenz-curve point
+    * at the top decile: customers ranked by lifetime order value (exact
+    * BIGINT cents, desc, custkey tie-break), the top ⌈n/10⌉ customers'
+    * share of total revenue in ppm — the 80/20 concentration statistic
+    * next to q11's mean-share threshold. The global revenue rank runs
+    * DISTRIBUTED via [[graft.operators.PrefixScan.scanState]]'s
+    * empty-group case; the share goes through the overflow-guarded
+    * [[graft.functions.Codes.sharePpmExpr]] (cents·1M crosses 2^63 at
+    * real scale).
+    */
+  def qRevenueTopdecile(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).as("cents"))
+    val ranked = graft.operators.PrefixScan.scanState(perCust, Seq.empty,
+      Seq(negate(col("cents")), col("o_custkey")), lit(1L),
+      rankOut = Some("rnk"), totalOut = Some("n"))
+    ranked
+      .agg(max(col("n")).as("n_customers"),
+        sum(when(col("rnk") * 10 <= col("n") + 9, col("cents"))
+          .otherwise(0L)).as("top_cents"),
+        sum(when(col("rnk") * 10 <= col("n") + 9, 1L).otherwise(0L))
+          .as("n_top"),
+        sum(col("cents")).as("total_cents"))
+      .withColumn("top_share_ppm", expr(graft.functions.Codes
+        .sharePpmExpr("top_cents", "total_cents")))
+      .select("n_customers", "n_top", "top_cents", "total_cents",
+        "top_share_ppm")
+  }
+
+  val qRevenueTopdecileSql: String =
+    s"""WITH per_cust AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY o_custkey
+       |), ranked AS (
+       |  SELECT cents,
+       |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM per_cust
+       |), agg AS (
+       |  SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       |    CAST(SUM(CASE WHEN rnk * 10 <= n + 9 THEN cents ELSE 0 END)
+       |      AS BIGINT) AS top_cents,
+       |    CAST(SUM(CASE WHEN rnk * 10 <= n + 9 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_top,
+       |    CAST(SUM(cents) AS BIGINT) AS total_cents
+       |  FROM ranked
+       |)
+       |SELECT n_customers, n_top, top_cents, total_cents,
+       |  CAST(${graft.functions.Codes.sharePpmSql("top_cents",
+             "total_cents")} AS BIGINT) AS top_share_ppm
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_topdecile" -> qRevenueTopdecile,
     "q_sample_estimate" -> qSampleEstimate,
     "q_histogram_equidepth" -> qHistogramEquidepth,
     "q_moving_revenue" -> qMovingRevenue,
@@ -1247,6 +1305,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_revenue_topdecile" -> qRevenueTopdecileSql,
     "q_sample_estimate" -> qSampleEstimateSql,
     "q_histogram_equidepth" -> qHistogramEquidepthSql,
     "q_moving_revenue" -> qMovingRevenueSql,

@@ -28,7 +28,8 @@ class PlanShapeSpec extends SparkSpec {
     * the 1-row total-tokens budget scalar; ev_session_stats combines two
     * 1-row percentile aggregates into its report row; ev_inactive_users
     * attaches the 1-row global-max-activity scalar; ev_funnel_steps
-    * combines three 1-row stage counters into its funnel rows.
+    * combines three 1-row stage counters into its funnel rows;
+    * ct_cold_containers attaches the 1-row latest-activity scalar.
     */
   private val allowedNestedLoop =
     Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained",
@@ -36,7 +37,8 @@ class PlanShapeSpec extends SparkSpec {
       "pipe_mixture_weights", "q_hll_distinct", "sim_recall_report",
       "ct_balancer_moves", "ct_safemode_status",
       "sim_cluster_purity", "sim_knn_ivfpq", "pipe_token_budget",
-      "ev_session_stats", "ev_inactive_users", "ev_funnel_steps")
+      "ev_session_stats", "ev_inactive_users", "ev_funnel_steps",
+      "ct_cold_containers")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype
