@@ -743,6 +743,35 @@ object EventOps {
       |)
       |SELECT * FROM len_stats, dur_stats""".stripMargin
 
+  // --- ev_error_rate: hourly error-budget / SLO report ----------------------
+  /** Reliability view of the event stream: per hour the event count, error
+    * count, error rate in exact ppm, and the SLO-breach flag against a
+    * 25% error budget — the burn-rate table an on-call dashboard renders.
+    * One map-side-combinable conditional aggregate; integer ppm, no
+    * division drift.
+    */
+  def evErrorRate(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .withColumn("error_ppm", expr("n_errors * 1000000 DIV n_events"))
+      .withColumn("slo_breach", col("error_ppm") > 250000L)
+      .orderBy(col("hour").asc)
+
+  val evErrorRateSql: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_errors
+      |  FROM events GROUP BY hour
+      |)
+      |SELECT hour, n_events, n_errors,
+      |  CAST(n_errors * 1000000 // n_events AS BIGINT) AS error_ppm,
+      |  n_errors * 1000000 // n_events > 250000 AS slo_breach
+      |FROM h ORDER BY hour ASC""".stripMargin
+
   // --- ev_funnel_steps: ordered multi-step funnel ---------------------------
   /** Three-step ORDERED funnel (signup → first later click → first later
     * purchase), one row per stage with the users remaining and the
@@ -955,6 +984,7 @@ object EventOps {
       |ORDER BY p.user_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_error_rate" -> evErrorRate,
     "ev_funnel_steps" -> evFunnelSteps,
     "ev_inactive_users" -> evInactiveUsers,
     "ev_path_trigrams" -> evPathTrigrams,
@@ -978,6 +1008,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_error_rate" -> evErrorRateSql,
     "ev_funnel_steps" -> evFunnelStepsSql,
     "ev_inactive_users" -> evInactiveUsersSql,
     "ev_path_trigrams" -> evPathTrigramsSql,

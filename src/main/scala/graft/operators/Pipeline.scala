@@ -467,6 +467,51 @@ object Pipeline {
        |FROM cum ORDER BY doc_id ASC""".stripMargin
   }
 
+  // --- pipe_epoch_shuffle: reproducible per-epoch training order -----------
+  private val Epochs = 2
+
+  /** Deterministic epoch shuffling: each training epoch reads the corpus
+    * in the order of an epoch-salted hash of the document's content
+    * fingerprint — a different order every epoch, bit-reproducible across
+    * reruns/reshuffles/cluster sizes (what `ORDER BY rand()` cannot give a
+    * resumable run). Per (epoch, doc): the 1-based position. The per-epoch
+    * exact rank runs DISTRIBUTED via [[PrefixScan.scanState]] grouped by
+    * epoch (epochs are the canonical low-cardinality group the utility
+    * exists for); salting uses the shared arithmetic hash family, so the
+    * DuckDB oracle replays the identical orders.
+    */
+  def pipeEpochShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    val fp = Dedup.fingerprints(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("h1"))
+    val salted = fp.select(col("doc_id"), explode(array(
+        (0 until Epochs).map(e => struct(lit(e.toLong).as("epoch"),
+          Codes.hash(e, col("h1")).as("he"))): _*)).as("s"))
+      .select(col("doc_id"), col("s.epoch").as("epoch"), col("s.he").as("he"))
+    PrefixScan.scanState(salted, Seq("epoch"),
+        Seq(col("he"), col("doc_id")), lit(1L), rankOut = Some("pos"))
+      .select("epoch", "doc_id", "pos")
+      .orderBy(col("epoch").asc, col("doc_id").asc)
+  }
+
+  val pipeEpochShuffleSql: String = {
+    import graft.functions.Codes
+    val arms = (0 until Epochs)
+      .map(e => s"SELECT doc_id, $e AS epoch, ${Codes.hashSql(e, "h1")} AS he FROM fp")
+      .mkString("\n       |  UNION ALL\n       |  ")
+    s"""WITH ${Dedup.fingerprintsSql}, salted AS (
+       |  $arms
+       |), ranked AS (
+       |  SELECT doc_id, epoch,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch
+       |      ORDER BY he ASC, doc_id ASC) AS pos
+       |  FROM salted
+       |)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+       |  CAST(pos AS BIGINT) AS pos
+       |FROM ranked ORDER BY epoch ASC, doc_id ASC""".stripMargin
+  }
+
   // --- pipe_quality_calibration: per-language score quantiles --------------
   /** Is one quality bar fair across languages? Exact nearest-rank
     * p10/p50/p90 of the quality score per language — the calibration table
@@ -639,6 +684,7 @@ object Pipeline {
     "pipe_dedup_funnel" -> pipeDedupFunnel,
     "pipe_token_budget" -> pipeTokenBudget,
     "pipe_quality_calibration" -> pipeQualityCalibration,
+    "pipe_epoch_shuffle" -> pipeEpochShuffle,
     "pipe_vocab_coverage" -> pipeVocabCoverage,
     "pipe_curriculum" -> pipeCurriculum,
     "pipe_dataset_stats" -> pipeDatasetStats,
@@ -653,6 +699,7 @@ object Pipeline {
     "pipe_dedup_funnel" -> pipeDedupFunnelSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
     "pipe_quality_calibration" -> pipeQualityCalibrationSql,
+    "pipe_epoch_shuffle" -> pipeEpochShuffleSql,
     "pipe_vocab_coverage" -> pipeVocabCoverageSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_dataset_stats" -> pipeDatasetStatsSql,

@@ -709,6 +709,53 @@ object TextOps {
        |FROM pr GROUP BY pair
        |ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
 
+  // --- tx_lang_confusion: language-ID confusion matrix ---------------------
+  /** The audit behind tx_langid's per-doc predictions: the (truth,
+    * predicted) confusion matrix with per-cell counts, each cell's share
+    * of its TRUTH row in ppm (row-normalized recall), and the cell-level
+    * correctness flag — what a language-ID heuristic change ships with
+    * before re-labeling a corpus. One aggregate over the shared prediction
+    * projection; the row-share window runs over the ≤|langs|² cell frame.
+    */
+  def txLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("ts", tokens(col("text")))
+      .withColumn("en_hits",
+        size(array_intersect(array_distinct(col("ts")), arrLit(EnStop))))
+      .withColumn("data_hits",
+        size(array_intersect(array_distinct(col("ts")), arrLit(DataWords))))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= 2, "en")
+          .when(col("data_hits") >= 3, "data-domain")
+          .otherwise("unknown"))
+    d.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_ppm", expr(
+        "n_docs * 1000000 DIV sum(n_docs) OVER (PARTITION BY lang)"))
+      .withColumn("correct", col("lang") === col("pred_lang"))
+      .select("lang", "pred_lang", "n_docs", "row_ppm", "correct")
+      .orderBy(col("lang").asc, col("pred_lang").asc)
+  }
+
+  val txLangConfusionSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |    CASE WHEN len(list_intersect(list_distinct(${tokensSql("text")}),
+       |        ${listLit(EnStop)})) >= 2 THEN 'en'
+       |      WHEN len(list_intersect(list_distinct(${tokensSql("text")}),
+       |        ${listLit(DataWords)})) >= 3 THEN 'data-domain'
+       |      ELSE 'unknown' END AS pred_lang
+       |  FROM documents
+       |), cell AS (
+       |  SELECT lang, pred_lang, COUNT(*) AS n_docs FROM t
+       |  GROUP BY lang, pred_lang
+       |)
+       |SELECT lang, pred_lang, n_docs,
+       |  CAST(n_docs * 1000000 // SUM(n_docs) OVER (PARTITION BY lang)
+       |    AS BIGINT) AS row_ppm,
+       |  lang = pred_lang AS correct
+       |FROM cell ORDER BY lang ASC, pred_lang ASC""".stripMargin
+
   // --- tx_sentence_stats: sentence segmentation signals --------------------
   /** Sentence-level structure signals (the Gopher battery's
     * mean-words-per-sentence heuristic, plus the degenerate-structure
@@ -914,6 +961,7 @@ object TextOps {
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_lang_confusion" -> txLangConfusion,
     "tx_sentence_stats" -> txSentenceStats,
     "tx_charset_profile" -> txCharsetProfile,
     "tx_gopher_rules" -> txGopherRules,
@@ -934,6 +982,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_lang_confusion" -> txLangConfusionSql,
     "tx_sentence_stats" -> txSentenceStatsSql,
     "tx_charset_profile" -> txCharsetProfileSql,
     "tx_gopher_rules" -> txGopherRulesSql,
