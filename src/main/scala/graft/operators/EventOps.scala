@@ -743,6 +743,48 @@ object EventOps {
       |)
       |SELECT * FROM len_stats, dur_stats""".stripMargin
 
+  // --- ev_new_vs_returning: daily acquisition mix ---------------------------
+  /** Per day: users active for the FIRST time vs returning users, with the
+    * new-user share in exact ppm — the acquisition-vs-retention mix every
+    * growth dashboard leads with. Shape: first-seen day per user (one
+    * user-keyed aggregate), then the daily user-day frame joins it on
+    * user_id and rolls up per day — two shuffles sharing the user
+    * partitioning, then a day-keyed aggregate of user-days (never raw
+    * events twice).
+    */
+  def evNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val userDays = ev.distinct()
+    val firstSeen = userDays.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    userDays.join(firstSeen, "user_id")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("n_returning", col("n_users") - col("n_new"))
+      .withColumn("new_ppm", expr("n_new * 1000000 DIV n_users"))
+      .select("day", "n_users", "n_new", "n_returning", "new_ppm")
+      .orderBy(col("day").asc)
+  }
+
+  val evNewVsReturningSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      |), fs AS (
+      |  SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id
+      |)
+      |SELECT ud.day, COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new,
+      |  CAST(COUNT(*) - SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0
+      |    END) AS BIGINT) AS n_returning,
+      |  CAST(SUM(CASE WHEN ud.day = fs.first_day THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS new_ppm
+      |FROM ud JOIN fs ON ud.user_id = fs.user_id
+      |GROUP BY ud.day ORDER BY ud.day ASC""".stripMargin
+
   // --- ev_error_rate: hourly error-budget / SLO report ----------------------
   /** Reliability view of the event stream: per hour the event count, error
     * count, error rate in exact ppm, and the SLO-breach flag against a
@@ -984,6 +1026,7 @@ object EventOps {
       |ORDER BY p.user_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_new_vs_returning" -> evNewVsReturning,
     "ev_error_rate" -> evErrorRate,
     "ev_funnel_steps" -> evFunnelSteps,
     "ev_inactive_users" -> evInactiveUsers,
@@ -1008,6 +1051,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_new_vs_returning" -> evNewVsReturningSql,
     "ev_error_rate" -> evErrorRateSql,
     "ev_funnel_steps" -> evFunnelStepsSql,
     "ev_inactive_users" -> evInactiveUsersSql,

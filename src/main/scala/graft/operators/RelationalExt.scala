@@ -1220,6 +1220,39 @@ object RelationalExt {
       |    AS cents_err_ppm
       |FROM agg""".stripMargin
 
+  // --- q_seasonality: month-of-year revenue seasonality index ---------------
+  /** Seasonality profile: revenue per calendar month-of-year (pooled
+    * across years, exact BIGINT cents) and each month's seasonality index
+    * in ppm of a flat month (1,000,000 = exactly 1/12 of annual revenue;
+    * the ×12 numerator stays far inside the [[graft.functions.Codes]]
+    * share guard's exact branch at any realistic scale, and the division
+    * itself is overflow-guarded). One conditional aggregate over orders;
+    * the index window runs over the 12-row month frame.
+    */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(month(col("o_orderdate")).cast("bigint").as("month_of_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+          .cast("bigint")).as("cents"))
+      .withColumn("index_ppm", expr(graft.functions.Codes
+        .sharePpmExpr("cents * 12", "sum(cents) OVER ()")))
+      .select("month_of_year", "n_orders", "cents", "index_ppm")
+      .orderBy(col("month_of_year").asc)
+
+  val qSeasonalitySql: String =
+    s"""WITH m AS (
+       |  SELECT CAST(month(o_orderdate) AS BIGINT) AS month_of_year,
+       |    COUNT(*) AS n_orders,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY month_of_year
+       |)
+       |SELECT month_of_year, n_orders, cents,
+       |  CAST(${graft.functions.Codes.sharePpmSql("cents * 12",
+             "SUM(cents) OVER ()")} AS BIGINT) AS index_ppm
+       |FROM m ORDER BY month_of_year ASC""".stripMargin
+
   // --- q_revenue_topdecile: customer revenue concentration (Lorenz point) --
   /** How concentrated is revenue across customers? The Lorenz-curve point
     * at the top decile: customers ranked by lifetime order value (exact
@@ -1278,6 +1311,7 @@ object RelationalExt {
        |FROM agg""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality" -> qSeasonality,
     "q_revenue_topdecile" -> qRevenueTopdecile,
     "q_sample_estimate" -> qSampleEstimate,
     "q_histogram_equidepth" -> qHistogramEquidepth,
@@ -1305,6 +1339,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_seasonality" -> qSeasonalitySql,
     "q_revenue_topdecile" -> qRevenueTopdecileSql,
     "q_sample_estimate" -> qSampleEstimateSql,
     "q_histogram_equidepth" -> qHistogramEquidepthSql,
