@@ -743,6 +743,39 @@ object EventOps {
       |)
       |SELECT * FROM len_stats, dur_stats""".stripMargin
 
+  // --- ev_hour_profile: pooled hour-of-day activity profile -----------------
+  /** The diurnal load curve: events pooled by hour-of-day across the whole
+    * stream, each hour's share of daily traffic in exact ppm and a
+    * peak-hours flag for the top-3 hours (count desc, hour asc tie-break)
+    * — what capacity planning and maintenance-window selection read.
+    * One 24-cell aggregate; the share/rank windows run over the 24-row
+    * frame.
+    */
+  def evHourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val byCount = Window.orderBy(col("n_events").desc, col("hour_of_day").asc)
+    events(spark, dir)
+      .groupBy(hour(col("ts")).cast("bigint").as("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("share_ppm", expr(
+        "n_events * 1000000 DIV sum(n_events) OVER ()"))
+      .withColumn("peak", rank().over(byCount) <= 3)
+      .select("hour_of_day", "n_events", "n_users", "share_ppm", "peak")
+      .orderBy(col("hour_of_day").asc)
+  }
+
+  val evHourProfileSql: String =
+    """WITH h AS (
+      |  SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+      |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY hour_of_day
+      |)
+      |SELECT hour_of_day, n_events, n_users,
+      |  CAST(n_events * 1000000 // SUM(n_events) OVER () AS BIGINT)
+      |    AS share_ppm,
+      |  RANK() OVER (ORDER BY n_events DESC, hour_of_day ASC) <= 3 AS peak
+      |FROM h ORDER BY hour_of_day ASC""".stripMargin
+
   // --- ev_new_vs_returning: daily acquisition mix ---------------------------
   /** Per day: users active for the FIRST time vs returning users, with the
     * new-user share in exact ppm — the acquisition-vs-retention mix every
@@ -1026,6 +1059,7 @@ object EventOps {
       |ORDER BY p.user_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_hour_profile" -> evHourProfile,
     "ev_new_vs_returning" -> evNewVsReturning,
     "ev_error_rate" -> evErrorRate,
     "ev_funnel_steps" -> evFunnelSteps,
@@ -1051,6 +1085,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_hour_profile" -> evHourProfileSql,
     "ev_new_vs_returning" -> evNewVsReturningSql,
     "ev_error_rate" -> evErrorRateSql,
     "ev_funnel_steps" -> evFunnelStepsSql,

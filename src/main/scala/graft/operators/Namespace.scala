@@ -902,6 +902,49 @@ object Namespace {
        |GROUP BY volume, bucket, CAST(FLOOR(bytes_before / 1000000000) AS BIGINT)
        |ORDER BY volume ASC, bucket ASC, group_id ASC""".stripMargin
 
+  // --- ns_small_files: small-object burden report --------------------------
+  private val SmallFileBytes = 1000000L
+
+  /** The small-file problem quantified per bucket — the report that
+    * motivates [[nsCompactionPlan]] (every sub-1MB object costs a
+    * full metadata entry and a seek while contributing little data): per
+    * (volume, bucket) the small-object count/bytes next to the totals,
+    * with the small-object share of the bucket's OBJECT COUNT and of its
+    * BYTES in exact ppm (count-heavy + byte-light = compaction candidate).
+    * One conditional aggregate over the keys scan; byte shares go through
+    * the overflow-guarded helper.
+    */
+  def nsSmallFiles(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.keys(spark, dir)
+      .groupBy(col("volume"), col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"),
+        sum(when(col("size") < SmallFileBytes, 1L).otherwise(0L))
+          .as("n_small"),
+        sum(when(col("size") < SmallFileBytes, col("size")).otherwise(0L))
+          .as("small_bytes"))
+      .withColumn("small_count_ppm", expr("n_small * 1000000 DIV n_keys"))
+      .withColumn("small_bytes_ppm", expr(graft.functions.Codes
+        .sharePpmExpr("small_bytes", "total_bytes")))
+      .select("volume", "bucket", "n_keys", "n_small", "total_bytes",
+        "small_bytes", "small_count_ppm", "small_bytes_ppm")
+      .orderBy(col("volume").asc, col("bucket").asc)
+
+  val nsSmallFilesSql: String =
+    s"""WITH keys AS ($ks), b AS (
+       |  SELECT volume, bucket, COUNT(*) AS n_keys,
+       |    CAST(SUM(size) AS BIGINT) AS total_bytes,
+       |    CAST(SUM(CASE WHEN size < $SmallFileBytes THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_small,
+       |    CAST(SUM(CASE WHEN size < $SmallFileBytes THEN size ELSE 0 END)
+       |      AS BIGINT) AS small_bytes
+       |  FROM keys GROUP BY volume, bucket
+       |)
+       |SELECT volume, bucket, n_keys, n_small, total_bytes, small_bytes,
+       |  CAST(n_small * 1000000 // n_keys AS BIGINT) AS small_count_ppm,
+       |  CAST(${graft.functions.Codes.sharePpmSql("small_bytes",
+             "total_bytes")} AS BIGINT) AS small_bytes_ppm
+       |FROM b ORDER BY volume ASC, bucket ASC""".stripMargin
+
   // --- ns_scan_plan: balanced distributed-scan task layout -----------------
   private val ScanTasks = 32
 
@@ -973,6 +1016,7 @@ object Namespace {
        |FROM t ORDER BY task_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_small_files" -> nsSmallFiles,
     "ns_scan_plan" -> nsScanPlan,
     "ns_compaction_plan" -> nsCompactionPlan,
     "ns_lookup_key" -> nsLookupKey,
@@ -998,6 +1042,7 @@ object Namespace {
     "ns_liststatus" -> nsListStatus)
 
   val oracles: Map[String, String] = Map(
+    "ns_small_files" -> nsSmallFilesSql,
     "ns_scan_plan" -> nsScanPlanSql,
     "ns_compaction_plan" -> nsCompactionPlanSql,
     "ns_lookup_key" -> nsLookupKeySql,

@@ -467,6 +467,60 @@ object Pipeline {
        |FROM cum ORDER BY doc_id ASC""".stripMargin
   }
 
+  // --- pipe_token_yield: curation cost in tokens ----------------------------
+  /** What curation costs in TOKENS rather than documents (the number that
+    * actually moves a training budget — [[pipeDedupFunnel]] counts docs):
+    * total corpus tokens, tokens kept, and tokens dropped by each stage
+    * (exact dup / near dup / quality), with the kept share in ppm through
+    * the overflow-guarded helper (token counts cross the bare ·1M bound at
+    * real scale). One aggregate over [[pipeCurate]]'s composed verdict
+    * joined with per-doc token counts.
+    */
+  def pipeTokenYield(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(Codes.tokens(col("text"))).cast("bigint").as("nt"))
+    pipeCurate(spark, dir).join(toks, "doc_id")
+      .agg(sum(col("nt")).as("total_tokens"),
+        sum(when(col("kept"), col("nt")).otherwise(0L)).as("kept_tokens"),
+        sum(when(col("is_exact_dup"), col("nt")).otherwise(0L))
+          .as("exact_dup_tokens"),
+        sum(when(!col("is_exact_dup") && col("is_near_dup"), col("nt"))
+          .otherwise(0L)).as("near_dup_tokens"),
+        sum(when(!col("is_exact_dup") && !col("is_near_dup") && !col("kept"),
+          col("nt")).otherwise(0L)).as("quality_tokens"))
+      .withColumn("kept_ppm", expr(graft.functions.Codes
+        .sharePpmExpr("kept_tokens", "total_tokens")))
+      .select("total_tokens", "kept_tokens", "exact_dup_tokens",
+        "near_dup_tokens", "quality_tokens", "kept_ppm")
+  }
+
+  val pipeTokenYieldSql: String = {
+    import graft.functions.Codes
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(${Codes.tokensSql("text")}) AS BIGINT) AS nt
+       |  FROM documents
+       |), agg AS (
+       |  SELECT CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN c.kept THEN nt ELSE 0 END) AS BIGINT)
+       |      AS kept_tokens,
+       |    CAST(SUM(CASE WHEN c.is_exact_dup THEN nt ELSE 0 END) AS BIGINT)
+       |      AS exact_dup_tokens,
+       |    CAST(SUM(CASE WHEN NOT c.is_exact_dup AND c.is_near_dup
+       |      THEN nt ELSE 0 END) AS BIGINT) AS near_dup_tokens,
+       |    CAST(SUM(CASE WHEN NOT c.is_exact_dup AND NOT c.is_near_dup
+       |      AND NOT c.kept THEN nt ELSE 0 END) AS BIGINT) AS quality_tokens
+       |  FROM ($pipeCurateSql) c JOIN toks t ON c.doc_id = t.doc_id
+       |)
+       |SELECT total_tokens, kept_tokens, exact_dup_tokens, near_dup_tokens,
+       |  quality_tokens,
+       |  CAST(${Codes.sharePpmSql("kept_tokens", "total_tokens")} AS BIGINT)
+       |    AS kept_ppm
+       |FROM agg""".stripMargin
+  }
+
   // --- pipe_epoch_shuffle: reproducible per-epoch training order -----------
   private val Epochs = 2
 
@@ -685,6 +739,7 @@ object Pipeline {
     "pipe_token_budget" -> pipeTokenBudget,
     "pipe_quality_calibration" -> pipeQualityCalibration,
     "pipe_epoch_shuffle" -> pipeEpochShuffle,
+    "pipe_token_yield" -> pipeTokenYield,
     "pipe_vocab_coverage" -> pipeVocabCoverage,
     "pipe_curriculum" -> pipeCurriculum,
     "pipe_dataset_stats" -> pipeDatasetStats,
@@ -700,6 +755,7 @@ object Pipeline {
     "pipe_token_budget" -> pipeTokenBudgetSql,
     "pipe_quality_calibration" -> pipeQualityCalibrationSql,
     "pipe_epoch_shuffle" -> pipeEpochShuffleSql,
+    "pipe_token_yield" -> pipeTokenYieldSql,
     "pipe_vocab_coverage" -> pipeVocabCoverageSql,
     "pipe_curriculum" -> pipeCurriculumSql,
     "pipe_dataset_stats" -> pipeDatasetStatsSql,
