@@ -186,6 +186,41 @@ object ObjectStoreView {
 
   def containerReplicasSql(e: String): String = s"(($e * 31 + 7) % 5)"
 
+  /** Replica-report event stream: Recon builds its per-container replica
+    * history from datanode container reports — each report updates the
+    * (container, datanode) row's lastSeenTime, inserting firstSeenTime on
+    * first sight (recon/.../scm/ContainerReplicaHistory.java:35-38,
+    * persisted as recon/.../persistence/ContainerHistory.java). The test
+    * binding makes every key commit a report from ONE of the container's
+    * TARGET-placement datanodes: key (o, l) in container c reports replica
+    * slot r = (o*13 + l) % 3 + 1, which the shared placement arithmetic
+    * (see [[graft.operators.Containers]] ct_node_report) maps to node
+    * (c*31 + r*17) % 20, at report_time = the key's mtime. History covers
+    * the 3-slot target placement regardless of CURRENT replica count, so
+    * missing containers keep a timeline — exactly why the endpoint exists.
+    */
+  def replicaReports(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val cid = (col("l_orderkey") * 7 + col("l_linenumber")) % 1024
+    val rep = (col("l_orderkey") * 13 + col("l_linenumber")) % 3 + 1
+    l.select(
+      cid.cast("bigint").as("container_id"),
+      rep.cast("int").as("replica_index"),
+      ((cid * 31 + rep * 17) % 20).cast("bigint").as("node_id"),
+      col("l_shipdate").as("report_time"))
+  }
+
+  val replicaReportsSql: String =
+    """SELECT
+      |  CAST((l_orderkey * 7 + l_linenumber) % 1024 AS BIGINT) AS container_id,
+      |  CAST((l_orderkey * 13 + l_linenumber) % 3 + 1 AS INTEGER)
+      |    AS replica_index,
+      |  CAST((((l_orderkey * 7 + l_linenumber) % 1024) * 31
+      |    + ((l_orderkey * 13 + l_linenumber) % 3 + 1) * 17) % 20 AS BIGINT)
+      |    AS node_id,
+      |  l_shipdate AS report_time
+      |FROM lineitem""".stripMargin
+
   /** Deleted keys awaiting purge (the trash / deletion pipeline). The
     * RETURNFLAG='R' slice of the namespace stands in for keys moved to the
     * deletedTable, with deletion_time = mtime. Reference: `listTrash`

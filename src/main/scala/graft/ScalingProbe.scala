@@ -22,8 +22,9 @@ import java.util.concurrent.atomic.LongAdder
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 4
+    // args: [replication] [names-or-"-"-for-default] [json-out-path]
     val names: Seq[String] =
-      if (args.length > 1) args(1).split(",").toSeq
+      if (args.length > 1 && args(1) != "-") args(1).split(",").toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority",
         "q9_product_profit", "q21_waiting_supplier", "ns_du",
         "ns_snapshot_diff", "ns_compaction_plan", "ns_top_keys_per_bucket",
@@ -68,6 +69,7 @@ object ScalingProbe {
 
     println(f"${"query"}%-24s ${"t_base"}%8s ${"t_x" + n}%8s ${"t_ratio"}%8s " +
       f"${"sh_base"}%10s ${"sh_x" + n}%10s ${"sh_ratio"}%8s")
+    val results = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"$name: not registered")
@@ -78,12 +80,24 @@ object ScalingProbe {
             val (ts, ss) = run(fn, scaled)
             val mb = sb / 1e6
             val ms = ss / 1e6
+            val shRatio = if (sb == 0) 0.0 else ss.toDouble / sb
             println(f"$name%-24s $tb%8.2f $ts%8.2f ${ts / tb}%8.2f " +
-              f"$mb%9.1fM $ms%9.1fM ${if (sb == 0) 0.0 else ss.toDouble / sb}%8.2f")
+              f"$mb%9.1fM $ms%9.1fM $shRatio%8.2f")
+            results(name) = f"""{"t_base_s": $tb%.3f, "t_x${n}_s": $ts%.3f, """ +
+              f""""t_ratio": ${ts / tb}%.3f, "shuffle_base_bytes": $sb, """ +
+              f""""shuffle_x${n}_bytes": $ss, "shuffle_ratio": $shRatio%.3f}"""
           } catch {
             case e: Throwable => println(s"$name FAILED: ${e.getMessage}")
           }
       }
+    }
+    // Optional per-round artifact (VERDICT r9 #7): third arg = output JSON
+    // path; scale regressions become diffable between rounds.
+    if (args.length > 2) {
+      val body = results.map { case (k, v) => s""""$k": $v""" }
+        .mkString(s"""{"replication": $n, "queries": {""", ", ", "}}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(args(2)), body)
+      println(s"wrote ${args(2)}")
     }
     spark.stop()
   }

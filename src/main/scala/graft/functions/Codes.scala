@@ -31,22 +31,31 @@ object Codes {
     * operands. The exact product crosses 2^63 once x exceeds
     * Long.MaxValue/1e6 ≈ 9.2e12 (≈ 9 TB of bytes — a real 100 TB input,
     * caught live by the scaling probe on q_sample_estimate), so past that
-    * bound BOTH legs reduce by 2^20 before the division. The CASE tests x
-    * itself (same branch in both engines, never the product), the reduced
-    * ratio differs by under 1 ppm wherever the branch can trigger, and
-    * greatest(…,1) keeps a sub-2^20 denominator defined. Share/utilization
-    * columns over byte or cent quantities must use this instead of a bare
-    * `x * 1000000 DIV y`.
+    * bound BOTH legs reduce by 2^20 before the division. The CASE tests
+    * abs(x) (same branch in both engines, never the product; symmetric so
+    * a pathological negative magnitude cannot reach the overflowing exact
+    * leg either), the reduced ratio differs by under 1 ppm wherever the
+    * branch can trigger, and greatest(…,1) keeps a sub-2^20 denominator
+    * defined. Share/utilization columns over byte or cent quantities must
+    * use this instead of a bare `x * 1000000 DIV y`.
+    *
+    * CONTRACT: the numerator must be non-negative for cross-engine oracle
+    * agreement — for negative inexact quotients Spark's DIV truncates
+    * toward zero while DuckDB's // floors, so the two engines disagree by
+    * 1 regardless of overflow guards. Every current call site is
+    * non-negative by construction (ctEcStorageOverhead's
+    * physical−logical has total_units ≥ data_units, so physical ≥ logical
+    * row-by-row); a future signed call site must clamp first.
     */
   val PpmSafeMax: Long = Long.MaxValue / 1000000L // 9223372036854
 
   def sharePpmExpr(x: String, y: String): String =
-    s"CASE WHEN ($x) <= ${PpmSafeMax}L THEN ($x) * 1000000 DIV ($y) " +
+    s"CASE WHEN abs($x) <= ${PpmSafeMax}L THEN ($x) * 1000000 DIV ($y) " +
       s"ELSE (($x) DIV 1048576) * 1000000 " +
       s"DIV greatest((($y) DIV 1048576), 1L) END"
 
   def sharePpmSql(x: String, y: String): String =
-    s"CASE WHEN ($x) <= $PpmSafeMax THEN ($x) * 1000000 // ($y) " +
+    s"CASE WHEN abs($x) <= $PpmSafeMax THEN ($x) * 1000000 // ($y) " +
       s"ELSE (($x) // 1048576) * 1000000 " +
       s"// greatest((($y) // 1048576), 1) END"
   val P2 = 2147483629L // independent prime for the collision-guard hash

@@ -967,7 +967,156 @@ object Containers {
        |  UNION ALL SELECT 'RECON', 'recon1', 9888, NULL
        |) t ORDER BY node_type ASC, host ASC""".stripMargin
 
+  // --- ct_replica_history: per-container replica timeline ------------------
+  /** The replica timeline Recon serves from `/containers/{id}/replicaHistory`
+    * (recon/.../api/ContainerEndpoint.java:226-231, getAllContainerHistory):
+    * for every (container, datanode) pair that ever reported a replica —
+    * first_seen, last_seen, report count (recon/.../persistence/
+    * ContainerHistory.java fields: containerId, datanodeUuid, datanodeHost,
+    * firstSeenTime, lastSeenTime). `currently_hosted` marks whether the
+    * replica slot is still live under the CURRENT replica count — a row
+    * with currently_hosted=false and an old last_seen is the "which
+    * datanode last held this missing container" answer this endpoint is
+    * opened for. Over-replication's 4th replica shows up in the current
+    * reports (ct_node_report), not in the 3-slot target history.
+    *
+    * Scale: one scan of the report stream → one shuffle keyed
+    * (container_id, replica_index) with map-side partial min/max/count —
+    * never the report rows themselves past the exchange. Timeline order
+    * (container, first_seen, replica_index) is pinned by spec.
+    */
+  def ctReplicaHistory(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.replicaReports(spark, dir)
+      .groupBy(col("container_id"), col("replica_index"), col("node_id"))
+      .agg(min(col("report_time")).as("first_seen"),
+        max(col("report_time")).as("last_seen"),
+        count(lit(1)).as("n_reports"))
+      .withColumn("datanode_host",
+        concat(lit("dn-"), col("node_id").cast("string")))
+      .withColumn("currently_hosted",
+        col("replica_index") <=
+          ObjectStoreView.containerReplicas(col("container_id")))
+      .select("container_id", "replica_index", "node_id", "datanode_host",
+        "first_seen", "last_seen", "n_reports", "currently_hosted")
+      .orderBy(col("container_id").asc, col("first_seen").asc,
+        col("replica_index").asc)
+
+  val ctReplicaHistorySql: String =
+    s"""WITH reports AS (${ObjectStoreView.replicaReportsSql}), hist AS (
+       |  SELECT container_id, replica_index, node_id,
+       |    MIN(report_time) AS first_seen, MAX(report_time) AS last_seen,
+       |    COUNT(*) AS n_reports
+       |  FROM reports GROUP BY container_id, replica_index, node_id
+       |)
+       |SELECT container_id, replica_index, node_id,
+       |  'dn-' || CAST(node_id AS VARCHAR) AS datanode_host,
+       |  first_seen, last_seen, n_reports,
+       |  replica_index <= ${repl("container_id")} AS currently_hosted
+       |FROM hist
+       |ORDER BY container_id ASC, first_seen ASC, replica_index ASC""".stripMargin
+
+  // --- ins_scm_metrics: SCM-side insight metric groups ---------------------
+  /** The SCM insight points' metric inventories as long-format (metric,
+    * value) rows — the `ozone insight metrics scm.node-manager` /
+    * `scm.replica-manager` displays (insight/.../scm/NodeManagerInsight
+    * .java:50-67: healthy/dead node counters + HB processing stats;
+    * insight/.../scm/ReplicaManagerInsight.java:30-60: the replication
+    * manager's internal state). Live deployments read JMX; the analytics
+    * twin derives the same inventory from durable evidence: node counters
+    * from the placement arithmetic (a node is HEALTHY iff it currently
+    * hosts ≥ 1 replica of the 20-node fleet), heartbeat counters from the
+    * replica-report stream (processed = all reports; failed = reports for
+    * containers whose current replica count is 0 — reports SCM could not
+    * match to a live replica set), and the replication-manager gauges from
+    * the container health states ct_unhealthy_containers rolls up.
+    *
+    * Scale: three independent aggregates (placement, report stream,
+    * per-container rollup), each collapsing to ≤ 20 rows before the
+    * 10-row union. All map-side combinable.
+    */
+  def insScmMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val hosted = containerStats(spark, dir)
+      .filter(col("replicas") >= 1)
+      .select(col("container_id"),
+        explode(sequence(lit(1), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+      .agg(countDistinct(col("node_id")).as("healthy"))
+      .select(explode(array(
+        struct(lit("scm_node_manager_healthy_nodes").as("metric"),
+          col("healthy").as("value")),
+        struct(lit("scm_node_manager_dead_nodes").as("metric"),
+          (lit(20L) - col("healthy")).as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+    val hb = ObjectStoreView.replicaReports(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(ObjectStoreView.containerReplicas(col("container_id")) === 0,
+          1L).otherwise(0L)).as("nf"))
+      .select(explode(array(
+        struct(lit("scm_node_manager_num_hb_processed").as("metric"),
+          col("n").as("value")),
+        struct(lit("scm_node_manager_num_hb_processing_failed").as("metric"),
+          col("nf").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+    val rm = containerStats(spark, dir)
+      .agg(
+        sum(when(col("replicas") === 0, 1L).otherwise(0L)).as("missing"),
+        sum(when(col("replicas") > 0 && col("replicas") < Target, 1L)
+          .otherwise(0L)).as("under"),
+        sum(when(col("replicas") > Target, 1L).otherwise(0L)).as("over"),
+        sum(when(col("replicas") === Target, 1L).otherwise(0L)).as("healthy"))
+      .select(explode(array(
+        struct(lit("scm_replica_manager_missing_containers").as("metric"),
+          col("missing").as("value")),
+        struct(lit("scm_replica_manager_under_replicated_containers")
+          .as("metric"), col("under").as("value")),
+        struct(lit("scm_replica_manager_over_replicated_containers")
+          .as("metric"), col("over").as("value")),
+        struct(lit("scm_replica_manager_healthy_containers").as("metric"),
+          col("healthy").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+    hosted.unionByName(hb).unionByName(rm).orderBy(col("metric").asc)
+  }
+
+  val insScmMetricsSql: String =
+    s"""WITH $containerStatsSql, placed AS (
+       |  SELECT DISTINCT (cont.container_id * 31 + u.r * 17) % 20 AS node_id
+       |  FROM cont, UNNEST(range(1, cont.replicas + 1)) AS u(r)
+       |  WHERE cont.replicas >= 1
+       |), reports AS (${ObjectStoreView.replicaReportsSql})
+       |SELECT metric, value FROM (
+       |  SELECT 'scm_node_manager_healthy_nodes' AS metric,
+       |    CAST(COUNT(*) AS BIGINT) AS value FROM placed
+       |  UNION ALL
+       |  SELECT 'scm_node_manager_dead_nodes',
+       |    CAST(20 - COUNT(*) AS BIGINT) FROM placed
+       |  UNION ALL
+       |  SELECT 'scm_node_manager_num_hb_processed',
+       |    CAST(COUNT(*) AS BIGINT) FROM reports
+       |  UNION ALL
+       |  SELECT 'scm_node_manager_num_hb_processing_failed',
+       |    CAST(SUM(CASE WHEN ${repl("container_id")} = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM reports
+       |  UNION ALL
+       |  SELECT 'scm_replica_manager_missing_containers',
+       |    CAST(SUM(CASE WHEN replicas = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    FROM cont
+       |  UNION ALL
+       |  SELECT 'scm_replica_manager_under_replicated_containers',
+       |    CAST(SUM(CASE WHEN replicas > 0 AND replicas < $Target
+       |      THEN 1 ELSE 0 END) AS BIGINT) FROM cont
+       |  UNION ALL
+       |  SELECT 'scm_replica_manager_over_replicated_containers',
+       |    CAST(SUM(CASE WHEN replicas > $Target THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM cont
+       |  UNION ALL
+       |  SELECT 'scm_replica_manager_healthy_containers',
+       |    CAST(SUM(CASE WHEN replicas = $Target THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM cont
+       |) t ORDER BY metric ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_replica_history" -> ctReplicaHistory,
+    "ins_scm_metrics" -> insScmMetrics,
     "ct_cold_containers" -> ctColdContainers,
     "ct_rack_report" -> ctRackReport,
     "ct_task_status" -> ctTaskStatus,
@@ -989,6 +1138,8 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_replica_history" -> ctReplicaHistorySql,
+    "ins_scm_metrics" -> insScmMetricsSql,
     "ct_cold_containers" -> ctColdContainersSql,
     "ct_rack_report" -> ctRackReportSql,
     "ct_task_status" -> ctTaskStatusSql,

@@ -459,11 +459,13 @@ object Dedup {
   // --- dd_lsh_audit: candidate-stage precision / estimate-error report ----
   /** One-row audit of the banded-LSH candidate stage — the go/no-go gauge
     * for the dedup recipe's blocking parameters: candidate count, how many
-    * survive exact Jaccard ≥ 0.6 (precision in exact ppm), and how far the
-    * 64-hash signature estimate strays from exact Jaccard (mean/max
-    * absolute error in ppm — integer arithmetic end-to-end; the ≥ 0.6 test
-    * on floored ppm is algebraically identical to the exact rational
-    * compare). Candidates too LOW precision → widen bands; estimate error
+    * survive the verify stage's predicate (round(jaccard, 6) ≥ 0.6 — the
+    * SAME rounded-double test [[verifiedPairs]] filters on, so n_verified
+    * equals the verify-stage pair count BY CONSTRUCTION even at the
+    * round-to-6 boundary reachable once n_union exceeds ~2M shingles), and
+    * how far the 64-hash signature estimate strays from exact Jaccard
+    * (mean/max absolute error in ppm — integer arithmetic end-to-end).
+    * Candidates too LOW precision → widen bands; estimate error
     * too HIGH → more hashes. Shape: the candidate frame joins shingle sets
     * and signatures by doc key (both exchanges reused from the dd_* family
     * subplans), then ONE aggregate — the report never materializes
@@ -493,8 +495,10 @@ object Dedup {
         lit(0L), (acc, v) => acc + v))
       .withColumn("exact_ppm", expr("n_inter * 1000000 DIV n_union"))
       .withColumn("est_ppm", expr(s"n_eq * 1000000 DIV $NumHashes"))
+      .withColumn("jaccard",
+        round(col("n_inter").cast("double") / col("n_union"), 6))
       .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("exact_ppm") >= 600000L, 1L).otherwise(0L))
+        sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L))
           .as("n_verified"),
         sum(err).as("sum_err"),
         max(err).as("max_abs_err_ppm"))
@@ -523,13 +527,14 @@ object Dedup {
        |  JOIN sigs b ON c.doc_b = b.doc_id
        |), e AS (
        |  SELECT n_inter * 1000000 // n_union AS exact_ppm,
-       |    n_eq * 1000000 // $NumHashes AS est_ppm
+       |    n_eq * 1000000 // $NumHashes AS est_ppm,
+       |    round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
        |  FROM p
        |)
        |SELECT COUNT(*) AS n_candidates,
-       |  CAST(SUM(CASE WHEN exact_ppm >= 600000 THEN 1 ELSE 0 END)
+       |  CAST(SUM(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_verified,
-       |  CAST(SUM(CASE WHEN exact_ppm >= 600000 THEN 1 ELSE 0 END)
+       |  CAST(SUM(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END)
        |    * 1000000 // COUNT(*) AS BIGINT) AS precision_ppm,
        |  CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
        |    AS mean_abs_err_ppm,

@@ -371,7 +371,138 @@ object Entities {
        |) t ORDER BY acl_right ASC""".stripMargin
   }
 
+  // --- ns_acl_effective: hierarchy-resolved effective ACLs -----------------
+  /** Effective KEY access resolved down the volume → bucket → prefix → key
+    * hierarchy, exactly the reference's native-authorizer walk
+    * (ozone-manager/.../security/acl/OzoneNativeAuthorizer.java:155-166:
+    * key access requires the KEY acl to grant the requested right AND the
+    * prefix, bucket and volume acls to each grant the PARENT right, where
+    * CREATE/DELETE/WRITE_ACL map to parent WRITE and LIST/READ_ACL map to
+    * parent READ — OzoneNativeAuthorizer.java:117-126 — with the volume
+    * OWNER bypassing every level: OzoneNativeAuthorizer.java:160-163; the
+    * prefix level is tools/.../acl/AddAclPrefixHandler territory).
+    *
+    * Deterministic per-level world-grant bindings (the test ACL store),
+    * chosen so bucket and volume grants DISAGREE in both directions:
+    * volume vol2 denies READ that buckets b0/b2/b4 grant, and volume vol0
+    * grants WRITE that buckets b2..b4 deny —
+    *   volume:  READ iff volume ≠ vol2;      WRITE iff volume = vol0
+    *   bucket:  READ iff bucket digit even;  WRITE iff bucket digit < 2
+    *   prefix (data/<year>): READ always;    WRITE iff year even
+    *   key:     READ iff size%2=0; WRITE iff size%5=0; DELETE iff size%7=0
+    * Users u0/u1/u2 own vol0/vol1/vol2 respectively.
+    *
+    * Output: per (user, volume, bucket, right) — keys allowed, and denials
+    * attributed to the FIRST failing level in the authorizer's evaluation
+    * order (key, prefix, bucket, volume). Scale: ONE keys scan exploded ×3
+    * rights, aggregated to the |buckets|×|rights| frame (map-side
+    * partials), then the 3-row user dimension joins BROADCAST against that
+    * metadata-sized rollup — per-user work never rescans the corpus.
+    */
+  def nsAclEffective(spark: SparkSession, dir: String): DataFrame = {
+    val perRight = ObjectStoreView.keys(spark, dir)
+      .select(col("volume"), col("bucket"), col("size"),
+        substring(col("volume"), 4, 10).cast("int").as("v_d"),
+        substring(col("bucket"), 2, 10).cast("int").as("b_d"),
+        split(col("key"), "/").getItem(1).cast("int").as("yr"),
+        explode(array(lit("DELETE"), lit("READ"), lit("WRITE")))
+          .as("acl_right"))
+      .withColumn("parent_right",
+        when(col("acl_right") === "DELETE", "WRITE").otherwise(col("acl_right")))
+      .withColumn("key_grant",
+        when(col("acl_right") === "READ", col("size") % 2 === 0)
+          .when(col("acl_right") === "WRITE", col("size") % 5 === 0)
+          .otherwise(col("size") % 7 === 0))
+      .withColumn("prefix_grant",
+        when(col("parent_right") === "READ", lit(true))
+          .otherwise(col("yr") % 2 === 0))
+      .withColumn("bucket_grant",
+        when(col("parent_right") === "READ", col("b_d") % 2 === 0)
+          .otherwise(col("b_d") < 2))
+      .withColumn("volume_grant",
+        when(col("parent_right") === "READ", col("v_d") =!= 2)
+          .otherwise(col("v_d") === 0))
+      .groupBy(col("volume"), col("bucket"), col("v_d"), col("acl_right"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(!col("key_grant"), 1L).otherwise(0L)).as("d_key"),
+        sum(when(col("key_grant") && !col("prefix_grant"), 1L).otherwise(0L))
+          .as("d_prefix"),
+        sum(when(col("key_grant") && col("prefix_grant") &&
+          !col("bucket_grant"), 1L).otherwise(0L)).as("d_bucket"),
+        sum(when(col("key_grant") && col("prefix_grant") &&
+          col("bucket_grant") && !col("volume_grant"), 1L).otherwise(0L))
+          .as("d_volume"),
+        sum(when(col("key_grant") && col("prefix_grant") &&
+          col("bucket_grant") && col("volume_grant"), 1L).otherwise(0L))
+          .as("allowed_world"))
+    val users = broadcast(
+      perRight.sparkSession.range(3)
+        .select(concat(lit("u"), col("id").cast("string")).as("user"),
+          col("id").cast("int").as("u_d")))
+    perRight.crossJoin(users)
+      .withColumn("is_owner", col("u_d") === col("v_d"))
+      .select(col("user"), col("volume"), col("bucket"), col("acl_right"),
+        col("is_owner"), col("n_keys"),
+        when(col("is_owner"), col("n_keys")).otherwise(col("allowed_world"))
+          .as("n_allowed"),
+        when(col("is_owner"), 0L).otherwise(col("d_key")).as("n_denied_key"),
+        when(col("is_owner"), 0L).otherwise(col("d_prefix"))
+          .as("n_denied_prefix"),
+        when(col("is_owner"), 0L).otherwise(col("d_bucket"))
+          .as("n_denied_bucket"),
+        when(col("is_owner"), 0L).otherwise(col("d_volume"))
+          .as("n_denied_volume"))
+      .orderBy(col("user").asc, col("volume").asc, col("bucket").asc,
+        col("acl_right").asc)
+  }
+
+  val nsAclEffectiveSql: String =
+    s"""WITH keys AS ($ks), graded AS (
+       |  SELECT volume, bucket,
+       |    CAST(substring(volume, 4) AS INTEGER) AS v_d,
+       |    CAST(substring(bucket, 2) AS INTEGER) AS b_d,
+       |    CAST(split_part(key, '/', 2) AS INTEGER) AS yr,
+       |    size, r.acl_right
+       |  FROM keys, UNNEST(['DELETE', 'READ', 'WRITE']) AS r(acl_right)
+       |), bits AS (
+       |  SELECT volume, bucket, v_d, acl_right,
+       |    CASE WHEN acl_right = 'READ' THEN size % 2 = 0
+       |      WHEN acl_right = 'WRITE' THEN size % 5 = 0
+       |      ELSE size % 7 = 0 END AS key_grant,
+       |    CASE WHEN acl_right = 'READ' THEN TRUE
+       |      ELSE yr % 2 = 0 END AS prefix_grant,
+       |    CASE WHEN acl_right = 'READ' THEN b_d % 2 = 0
+       |      ELSE b_d < 2 END AS bucket_grant,
+       |    CASE WHEN acl_right = 'READ' THEN v_d <> 2
+       |      ELSE v_d = 0 END AS volume_grant
+       |  FROM graded
+       |), agg AS (
+       |  SELECT volume, bucket, v_d, acl_right, COUNT(*) AS n_keys,
+       |    CAST(SUM(CASE WHEN NOT key_grant THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS d_key,
+       |    CAST(SUM(CASE WHEN key_grant AND NOT prefix_grant
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS d_prefix,
+       |    CAST(SUM(CASE WHEN key_grant AND prefix_grant AND NOT bucket_grant
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS d_bucket,
+       |    CAST(SUM(CASE WHEN key_grant AND prefix_grant AND bucket_grant
+       |      AND NOT volume_grant THEN 1 ELSE 0 END) AS BIGINT) AS d_volume,
+       |    CAST(SUM(CASE WHEN key_grant AND prefix_grant AND bucket_grant
+       |      AND volume_grant THEN 1 ELSE 0 END) AS BIGINT) AS allowed_world
+       |  FROM bits GROUP BY volume, bucket, v_d, acl_right
+       |)
+       |SELECT 'u' || CAST(u.u_d AS VARCHAR) AS "user", volume, bucket,
+       |  acl_right, u.u_d = v_d AS is_owner, n_keys,
+       |  CASE WHEN u.u_d = v_d THEN n_keys ELSE allowed_world END
+       |    AS n_allowed,
+       |  CASE WHEN u.u_d = v_d THEN 0 ELSE d_key END AS n_denied_key,
+       |  CASE WHEN u.u_d = v_d THEN 0 ELSE d_prefix END AS n_denied_prefix,
+       |  CASE WHEN u.u_d = v_d THEN 0 ELSE d_bucket END AS n_denied_bucket,
+       |  CASE WHEN u.u_d = v_d THEN 0 ELSE d_volume END AS n_denied_volume
+       |FROM agg, UNNEST([0, 1, 2]) AS u(u_d)
+       |ORDER BY "user" ASC, volume ASC, bucket ASC, acl_right ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_acl_effective" -> nsAclEffective,
     "ns_check_access" -> nsCheckAccess,
     "ns_quota_enforcement" -> nsQuotaEnforcement,
     "ns_content_summary" -> nsContentSummary,
@@ -383,6 +514,7 @@ object Entities {
     "ns_acl_report" -> nsAclReport)
 
   val oracles: Map[String, String] = Map(
+    "ns_acl_effective" -> nsAclEffectiveSql,
     "ns_check_access" -> nsCheckAccessSql,
     "ns_quota_enforcement" -> nsQuotaEnforcementSql,
     "ns_content_summary" -> nsContentSummarySql,

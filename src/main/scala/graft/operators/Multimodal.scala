@@ -10,10 +10,13 @@ import org.apache.spark.sql.functions._
   * columns with a typed metadata struct alongside; decode / feature-extract
   * runs per-partition so a real decoder (libjpeg, ffmpeg, …) amortizes its
   * init across a whole batch instead of paying it per row. The decode body
-  * here is a clearly-marked deterministic STUB (the container ships no
-  * image/audio libs — builder prompt allows faking the decode); everything
-  * Spark-side — schema, binary encoding, partition batching, typed Dataset
-  * encoders, the aggregation after — is real and tested.
+  * HERE is a deterministic arithmetic stand-in — kept because a DuckDB
+  * oracle can replay arithmetic but not a codec, so these operators stay
+  * fully oracle-gated; the REAL decode through the same seam lives in
+  * [[ImageCodec]] (genuine PNG bytes through the JDK's javax.imageio
+  * codec, spec-gated: ImageCodecSpec). Everything Spark-side — schema,
+  * binary encoding, partition batching, typed Dataset encoders, the
+  * aggregation after — is real and tested on both paths.
   */
 object Multimodal {
 

@@ -188,6 +188,33 @@ object Namespace {
        |  COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_bytes
        |FROM keys GROUP BY bucket_exp ORDER BY bucket_exp ASC""".stripMargin
 
+  /** The histogram at Recon's REAL storage key: FileCountBySize rows are
+    * keyed (volume, bucket, fileSize upper bound) and the utilization
+    * endpoint point-filters on volume/bucket
+    * (recon/.../api/UtilizationEndpoint.java:66-88,
+    * FileSizeCountTask.java:47-51) — the global rollup above is the
+    * all-buckets aggregation of THIS table. Same power-of-2 bit-length
+    * binning; one scan, one shuffle keyed (volume, bucket, bucket_exp)
+    * with map-side partials — the group space is |buckets|×|exponents|
+    * (metadata-sized), so the plan is identical at 100 TB.
+    */
+  def nsFileSizeHistogramByBucket(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.keys(spark, dir)
+      .withColumn("bucket_exp",
+        when(col("size") <= 1, 0)
+          .otherwise(length(bin(col("size") - 1))))
+      .groupBy(col("volume"), col("bucket"), col("bucket_exp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"))
+      .orderBy(col("volume").asc, col("bucket").asc, col("bucket_exp").asc)
+
+  val nsFileSizeHistogramByBucketSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket,
+       |  CASE WHEN size <= 1 THEN 0 ELSE length(bin(size - 1)) END AS bucket_exp,
+       |  COUNT(*) AS n_files, CAST(SUM(size) AS BIGINT) AS total_bytes
+       |FROM keys GROUP BY volume, bucket, bucket_exp
+       |ORDER BY volume ASC, bucket ASC, bucket_exp ASC""".stripMargin
+
   /** Entity counts per table — reference: recon/.../tasks/TableCountTask.java. */
   def nsTableCounts(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.names.map { n =>
@@ -1027,6 +1054,7 @@ object Namespace {
     "ns_growth_forecast" -> nsGrowthForecast,
     "ns_du" -> nsDu,
     "ns_filesize_histogram" -> nsFileSizeHistogram,
+    "ns_filesize_histogram_by_bucket" -> nsFileSizeHistogramByBucket,
     "ns_table_counts" -> nsTableCounts,
     "ns_top_keys" -> nsTopKeys,
     "ns_bucket_usage" -> nsBucketUsage,
@@ -1053,6 +1081,7 @@ object Namespace {
     "ns_growth_forecast" -> nsGrowthForecastSql,
     "ns_du" -> nsDuSql,
     "ns_filesize_histogram" -> nsFileSizeHistogramSql,
+    "ns_filesize_histogram_by_bucket" -> nsFileSizeHistogramByBucketSql,
     "ns_table_counts" -> nsTableCountsSql,
     "ns_top_keys" -> nsTopKeysSql,
     "ns_bucket_usage" -> nsBucketUsageSql,

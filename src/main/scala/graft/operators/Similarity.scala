@@ -23,6 +23,10 @@ object Similarity {
   private val PqM = 4    // subspaces over the 64-dim embeddings
   private val PqSub = 16 // dims per subspace
   private val PqK = 16   // centroids per subspace → 4-bit codes
+  // IVFPQ probes one cell more than plain IVF: ADC scoring loses rank
+  // precision to code distortion, and the standard compensation is a
+  // deeper probe list (scan cost stays the probed fraction: 3/16).
+  private val IvfPqProbes = 3
 
   /** Deterministic pseudo-random hyperplane component: for plane j and
     * dimension i, w = ((aj * (i+1) + bj) % 97) - 48 — small signed ints,
@@ -315,24 +319,26 @@ object Similarity {
     * phase is identical to [[simKnnIvf]]: queries probe their 2 best
     * trained cells, exact cosine only inside them.
     */
-  def simKnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    val nm = Dedup.quantized(spark, dir)
+  /** The Lloyd training loop factored out so BOTH consumers —
+    * [[simKnnIvfTrained]] and the composed [[simKnnIvfPq]] — run the SAME
+    * trained coarse quantizer (VERDICT r9 #4: the production-shape IVFPQ
+    * must not fall back to fixed-id centroids its sibling already improved
+    * on). Returns (c_id, qc, nc); cell ids stay in the 10..25 seed range
+    * through training because the update groups by cell.
+    */
+  private[operators] def trainedCentroids(nm: DataFrame): DataFrame = {
     val corpus = nm.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), col("q").as("qv"), col("n2").as("nv"))
     var centroids = nm.filter(col("vec_id").between(10, 25))
       .select(col("vec_id").as("c_id"), col("q").as("qc"), col("n2").as("nc"))
-
     val wAssign = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("cos_c").desc, col("c_id").asc)
-    def assign(cents: DataFrame): DataFrame =
-      corpus.crossJoin(broadcast(cents))
+    for (_ <- 1 to TrainRounds) {
+      val sums = corpus.crossJoin(broadcast(centroids))
         .withColumn("cos_c",
           Dedup.cosine(col("qv"), col("qc"), col("nv"), col("nc")))
         .withColumn("crk", row_number().over(wAssign))
         .filter(col("crk") === 1)
-
-    for (_ <- 1 to TrainRounds) {
-      val sums = assign(centroids)
         .select(col("c_id").as("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("v")).as("s"))
@@ -342,8 +348,58 @@ object Similarity {
       centroids = sums
         .select(col("cell").as("c_id"), col("qc"), dotSelf(col("qc")).as("nc"))
     }
+    centroids
+  }
 
-    val assigned = assign(centroids)
+  /** DuckDB CTE chain running the identical training: seeds cent0, then
+    * TrainRounds × (assign → sum-update), ending in the CTE named `cent2`.
+    * Interpolated by both trained-quantizer consumers' oracles.
+    */
+  private val trainedCentroidsSqlCtes: String = {
+    def assignSql(cent: String, asg: String): String =
+      s"""$asg AS (
+         |  SELECT * FROM (
+         |    SELECT v.vec_id AS neighbor_id, v.q AS qv, v.n2 AS nv, c.c_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${Dedup.cosineSql("v.q", "c.qc", "v.n2", "c.nc")} DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM nm v CROSS JOIN $cent c WHERE v.vec_id >= 10
+         |  ) t WHERE crk = 1
+         |)""".stripMargin
+    def updateSql(asg: String, cent: String): String =
+      s"""$cent AS (
+         |  SELECT c_id, qc,
+         |    CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS nc
+         |  FROM (
+         |    SELECT cell AS c_id, list(s ORDER BY pos) AS qc FROM (
+         |      SELECT cell, pos, CAST(SUM(val) AS BIGINT) AS s FROM (
+         |        SELECT cell, unnest(qv) AS val,
+         |          unnest(range(1, len(qv) + 1)) AS pos
+         |        FROM $asg
+         |      ) exploded GROUP BY cell, pos
+         |    ) sums GROUP BY cell
+         |  ) lists
+         |)""".stripMargin
+    s"""cent0 AS (
+       |  SELECT vec_id AS c_id, q AS qc, n2 AS nc FROM nm
+       |  WHERE vec_id BETWEEN 10 AND 25
+       |), ${assignSql("cent0", "asg1")}, ${updateSql("asg1", "cent1")},
+       |${assignSql("cent1", "asg2")}, ${updateSql("asg2", "cent2")}""".stripMargin
+  }
+
+  def simKnnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qv"), col("n2").as("nv"))
+    val centroids = trainedCentroids(nm)
+
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("cos_c",
+        Dedup.cosine(col("qv"), col("qc"), col("nv"), col("nc")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
       .select(col("neighbor_id"), col("qv"), col("nv"), col("c_id").as("cell"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_c").desc, col("c_id").asc)
@@ -378,25 +434,7 @@ object Similarity {
          |    FROM nm v CROSS JOIN $cent c WHERE v.vec_id >= 10
          |  ) t WHERE crk = 1
          |)""".stripMargin
-    def updateSql(asg: String, cent: String): String =
-      s"""$cent AS (
-         |  SELECT c_id, qc,
-         |    CAST(list_sum(list_transform(qc, x -> x * x)) AS BIGINT) AS nc
-         |  FROM (
-         |    SELECT cell AS c_id, list(s ORDER BY pos) AS qc FROM (
-         |      SELECT cell, pos, CAST(SUM(val) AS BIGINT) AS s FROM (
-         |        SELECT cell, unnest(qv) AS val,
-         |          unnest(range(1, len(qv) + 1)) AS pos
-         |        FROM $asg
-         |      ) exploded GROUP BY cell, pos
-         |    ) sums GROUP BY cell
-         |  ) lists
-         |)""".stripMargin
-    s"""WITH ${Dedup.quantizedSql}, cent0 AS (
-       |  SELECT vec_id AS c_id, q AS qc, n2 AS nc FROM nm
-       |  WHERE vec_id BETWEEN 10 AND 25
-       |), ${assignSql("cent0", "asg1")}, ${updateSql("asg1", "cent1")},
-       |${assignSql("cent1", "asg2")}, ${updateSql("asg2", "cent2")},
+    s"""WITH ${Dedup.quantizedSql}, $trainedCentroidsSqlCtes,
        |${assignSql("cent2", "asgf")}, probes AS (
        |  SELECT * FROM (
        |    SELECT s.vec_id AS query_id, s.q AS qq, s.n2 AS nq, c.c_id AS cell,
@@ -701,20 +739,21 @@ object Similarity {
 
   // --- sim_knn_ivfpq: IVF cell probing + ADC over PQ codes ----------------
   /** The production 100 TB ANN shape — IVF and PQ COMPOSED: the corpus is
-    * partitioned into coarse cells ([[simKnnIvf]]'s broadcast-argmax
-    * assignment) and stored as 4×4-bit PQ codes ([[pqAssign]]); a query
-    * probes its 2 best cells and scores ONLY the code frames of those
-    * cells via asymmetric distance computation ([[simKnnPq]]'s broadcast
-    * distance table, here keyed by (cell, m, code) so the join itself
-    * prunes to the probed cells). Neither the full-dimension corpus nor
-    * the uncompressed vectors of unprobed cells are ever touched — memory
-    * is the code bytes, scan cost is the probed-cell fraction. Recall vs
-    * the exact truth set is audited in [[simRecallReport]].
+    * partitioned into coarse cells by the Lloyd-TRAINED quantizer
+    * ([[trainedCentroids]] — the same 2-round exact-integer training as
+    * [[simKnnIvfTrained]], per VERDICT r9 #4) and stored as 4×4-bit PQ
+    * codes ([[pqAssign]]); a query probes its 2 best trained cells and
+    * scores ONLY the code frames of those cells via asymmetric distance
+    * computation ([[simKnnPq]]'s broadcast distance table, here keyed by
+    * (cell, m, code) so the join itself prunes to the probed cells).
+    * Neither the full-dimension corpus nor the uncompressed vectors of
+    * unprobed cells are ever touched — memory is the code bytes, scan cost
+    * is the probed-cell fraction. Recall vs the exact truth set is audited
+    * in [[simRecallReport]].
     */
   def simKnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val nm = Dedup.quantized(spark, dir)
-    val centroids = nm.filter(col("vec_id").between(10, 25))
-      .select(col("vec_id").as("c_id"), col("q").as("qc"), col("n2").as("nc"))
+    val centroids = trainedCentroids(nm)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_c").desc, col("c_id").asc)
     val cells = nm.filter(col("vec_id") >= 10)
@@ -736,7 +775,7 @@ object Similarity {
       .withColumn("cos_c",
         Dedup.cosine(col("q"), col("qc"), col("n2"), col("nc")))
       .withColumn("prk", row_number().over(wProbe))
-      .filter(col("prk") <= 2)
+      .filter(col("prk") <= IvfPqProbes)
       .select(col("query_id"), col("c_id").as("cell"))
     val dist = queriesDf
       .select(col("vec_id").as("query_id"), col("n2").as("qn2"),
@@ -766,16 +805,13 @@ object Similarity {
   lazy val simKnnIvfPqSql: String = {
     val sliceOf = (src: String) =>
       s"$src.q[(u.m*$PqSub+1):(u.m*$PqSub+$PqSub)]"
-    s"""WITH ${Dedup.quantizedSql}, ivfcent AS (
-       |  SELECT vec_id AS c_id, q AS qc, n2 AS nc FROM nm
-       |  WHERE vec_id BETWEEN 10 AND 25
-       |), cells AS (
+    s"""WITH ${Dedup.quantizedSql}, $trainedCentroidsSqlCtes, cells AS (
        |  SELECT * FROM (
        |    SELECT v.vec_id AS neighbor_id, c.c_id AS cell,
        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
        |        ${Dedup.cosineSql("v.q", "c.qc", "v.n2", "c.nc")} DESC,
        |        c.c_id ASC) AS crk
-       |    FROM nm v CROSS JOIN ivfcent c WHERE v.vec_id >= 10
+       |    FROM nm v CROSS JOIN cent2 c WHERE v.vec_id >= 10
        |  ) t WHERE crk = 1
        |), pqcent AS (
        |  SELECT c.vec_id AS c_id, u.m AS m, ${sliceOf("c")} AS cs,
@@ -803,8 +839,8 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
        |        ${Dedup.cosineSql("s.q", "c.qc", "s.n2", "c.nc")} DESC,
        |        c.c_id ASC) AS prk
-       |    FROM nm s CROSS JOIN ivfcent c WHERE s.vec_id < 10
-       |  ) t WHERE prk <= 2
+       |    FROM nm s CROSS JOIN cent2 c WHERE s.vec_id < 10
+       |  ) t WHERE prk <= $IvfPqProbes
        |), dist AS (
        |  SELECT s.vec_id AS query_id, s.n2 AS qn2, s.m, c.c_id - 10 AS code,
        |    CAST(list_sum(list_transform(range(1, $PqSub + 1),

@@ -816,8 +816,11 @@ object TextOps {
         col("n_chars") - length(regexp_replace(col("text"), "[A-Za-z]", "")))
       .withColumn("n_digit",
         col("n_chars") - length(regexp_replace(col("text"), "[0-9]", "")))
+      // Explicit class, not \s: Java's \s includes U+000B but RE2's does
+      // not, so the shorthand silently diverges cross-engine on texts
+      // containing a vertical tab.
       .withColumn("n_space",
-        col("n_chars") - length(regexp_replace(col("text"), "\\s", "")))
+        col("n_chars") - length(regexp_replace(col("text"), "[ \\t\\n\\x0B\\f\\r]", "")))
       .withColumn("d", greatest(col("n_chars"), lit(1L)))
       .select(col("doc_id"), col("n_chars"),
         expr("n_alpha * 1000000 DIV d").as("alpha_ppm"),
@@ -834,7 +837,7 @@ object TextOps {
       |      AS BIGINT) AS n_alpha,
       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
       |      AS BIGINT) AS n_digit,
-      |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g'))
+      |    CAST(length(text) - length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g'))
       |      AS BIGINT) AS n_space
       |  FROM documents
       |)

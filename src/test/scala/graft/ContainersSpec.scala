@@ -39,4 +39,57 @@ class ContainersSpec extends SparkSpec {
     // Donor and receiver sets are disjoint.
     assert(moves.map(_._3).toSet.intersect(moves.map(_._4).toSet).isEmpty)
   }
+
+  test("replica history is a per-container timeline with valid windows") {
+    val rows = Containers.ctReplicaHistory(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getAs[java.time.LocalDateTime](4), r.getAs[java.time.LocalDateTime](5),
+        r.getLong(6), r.getBoolean(7))
+    }
+    assert(rows.nonEmpty)
+    // Timeline ordering is pinned: (container, first_seen, replica_index).
+    val key = rows.map(t =>
+      (t._1, t._4.toEpochSecond(java.time.ZoneOffset.UTC), t._2)).toSeq
+    assert(key == key.sorted, "history not in timeline order")
+    // Every window is well-formed and every report is counted.
+    rows.foreach { case (c, rep, node, first, last, n, _) =>
+      assert(!first.isAfter(last), s"container $c replica $rep: first > last")
+      assert(n >= 1)
+      assert(rep >= 1 && rep <= 3)
+      assert(node == (c * 31 + rep * 17) % 20,
+        s"container $c replica $rep on wrong datanode")
+    }
+    // currently_hosted mirrors the live replica count arithmetic.
+    rows.foreach { case (c, rep, _, _, _, _, hosted) =>
+      assert(hosted == (rep <= (c * 31 + 7) % 5),
+        s"container $c replica $rep: wrong currently_hosted")
+    }
+    // Missing containers (0 live replicas) still keep their history rows —
+    // the reason the endpoint exists.
+    val missing = rows.filter(t => (t._1 * 31 + 7) % 5 == 0)
+    assert(missing.nonEmpty && missing.forall(!_._7))
+  }
+
+  test("scm metrics inventory is complete and internally consistent") {
+    val m = Containers.insScmMetrics(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set(
+      "scm_node_manager_healthy_nodes", "scm_node_manager_dead_nodes",
+      "scm_node_manager_num_hb_processed",
+      "scm_node_manager_num_hb_processing_failed",
+      "scm_replica_manager_missing_containers",
+      "scm_replica_manager_under_replicated_containers",
+      "scm_replica_manager_over_replicated_containers",
+      "scm_replica_manager_healthy_containers"))
+    assert(m("scm_node_manager_healthy_nodes") +
+      m("scm_node_manager_dead_nodes") == 20L)
+    assert(m("scm_node_manager_num_hb_processing_failed") <=
+      m("scm_node_manager_num_hb_processed"))
+    // The four replication-manager gauges partition the container set.
+    val containers = Containers.ctKeysPerContainer(spark, sf).count()
+    assert(m("scm_replica_manager_missing_containers") +
+      m("scm_replica_manager_under_replicated_containers") +
+      m("scm_replica_manager_over_replicated_containers") +
+      m("scm_replica_manager_healthy_containers") == containers)
+  }
 }

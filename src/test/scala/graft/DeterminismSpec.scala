@@ -25,7 +25,7 @@ class DeterminismSpec extends SparkSpec {
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()
-      .map(_.mkString("")).toSet
+      .map(_.toSeq.map(String.valueOf).mkString("\u0000")).toSet
 
   names.foreach { name =>
     test(s"$name is invariant to the shuffle-partition count") {

@@ -31,16 +31,20 @@ class EmptyTablesSpec extends SparkSpec {
     }
   }
 
-  test("empty-table results keep the populated schema") {
-    // Spot-check: a representative query per family resolves to the same
-    // schema on empty and populated inputs (no dtype drift from
-    // NULL-dominated branches).
-    val names = Seq("q1_pricing_summary", "ns_du", "ev_sessionize",
-      "dd_exact", "tx_quality", "pipe_curate")
-    names.foreach { n =>
-      val fn = SparkEntry.queries(n)
-      assert(fn(spark, emptyDir).schema == fn(spark, sf).schema,
-        s"$n schema drifts on empty input")
+  test("EVERY query keeps the populated schema on empty input") {
+    // Universal schema-drift gate (VERDICT r9 #8): the analyzed schema
+    // must be input-independent for every registered query — a dtype that
+    // flips on NULL-dominated branches breaks downstream readers exactly
+    // on the empty partitions a 100 TB job always has. Analysis-only per
+    // query (no execution), so the universal sweep stays cheap.
+    val drifts = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val e = fn(spark, emptyDir).schema
+        val p = fn(spark, sf).schema
+        if (e == p) None else Some(s"$name: empty=$e vs populated=$p")
     }
+    assert(drifts.isEmpty,
+      s"${drifts.size} queries drift schema on empty input:\n${
+        drifts.mkString("\n")}")
   }
 }

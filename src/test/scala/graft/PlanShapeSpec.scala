@@ -29,7 +29,9 @@ class PlanShapeSpec extends SparkSpec {
     * 1-row percentile aggregates into its report row; ev_inactive_users
     * attaches the 1-row global-max-activity scalar; ev_funnel_steps
     * combines three 1-row stage counters into its funnel rows;
-    * ct_cold_containers attaches the 1-row latest-activity scalar.
+    * ct_cold_containers attaches the 1-row latest-activity scalar;
+    * ns_acl_effective crosses the 3-row user dimension against the
+    * |buckets|×|rights| metadata-sized ACL rollup (never the corpus).
     */
   private val allowedNestedLoop =
     Set("sim_topk_bruteforce", "sim_knn_ivf", "sim_knn_ivf_trained",
@@ -38,7 +40,7 @@ class PlanShapeSpec extends SparkSpec {
       "ct_balancer_moves", "ct_safemode_status",
       "sim_cluster_purity", "sim_knn_ivfpq", "pipe_token_budget",
       "ev_session_stats", "ev_inactive_users", "ev_funnel_steps",
-      "ct_cold_containers")
+      "ct_cold_containers", "ns_acl_effective")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype
