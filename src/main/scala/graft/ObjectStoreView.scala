@@ -221,6 +221,64 @@ object ObjectStoreView {
       |  l_shipdate AS report_time
       |FROM lineitem""".stripMargin
 
+  /** Block-level layout of every key — the granularity below key →
+    * container that the fsck tooling walks (tools/.../fsck/
+    * ContainerMapper.java parses each OmKeyInfo's key-location list into
+    * containerID → (blockID → {volume, bucket, key}); BlockIdDetails.java
+    * carries the per-block fields). Test binding: a key of `size` bytes
+    * splits into ceil(size / 1 MiB) blocks; block k of key (o, l) has
+    * local id (o*7 + l)*64 + k and carries min(1 MiB, size − k·1 MiB)
+    * bytes. Ids are unique per (o, l) source row with k < 64 (sizes stay
+    * under 64 MiB); the driver's synthetic lineitem contains duplicate
+    * (o, l) rows, which therefore share block ids exactly as they already
+    * share key paths in [[keys]] — id allocation is SCM's job in the
+    * reference, not derivable from key identity, so the binding mirrors
+    * the source's identity semantics rather than inventing entropy. The
+    * view is
+    * EXPANDED (one row per block, bounded ≤ 11 rows/key at this data's
+    * sizes) — consumers that only need counts derive them arithmetically
+    * without the explode (see Containers.ctBlockReport).
+    */
+  val BlockBytes: Long = 1048576L
+
+  def keyBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    val base = keysFrom(l).select(
+      ((col("l_orderkey") * 7 + col("l_linenumber")) % 1024)
+        .cast("bigint").as("container_id"),
+      (col("l_orderkey") * 7 + col("l_linenumber")).cast("bigint").as("ord"),
+      col("volume"), col("bucket"), col("key"), col("size"))
+    base
+      .withColumn("n_blocks", expr(s"(size + ${BlockBytes - 1}) DIV $BlockBytes"))
+      .select(col("container_id"), col("ord"), col("volume"), col("bucket"),
+        col("key"), col("size"),
+        explode(sequence(lit(0L), col("n_blocks") - 1)).as("block_seq"))
+      .select(col("container_id"),
+        (col("ord") * 64 + col("block_seq")).as("block_local_id"),
+        col("block_seq"), col("volume"), col("bucket"), col("key"),
+        least(lit(BlockBytes), col("size") - col("block_seq") * BlockBytes)
+          .as("block_bytes"))
+  }
+
+  val keyBlocksSql: String =
+    s"""SELECT
+       |  CAST((l_orderkey * 7 + l_linenumber) % 1024 AS BIGINT) AS container_id,
+       |  CAST((l_orderkey * 7 + l_linenumber) * 64 + u.block_seq AS BIGINT)
+       |    AS block_local_id,
+       |  CAST(u.block_seq AS BIGINT) AS block_seq,
+       |  'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,
+       |  'b' || CAST(l_suppkey % 5 AS VARCHAR) AS bucket,
+       |  'data/' || CAST(year(l_shipdate) AS VARCHAR) || '/' ||
+       |    lpad(CAST(month(l_shipdate) AS VARCHAR), 2, '0') || '/' ||
+       |    CAST(l_orderkey AS VARCHAR) || '-' ||
+       |    CAST(l_linenumber AS VARCHAR) || '.obj' AS key,
+       |  least($BlockBytes,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |    - u.block_seq * $BlockBytes) AS block_bytes
+       |FROM lineitem, UNNEST(range(
+       |  (CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |   + ${BlockBytes - 1}) // $BlockBytes)) AS u(block_seq)""".stripMargin
+
   /** Deleted keys awaiting purge (the trash / deletion pipeline). The
     * RETURNFLAG='R' slice of the namespace stands in for keys moved to the
     * deletedTable, with deletion_time = mtime. Reference: `listTrash`

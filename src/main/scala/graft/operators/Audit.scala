@@ -251,7 +251,69 @@ object Audit {
        |  SELECT 'om_metrics_num_keys', CAST(COUNT(*) AS BIGINT) FROM keys
        |) t ORDER BY metric ASC""".stripMargin
 
+  // --- ins_om_protocol: the OM RPC endpoint's protocol-message metrics ----
+  /** The `ozone insight metrics om` display for the RPC endpoint
+    * (insight/.../om/OmProtocolInsight.java:42-55: addRpcMetrics for the
+    * OzoneManagerService server plus addProtocolMessageMetrics — one
+    * counter per OzoneManagerProtocolProtos.Type message). The analytics
+    * twin derives the same inventory from the audit stream: each audit
+    * entry is one RPC, its op mapping onto the protobuf message type it
+    * arrived as (ALLOCATE_KEY↔CreateKey, COMMIT_KEY↔CommitKey,
+    * READ_KEY↔LookupKey, LIST_KEYS↔ListKeys, DELETE_KEY↔DeleteKey), with
+    * the server-level totals the RPC metrics group shows. Complements
+    * [[insKeyMetrics]] (the KEY-MANAGER view of the same evidence): this
+    * is the wire-protocol view — message-type counters + server totals.
+    *
+    * Scale: one scan → ≤5-group aggregate (map-side partials); the
+    * long-format emit runs over the 5-row frame. 7 fixed output rows.
+    */
+  def insOmProtocol(spark: SparkSession, dir: String): DataFrame = {
+    val msg = when(col("op") === "ALLOCATE_KEY", "CreateKey")
+      .when(col("op") === "COMMIT_KEY", "CommitKey")
+      .when(col("op") === "READ_KEY", "LookupKey")
+      .when(col("op") === "LIST_KEYS", "ListKeys")
+      .otherwise("DeleteKey")
+    val perType = auditLog(spark, dir)
+      .groupBy(msg.as("msg_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(concat(lit("om_client_protocol_"), col("msg_type"))
+        .as("metric"), col("n").as("value"))
+    val totals = auditLog(spark, dir)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("result") === "FAILURE", 1L).otherwise(0L)).as("nf"))
+      .select(explode(array(
+        struct(lit("om_rpc_processed_requests").as("metric"),
+          col("n").as("value")),
+        struct(lit("om_rpc_failed_requests").as("metric"),
+          col("nf").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+    perType.unionByName(totals).orderBy(col("metric").asc)
+  }
+
+  val insOmProtocolSql: String =
+    s"""WITH audit AS ($auditLogSql), typed AS (
+       |  SELECT CASE op WHEN 'ALLOCATE_KEY' THEN 'CreateKey'
+       |    WHEN 'COMMIT_KEY' THEN 'CommitKey'
+       |    WHEN 'READ_KEY' THEN 'LookupKey'
+       |    WHEN 'LIST_KEYS' THEN 'ListKeys'
+       |    ELSE 'DeleteKey' END AS msg_type, result
+       |  FROM audit
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'om_client_protocol_' || msg_type AS metric,
+       |    CAST(COUNT(*) AS BIGINT) AS value
+       |  FROM typed GROUP BY msg_type
+       |  UNION ALL
+       |  SELECT 'om_rpc_processed_requests', CAST(COUNT(*) AS BIGINT)
+       |    FROM typed
+       |  UNION ALL
+       |  SELECT 'om_rpc_failed_requests',
+       |    CAST(SUM(CASE WHEN result = 'FAILURE' THEN 1 ELSE 0 END)
+       |      AS BIGINT) FROM typed
+       |) t ORDER BY metric ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ins_om_protocol" -> insOmProtocol,
     "ns_audit_op_mix" -> nsAuditOpMix,
     "ns_audit_top_users" -> nsAuditTopUsers,
     "ns_audit_active_seconds" -> nsAuditActiveSeconds,
@@ -259,6 +321,7 @@ object Audit {
     "ins_key_metrics" -> insKeyMetrics)
 
   val oracles: Map[String, String] = Map(
+    "ins_om_protocol" -> insOmProtocolSql,
     "ns_audit_op_mix" -> nsAuditOpMixSql,
     "ns_audit_top_users" -> nsAuditTopUsersSql,
     "ns_audit_active_seconds" -> nsAuditActiveSecondsSql,

@@ -1114,7 +1114,66 @@ object Containers {
        |      AS BIGINT) FROM cont
        |) t ORDER BY metric ASC""".stripMargin
 
+  // --- ct_block_report: the fsck container→block sweep rollup --------------
+  /** Per-container block accounting — the summary the fsck ContainerMapper
+    * sweep produces before anyone drills in (tools/.../fsck/
+    * ContainerMapper.java builds containerID → block list from every
+    * key's location list): keys, blocks and bytes per container.
+    *
+    * Scale: the block COUNT per key is pure arithmetic
+    * (ceil(size / 1 MiB)), so this aggregates the key scan directly — the
+    * per-block explode of [[ObjectStoreView.keyBlocks]] never runs here.
+    * One scan, one shuffle on container_id with map-side partials.
+    */
+  def ctBlockReport(spark: SparkSession, dir: String): DataFrame = {
+    val b = ObjectStoreView.BlockBytes
+    ObjectStoreView.containerKeys(spark, dir)
+      .groupBy(col("container_id"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(expr(s"(size + ${b - 1}) DIV $b")).as("n_blocks"),
+        sum(col("size")).as("total_bytes"))
+      .orderBy(col("container_id").asc)
+  }
+
+  val ctBlockReportSql: String = {
+    val b = ObjectStoreView.BlockBytes
+    s"""WITH container_keys AS ($cks)
+       |SELECT container_id, COUNT(*) AS n_keys,
+       |  CAST(SUM((size + ${b - 1}) // $b) AS BIGINT) AS n_blocks,
+       |  CAST(SUM(size) AS BIGINT) AS total_bytes
+       |FROM container_keys GROUP BY container_id
+       |ORDER BY container_id ASC""".stripMargin
+  }
+
+  // --- ct_container_blocks: fsck point drill-down for one container --------
+  private val FsckContainer = 42L
+
+  /** The fsck drill-down itself: every block the chosen container holds,
+    * with its local block id and owning (volume, bucket, key) — exactly
+    * the per-container entry of ContainerMapper's output map
+    * (containerID → [blockID → BlockIdDetails{volume, bucket, key}]).
+    *
+    * Scale: the container filter prunes the key scan BEFORE the bounded
+    * (≤ 11 rows/key) block explode, so the expansion runs over one
+    * container's keys — the same point-lookup shape as ns_lookup_key.
+    */
+  def ctContainerBlocks(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.keyBlocks(spark, dir)
+      .filter(col("container_id") === FsckContainer)
+      .select("container_id", "block_local_id", "block_seq", "volume",
+        "bucket", "key", "block_bytes")
+      .orderBy(col("block_local_id").asc)
+
+  val ctContainerBlocksSql: String =
+    s"""WITH key_blocks AS (${ObjectStoreView.keyBlocksSql})
+       |SELECT container_id, block_local_id, block_seq, volume, bucket, key,
+       |  block_bytes
+       |FROM key_blocks WHERE container_id = $FsckContainer
+       |ORDER BY block_local_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_block_report" -> ctBlockReport,
+    "ct_container_blocks" -> ctContainerBlocks,
     "ct_replica_history" -> ctReplicaHistory,
     "ins_scm_metrics" -> insScmMetrics,
     "ct_cold_containers" -> ctColdContainers,
@@ -1138,6 +1197,8 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_block_report" -> ctBlockReportSql,
+    "ct_container_blocks" -> ctContainerBlocksSql,
     "ct_replica_history" -> ctReplicaHistorySql,
     "ins_scm_metrics" -> insScmMetricsSql,
     "ct_cold_containers" -> ctColdContainersSql,

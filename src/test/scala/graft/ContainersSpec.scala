@@ -70,6 +70,44 @@ class ContainersSpec extends SparkSpec {
     assert(missing.nonEmpty && missing.forall(!_._7))
   }
 
+  test("block mapping: expansion, id arithmetic and report totals agree") {
+    val blocks = Containers.ctContainerBlocks(spark, sf).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(5), r.getLong(6))
+    }
+    assert(blocks.nonEmpty)
+    // Id arithmetic is self-consistent: the id encodes (source row, seq)
+    // and the source row's container is the one we asked for.
+    blocks.foreach { case (c, id, seq, _, bytes) =>
+      assert(c == 42L)
+      assert(id % 64 == seq, "block id does not encode its sequence")
+      assert((id / 64) % 1024 == 42L, "block id from a foreign container")
+      assert(bytes >= 1L && bytes <= 1048576L, "block size out of range")
+    }
+    // Per key path, the DISTINCT seqs are gapless from 0 (duplicate
+    // (orderkey, linenumber) source rows legitimately repeat seqs, exactly
+    // as they repeat key paths in the namespace binding).
+    blocks.groupBy(_._4).foreach { case (key, bs) =>
+      val seqs = bs.map(_._3).distinct.sorted.toSeq
+      assert(seqs == (0L until seqs.length).toSeq,
+        s"$key: distinct block_seq not gapless")
+    }
+    // Only the highest seq of an id group may be short: for every id with
+    // a successor id in the same group (id+1 present, same source row),
+    // every byte count recorded at that id... reduces to: any block whose
+    // (id + 1) exists must show a full 1 MiB companion row count >= 1.
+    val ids = blocks.map(_._2).toSet
+    blocks.filter(b => ids.contains(b._2 + 1) && (b._2 + 1) % 64 != 0)
+      .groupBy(_._2).foreach { case (id, bs) =>
+        assert(bs.exists(_._5 == 1048576L),
+          s"id $id has a successor block but no full-size row")
+      }
+    // The report's totals agree with the expanded view for this container.
+    val rep = Containers.ctBlockReport(spark, sf).collect()
+      .find(_.getLong(0) == 42L).get
+    assert(rep.getLong(2) == blocks.length, "report n_blocks != expansion")
+    assert(rep.getLong(1) >= blocks.map(_._4).distinct.length)
+  }
+
   test("scm metrics inventory is complete and internally consistent") {
     val m = Containers.insScmMetrics(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
