@@ -106,6 +106,27 @@ object StreamOps {
       .select(col("window.start").as("day"), col("volume"), col("bucket"),
         col("n_pending_keys"), col("pending_bytes"))
 
+  /** Incremental replica-history maintenance over the replica-report
+    * stream — the streaming twin of
+    * [[graft.operators.Containers.ctReplicaHistory]] and the exact shape
+    * of Recon's live pipeline: datanode container reports arrive
+    * continuously and upsert the (container, datanode) row's
+    * lastSeenTime, inserting firstSeenTime on first sight
+    * (recon/.../scm/ContainerReplicaHistory.java:35-60 setLastSeenTime —
+    * min/max/count over the report stream IS that upsert, expressed
+    * declaratively). State is one row per (container, replica slot) —
+    * bounded by the container count × target replication, not the stream
+    * length — so no watermark is needed and a year of reports holds the
+    * same state as a day.
+    */
+  def replicaHistoryStream(reports: DataFrame): DataFrame =
+    reports
+      .withColumn("report_time", col("report_time").cast("timestamp"))
+      .groupBy(col("container_id"), col("replica_index"), col("node_id"))
+      .agg(min(col("report_time")).as("first_seen"),
+        max(col("report_time")).as("last_seen"),
+        count(lit(1)).as("n_reports"))
+
   /** Incremental file-size histogram maintenance over a namespace CDC
     * stream — the streaming twin of
     * [[graft.operators.Namespace.fileSizeHistogram]] and the exact shape of

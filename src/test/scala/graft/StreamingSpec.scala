@@ -138,6 +138,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming replica history equals the batch timeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replica-stream")
+    val reports = ObjectStoreView.replicaReports(spark, sf)
+    reports.coalesce(3).write.mode("overwrite").parquet(dir.toString)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.replicaHistoryStream(stream)
+      .writeStream.format("memory").queryName("replica_stream_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf)
+    val streamed = spark.table("replica_stream_test")
+      .collect().map(key).toSet
+    val batch = reports
+      .withColumn("report_time", col("report_time").cast("timestamp"))
+      .groupBy(col("container_id"), col("replica_index"), col("node_id"))
+      .agg(min(col("report_time")).as("first_seen"),
+        max(col("report_time")).as("last_seen"),
+        count(lit(1)).as("n_reports"))
+      .collect().map(key).toSet
+    assert(streamed == batch)
+  }
+
   test("CDC histogram maintenance converges to the batch histogram") {
     // Updates: every key PUT once; keys with size divisible by 3 deleted
     // again later — the net namespace is the indivisible remainder.
