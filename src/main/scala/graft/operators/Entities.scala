@@ -394,49 +394,64 @@ object Entities {
     *
     * Output: per (user, volume, bucket, right) — keys allowed, and denials
     * attributed to the FIRST failing level in the authorizer's evaluation
-    * order (key, prefix, bucket, volume). Scale: ONE keys scan exploded ×3
-    * rights, aggregated to the |buckets|×|rights| frame (map-side
-    * partials), then the 3-row user dimension joins BROADCAST against that
-    * metadata-sized rollup — per-user work never rescans the corpus.
+    * order (key, prefix, bucket, volume). Scale: ONE keys scan with NO
+    * row expansion — the bucket/volume grants are constant per group, so
+    * the whole cascade reconstructs from 7 fused conditional counters per
+    * (volume, bucket): n_keys, per-right key-denied, per-right
+    * key∧prefix-cleared (d_prefix = (n_keys − d_key) − kp; the
+    * bucket/volume legs route kp through the group-constant grants). The
+    * ×3-right unpivot and the 3-row user dimension (broadcast cross) run
+    * over the |buckets|-row rollup — per-user and per-right work never
+    * touches the corpus.
     */
   def nsAclEffective(spark: SparkSession, dir: String): DataFrame = {
-    val perRight = ObjectStoreView.keys(spark, dir)
+    def kg(right: String) = right match {
+      case "READ"  => col("size") % 2 === 0
+      case "WRITE" => col("size") % 5 === 0
+      case _       => col("size") % 7 === 0
+    }
+    // parent(READ)=READ has a universal prefix grant; parent(WRITE/DELETE)
+    // = WRITE has prefix grant iff the key's year is even.
+    def pg(right: String) =
+      if (right == "READ") lit(true) else col("yr") % 2 === 0
+    val counters = Seq("DELETE", "READ", "WRITE").flatMap { r =>
+      Seq(
+        sum(when(!kg(r), 1L).otherwise(0L)).as(s"d_key_$r"),
+        sum(when(kg(r) && pg(r), 1L).otherwise(0L)).as(s"kp_$r"))
+    }
+    val grouped = ObjectStoreView.keys(spark, dir)
       .select(col("volume"), col("bucket"), col("size"),
         substring(col("volume"), 4, 10).cast("int").as("v_d"),
         substring(col("bucket"), 2, 10).cast("int").as("b_d"),
-        split(col("key"), "/").getItem(1).cast("int").as("yr"),
-        explode(array(lit("DELETE"), lit("READ"), lit("WRITE")))
-          .as("acl_right"))
-      .withColumn("parent_right",
-        when(col("acl_right") === "DELETE", "WRITE").otherwise(col("acl_right")))
-      .withColumn("key_grant",
-        when(col("acl_right") === "READ", col("size") % 2 === 0)
-          .when(col("acl_right") === "WRITE", col("size") % 5 === 0)
-          .otherwise(col("size") % 7 === 0))
-      .withColumn("prefix_grant",
-        when(col("parent_right") === "READ", lit(true))
-          .otherwise(col("yr") % 2 === 0))
-      .withColumn("bucket_grant",
-        when(col("parent_right") === "READ", col("b_d") % 2 === 0)
-          .otherwise(col("b_d") < 2))
-      .withColumn("volume_grant",
-        when(col("parent_right") === "READ", col("v_d") =!= 2)
-          .otherwise(col("v_d") === 0))
-      .groupBy(col("volume"), col("bucket"), col("v_d"), col("acl_right"))
-      .agg(count(lit(1)).as("n_keys"),
-        sum(when(!col("key_grant"), 1L).otherwise(0L)).as("d_key"),
-        sum(when(col("key_grant") && !col("prefix_grant"), 1L).otherwise(0L))
-          .as("d_prefix"),
-        sum(when(col("key_grant") && col("prefix_grant") &&
-          !col("bucket_grant"), 1L).otherwise(0L)).as("d_bucket"),
-        sum(when(col("key_grant") && col("prefix_grant") &&
-          col("bucket_grant") && !col("volume_grant"), 1L).otherwise(0L))
-          .as("d_volume"),
-        sum(when(col("key_grant") && col("prefix_grant") &&
-          col("bucket_grant") && col("volume_grant"), 1L).otherwise(0L))
-          .as("allowed_world"))
+        split(col("key"), "/").getItem(1).cast("int").as("yr"))
+      .groupBy(col("volume"), col("bucket"), col("v_d"), col("b_d"))
+      .agg(count(lit(1)).as("n_keys"), counters: _*)
+    // Unpivot to one row per right over the |buckets|-row frame, applying
+    // the group-constant bucket/volume grants of the right's PARENT.
+    val perRight = grouped.select(col("*"),
+      explode(array(Seq("DELETE", "READ", "WRITE").map { r =>
+        val parentRead = r == "READ" // parent right after the V1 mapping
+        val bucketGrant =
+          if (parentRead) col("b_d") % 2 === 0 else col("b_d") < 2
+        val volumeGrant =
+          if (parentRead) col("v_d") =!= 2 else col("v_d") === 0
+        val kp = col(s"kp_$r")
+        val dKey = col(s"d_key_$r")
+        struct(lit(r).as("acl_right"), dKey.as("d_key"),
+          (col("n_keys") - dKey - kp).as("d_prefix"),
+          when(bucketGrant, 0L).otherwise(kp).as("d_bucket"),
+          when(!bucketGrant, 0L).when(volumeGrant, 0L).otherwise(kp)
+            .as("d_volume"),
+          when(bucketGrant && volumeGrant, kp).otherwise(0L)
+            .as("allowed_world"))
+      }: _*)).as("t"))
+      .select(col("volume"), col("bucket"), col("v_d"), col("n_keys"),
+        col("t.acl_right").as("acl_right"), col("t.d_key").as("d_key"),
+        col("t.d_prefix").as("d_prefix"), col("t.d_bucket").as("d_bucket"),
+        col("t.d_volume").as("d_volume"),
+        col("t.allowed_world").as("allowed_world"))
     val users = broadcast(
-      perRight.sparkSession.range(3)
+      grouped.sparkSession.range(3)
         .select(concat(lit("u"), col("id").cast("string")).as("user"),
           col("id").cast("int").as("u_d")))
     perRight.crossJoin(users)

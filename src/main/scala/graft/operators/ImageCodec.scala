@@ -159,14 +159,53 @@ object ImageCodec {
   }
 
   /** End-to-end: encode → decode → per-shard rollup (the mm_decode_stub
-    * report shape over real codec bytes). Spec-gated, not oracle-gated.
+    * report shape over real codec bytes). Registered as the oracle-gated
+    * `mm_real_decode`: PNG is lossless and the rendered pixels are pure
+    * arithmetic ((id·31 + 7x + 13y) mod 256 grayscale), so DuckDB can
+    * compute the EXPECTED brightness sums without any codec while Spark's
+    * side routes the same numbers through genuine `javax.imageio` encode
+    * AND decode — any infidelity in the real codec round-trip breaks the
+    * hash match. (aHash stays spec-gated: 64 rational compares per image
+    * are codec-checkable but not worth 500 × 64 oracle terms.)
+    *
+    * Scale: encode+decode are per-partition map work over the corpus
+    * scan; the rollup is a 10-group map-side-combined aggregate.
     */
   def realDecodeReport(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(payloads(spark, dir)).toDF()
       .groupBy((col("doc_id") % 10).as("shard"))
       .agg(count(lit(1)).as("n_images"),
         sum(when(col("status") === "OK", 1L).otherwise(0L)).as("n_ok"),
-        sum(col("brightness_sum")).as("brightness_total"),
-        countDistinct(col("ahash")).as("n_distinct_ahash"))
+        sum(col("width").cast("long") * col("height")).as("total_pixels"),
+        sum(col("brightness_sum")).as("brightness_total"))
       .orderBy(col("shard").asc)
+
+  /** The oracle re-derives the decoded features from the pixel formula —
+    * independently of any codec: width = id%16+1, height = id%12+1, and
+    * each pixel's grayscale value is (id·31 + 7x + 13y) mod 256 exactly
+    * as [[pixel]] renders it (r = g = b, so the decoder's (r+g+b)/3 is
+    * the same value back).
+    */
+  val realDecodeReportSql: String =
+    """WITH px AS (
+      |  SELECT d.doc_id,
+      |    (d.doc_id % 16 + 1) * (d.doc_id % 12 + 1) AS n_pixels,
+      |    CAST(SUM((d.doc_id * 31 + 7 * u.x + 13 * v.y) % 256) AS BIGINT)
+      |      AS brightness
+      |  FROM documents d,
+      |    UNNEST(range(d.doc_id % 16 + 1)) AS u(x),
+      |    UNNEST(range(d.doc_id % 12 + 1)) AS v(y)
+      |  GROUP BY d.doc_id
+      |)
+      |SELECT doc_id % 10 AS shard, COUNT(*) AS n_images,
+      |  COUNT(*) AS n_ok,
+      |  CAST(SUM(n_pixels) AS BIGINT) AS total_pixels,
+      |  CAST(SUM(brightness) AS BIGINT) AS brightness_total
+      |FROM px GROUP BY shard ORDER BY shard ASC""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_real_decode" -> realDecodeReport)
+
+  val oracles: Map[String, String] = Map(
+    "mm_real_decode" -> realDecodeReportSql)
 }

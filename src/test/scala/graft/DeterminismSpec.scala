@@ -21,7 +21,8 @@ class DeterminismSpec extends SparkSpec {
     "ev_value_quantiles", "ev_session_stats", "ns_compaction_plan",
     "ns_scan_plan", "ns_top_keys_per_bucket", "pipe_curriculum",
     "pipe_token_budget", "dd_minhash_lsh", "dd_canonical",
-    "ev_dau_sketch", "tx_rarity", "sim_knn_ivfpq")
+    "ev_dau_sketch", "tx_rarity", "sim_knn_ivfpq",
+    "ns_acl_effective", "ct_replica_history")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()
