@@ -151,6 +151,61 @@ object Similarity {
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
   }
 
+  // --- sim_range_search: threshold retrieval over the LSH buckets ---------
+  private val RangeThresh = 0.25
+
+  /** All corpus neighbors at cosine ≥ [[RangeThresh]] per query — the
+    * RANGE-query API of the ANN ladder (dedup-grade retrieval asks for
+    * "everything above the threshold", not a fixed k). Shape: the corpus
+    * is sign-bucketed ONCE (same 8-plane LSH as [[simKnnLsh]]), queries
+    * probe exact + Hamming-1 buckets, exact cosine runs only
+    * intra-bucket, and the threshold is a plain filter — CHEAPER than
+    * top-k at scale because no per-query rank window exists at all; the
+    * scored stream filters and emits. Each (query, neighbor) pair joins
+    * at most once (a corpus vector has one bucket; the 9 probe buckets
+    * are distinct), so no dedup exchange is needed. Recall is the LSH
+    * recall, audited family-wide in [[simRecallReport]]'s lsh leg.
+    */
+  def simRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir).withColumn("bkt", bucket(col("q")))
+    val probeArr = array(
+      col("bkt") +: (0 until NumPlanes).map(j =>
+        col("bkt").bitwiseXOR(lit(1L << j))): _*)
+    val queries = nm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("n2").as("nq"), explode(probeArr).as("bkt"))
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qc"),
+        col("n2").as("nc"), col("bkt"))
+    corpus.join(broadcast(queries), Seq("bkt"))
+      .withColumn("cos_sim",
+        round(Dedup.cosine(col("qq"), col("qc"), col("nq"), col("nc")), 6))
+      .filter(col("cos_sim") >= RangeThresh)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id").asc, col("cos_sim").desc,
+        col("neighbor_id").asc)
+  }
+
+  val simRangeSearchSql: String = {
+    val probeList = ("a.bkt" +: (0 until NumPlanes)
+      .map(j => s"xor(a.bkt, ${1L << j})")).mkString("[", ", ", "]")
+    s"""WITH ${Dedup.quantizedSql}, bk AS (
+       |  SELECT vec_id, q, n2, ${bucketSql("q")} AS bkt FROM nm
+       |), probes AS (
+       |  SELECT a.vec_id, a.q, a.n2, u.pbkt
+       |  FROM bk a, UNNEST($probeList) AS u(pbkt)
+       |  WHERE a.vec_id < 10
+       |), scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    round(${Dedup.cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6) AS cos_sim
+       |  FROM probes a JOIN bk b ON a.pbkt = b.bkt
+       |  WHERE b.vec_id >= 10
+       |)
+       |SELECT query_id, neighbor_id, cos_sim FROM scored
+       |WHERE cos_sim >= $RangeThresh
+       |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin
+  }
+
   // --- sim_knn_ivf: inverted-file ANN (coarse quantizer + probe) ----------
   /** IVF shape (SURVEY §6): corpus vectors are assigned to the nearest of
     * 16 coarse centroids once (broadcast 16-row centroid set, argmax by
@@ -887,6 +942,7 @@ object Similarity {
     "sim_knn_ivf_trained" -> simKnnIvfTrained,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_knn_lsh" -> simKnnLsh,
+    "sim_range_search" -> simRangeSearch,
     "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
@@ -898,5 +954,6 @@ object Similarity {
     "sim_knn_ivf_trained" -> simKnnIvfTrainedSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_knn_lsh" -> simKnnLshSql,
+    "sim_range_search" -> simRangeSearchSql,
     "sim_knn_ivf" -> simKnnIvfSql)
 }
