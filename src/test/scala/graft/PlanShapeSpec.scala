@@ -40,7 +40,10 @@ class PlanShapeSpec extends SparkSpec {
       "ct_balancer_moves", "ct_safemode_status",
       "sim_cluster_purity", "sim_knn_ivfpq", "pipe_token_budget",
       "ev_session_stats", "ev_inactive_users", "ev_funnel_steps",
-      "ct_cold_containers", "ns_acl_effective")
+      "ct_cold_containers", "ns_acl_effective",
+      // sim_range_audit's truth side is the same bounded query-set
+      // broadcast as sim_topk_bruteforce.
+      "sim_range_audit")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype
