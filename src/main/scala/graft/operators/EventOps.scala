@@ -1058,7 +1058,243 @@ object EventOps {
       |FROM peru p JOIN gaps g ON p.user_id = g.user_id
       |ORDER BY p.user_id ASC""".stripMargin
 
+  // --- ev_attribution: last-touch purchase attribution ---------------------
+  private val AttributionLookbackUs = 24L * 3600L * 1000000L
+
+  /** Last-touch attribution: every purchase is credited to the user's most
+    * recent preceding click or view within a 24 h lookback (else 'direct')
+    * — the canonical marketing-analytics rollup over an event stream, per
+    * source: purchases, exact-decimal revenue, share in integer ppm.
+    *
+    * Shape: ONE per-user window pass (ordered (ts, event_id) — the same
+    * deterministic ordering the sessionizer uses) carries the last touch
+    * as a struct via last(…, ignoreNulls) over rows-preceding; purchases
+    * filter AFTER the window so the carried state never re-scans; the
+    * rollup is a ≤3-group aggregate and the share divides inside the
+    * aggregated frame (unpartitioned window over an aggregate — the
+    * sanctioned PlanShapeSpec pattern). One user-keyed exchange total.
+    */
+  /** Per-purchase attribution frame (event_id, user_id, source, value) —
+    * the pre-rollup view [[evAttribution]] aggregates and the streaming
+    * twin (`StreamOps.attributionStream`) must reproduce row-for-row.
+    */
+  private[graft] def attributionPerPurchase(spark: SparkSession,
+      dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("touch",
+        last(when(col("event_type").isin("click", "view"),
+          struct(col("ts").as("tts"), col("event_type").as("ttype"))),
+          ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("source",
+        when(col("touch").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("touch.tts")) >
+            AttributionLookbackUs, "direct")
+          .otherwise(col("touch.ttype")))
+      .select(col("event_id"), col("user_id"), col("source"), col("value"))
+  }
+
+  def evAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionPerPurchase(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sumValue(col("value")).as("revenue"))
+      .withColumn("share_ppm", expr(
+        "n_purchases * 1000000 DIV sum(n_purchases) OVER ()"))
+      .orderBy(col("source").asc)
+
+  val evAttributionSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, ts, event_type, value,
+       |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+       |        THEN struct_pack(tts := ts, ttype := event_type) END
+       |        IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       |  FROM events
+       |), p AS (
+       |  SELECT CASE WHEN touch IS NULL
+       |      OR epoch_us(ts) - epoch_us(touch.tts) > $AttributionLookbackUs
+       |      THEN 'direct' ELSE touch.ttype END AS source, value
+       |  FROM t WHERE event_type = 'purchase'
+       |)
+       |SELECT source, COUNT(*) AS n_purchases,
+       |  $sumValueSql AS revenue,
+       |  CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+       |    AS share_ppm
+       |FROM p GROUP BY source ORDER BY source ASC""".stripMargin
+
+  // --- ev_rfm: recency / frequency / monetary segmentation -----------------
+  /** RFM segmentation of the purchase base — per user: days since last
+    * purchase (vs the stream's global anchor = max event time), purchase
+    * count and exact integer cents, each bucketed (R: ≤1 active / ≤4
+    * warm / cold; F: ≥16 frequent / ≥10 regular / rare; M: ≥80 000 high /
+    * ≥40 000 mid / low — thresholds straddle this corpus's medians so the
+    * lattice is populated), rolled up to segment counts + revenue. Cents
+    * come from the DECIMAL(12,2) cast (identical rounding in both
+    * engines), never a float sum.
+    *
+    * Shape: one purchase-filtered scan → per-user aggregate (map-side
+    * partials) → broadcast of the 1-row anchor → ≤27-row segment rollup.
+    */
+  def evRfm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val anchor = broadcast(ev.agg(max(col("ts")).as("anchor_ts")))
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_purchase"),
+        count(lit(1)).as("freq"),
+        sum((col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+          .as("cents"))
+      .crossJoin(anchor)
+      .withColumn("rec_days",
+        datediff(col("anchor_ts").cast("date"),
+          col("last_purchase").cast("date")))
+      .withColumn("r_seg",
+        when(col("rec_days") <= 1, "active")
+          .when(col("rec_days") <= 4, "warm").otherwise("cold"))
+      .withColumn("f_seg",
+        when(col("freq") >= 16, "frequent")
+          .when(col("freq") >= 10, "regular").otherwise("rare"))
+      .withColumn("m_seg",
+        when(col("cents") >= 80000L, "high")
+          .when(col("cents") >= 40000L, "mid").otherwise("low"))
+      .groupBy(col("r_seg"), col("f_seg"), col("m_seg"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("r_seg").asc, col("f_seg").asc, col("m_seg").asc)
+  }
+
+  val evRfmSql: String =
+    """WITH u AS (
+      |  SELECT user_id, MAX(ts) AS last_purchase, COUNT(*) AS freq,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      |), seg AS (
+      |  SELECT
+      |    CASE WHEN date_diff('day', CAST(last_purchase AS DATE),
+      |        CAST((SELECT MAX(ts) FROM events) AS DATE)) <= 1 THEN 'active'
+      |      WHEN date_diff('day', CAST(last_purchase AS DATE),
+      |        CAST((SELECT MAX(ts) FROM events) AS DATE)) <= 4 THEN 'warm'
+      |      ELSE 'cold' END AS r_seg,
+      |    CASE WHEN freq >= 16 THEN 'frequent'
+      |      WHEN freq >= 10 THEN 'regular' ELSE 'rare' END AS f_seg,
+      |    CASE WHEN cents >= 80000 THEN 'high'
+      |      WHEN cents >= 40000 THEN 'mid' ELSE 'low' END AS m_seg,
+      |    cents
+      |  FROM u
+      |)
+      |SELECT r_seg, f_seg, m_seg, COUNT(*) AS n_users,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      |FROM seg GROUP BY r_seg, f_seg, m_seg
+      |ORDER BY r_seg ASC, f_seg ASC, m_seg ASC""".stripMargin
+
+  // --- ev_ab_test: deterministic experiment assignment + lift report ------
+  /** A/B experiment readout with DETERMINISTIC assignment: each user lands
+    * in arm A or B by a Knuth multiplicative hash of user_id (stable
+    * across reshuffles and re-ingests — the property a real experiment
+    * framework needs so a user never switches arms between batches; a
+    * random() split would be neither reproducible nor oracle-checkable).
+    * Per arm: users, converters (≥1 purchase), conversion in exact integer
+    * ppm, exact purchase cents, and ARPU in cents (integer DIV).
+    *
+    * Shape: ONE user-keyed aggregate over the stream (map-side partial
+    * counts; conditional aggregates fold purchases in the same pass, so
+    * converters need no second scan or self-join) → 2-row arm rollup.
+    * All arithmetic is exact integers — no cross-engine float drift.
+    */
+  def evAbTest(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+          .otherwise(0L)).as("cents"))
+      .withColumn("arm",
+        when((col("user_id") * 2654435761L) % 4294967296L % 100 < 50, "A")
+          .otherwise("B"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_purchases") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 DIV n_users"))
+      .withColumn("arpu_cents", expr("revenue_cents DIV n_users"))
+      .orderBy(col("arm").asc)
+
+  val evAbTestSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_purchases,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id
+      |), armed AS (
+      |  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 % 100 < 50
+      |    THEN 'A' ELSE 'B' END AS arm, n_purchases, cents
+      |  FROM u
+      |)
+      |SELECT arm, COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_converted,
+      |  CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+      |  CAST(SUM(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm,
+      |  CAST(SUM(cents) // COUNT(*) AS BIGINT) AS arpu_cents
+      |FROM armed GROUP BY arm ORDER BY arm ASC""".stripMargin
+
+  // --- ev_stickiness: DAU / calendar-month MAU ratio ---------------------
+  /** Engagement stickiness per day: distinct daily actives over the
+    * calendar month's distinct actives, in exact integer ppm — the
+    * DAU/MAU product metric. Shape: two distinct-user aggregates off the
+    * same projected scan (day-keyed and month-keyed; each shuffles only
+    * (bucket, user_id) pairs with map-side partial dedup) joined by
+    * BROADCASTING the ≤|months| MAU frame onto the day rows. No window,
+    * no per-day rescan of the month.
+    */
+  def evStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("ts").cast("date").as("day"),
+        date_trunc("month", col("ts")).cast("date").as("month"),
+        col("user_id"))
+    val dau = ev.groupBy(col("day"), col("month"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val mau = ev.groupBy(col("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(broadcast(mau), "month")
+      .withColumn("stickiness_ppm", expr("dau * 1000000 DIV mau"))
+      .select("day", "dau", "mau", "stickiness_ppm")
+      .orderBy(col("day").asc)
+  }
+
+  val evStickinessSql: String =
+    """WITH dau AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(date_trunc('month', ts) AS DATE) AS month,
+      |    COUNT(DISTINCT user_id) AS dau
+      |  FROM events GROUP BY 1, 2
+      |), mau AS (
+      |  SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+      |    COUNT(DISTINCT user_id) AS mau
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT d.day, d.dau, m.mau,
+      |  CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_ppm
+      |FROM dau d JOIN mau m ON d.month = m.month
+      |ORDER BY d.day ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_test" -> evAbTest,
+    "ev_stickiness" -> evStickiness,
+    "ev_attribution" -> evAttribution,
+    "ev_rfm" -> evRfm,
     "ev_hour_profile" -> evHourProfile,
     "ev_new_vs_returning" -> evNewVsReturning,
     "ev_error_rate" -> evErrorRate,
@@ -1085,6 +1321,10 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_ab_test" -> evAbTestSql,
+    "ev_stickiness" -> evStickinessSql,
+    "ev_attribution" -> evAttributionSql,
+    "ev_rfm" -> evRfmSql,
     "ev_hour_profile" -> evHourProfileSql,
     "ev_new_vs_returning" -> evNewVsReturningSql,
     "ev_error_rate" -> evErrorRateSql,

@@ -734,7 +734,184 @@ object Pipeline {
        |    AS BIGINT) AS removed
        |FROM stages ORDER BY stage_idx ASC""".stripMargin
 
+  // --- pipe_chunk: fixed-token chunking plan ------------------------------
+  private val DocChunkTokens = 32
+  private val DocChunkStride = 24
+
+  /** Shared chunk frame: one exploded row per (doc, chunk) with 1-based
+    * token bounds and the chunk's exact fold-hash fingerprint. The chunk
+    * count is closed-form (`1 + ceil(max(n−C,0)/S)` as pure integer math),
+    * so chunking is a map-only explode off the token array — no window, no
+    * shuffle; the per-chunk hash folds the space-joined token slice so
+    * downstream dedup ships 8-byte codes, never chunk text.
+    */
+  private def chunkFrame(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Codes.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("i", explode(expr(
+        s"sequence(0L, greatest(n_tokens - ${DocChunkTokens - DocChunkStride + 1}, 0L)" +
+          s" DIV $DocChunkStride)")))
+      .withColumn("chunk_seq", col("i") + 1L)
+      .withColumn("tok_start", lit(1L) + col("i") * DocChunkStride)
+      .withColumn("tok_end",
+        least(col("tok_start") + (DocChunkTokens - 1), col("n_tokens")))
+      .withColumn("n_toks", greatest(col("tok_end") - col("tok_start") + 1L, lit(0L)))
+      .withColumn("chunk_hash", Codes.foldCode(
+        array_join(slice(col("toks"), col("tok_start").cast("int"),
+          lit(DocChunkTokens)), " "), 131L, Codes.P))
+  }
+
+  private val chunkFrameSql: String = {
+    import graft.functions.Codes
+    s"""ctok AS (
+       |  SELECT doc_id, ${Codes.tokensSql("text")} AS toks FROM documents
+       |), cexp AS (
+       |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(unnest(range(0, 1 + greatest(len(toks)
+       |      - ${DocChunkTokens - DocChunkStride + 1}, 0) // $DocChunkStride))
+       |      AS BIGINT) AS i
+       |  FROM ctok
+       |), chunk AS (
+       |  SELECT doc_id, i + 1 AS chunk_seq,
+       |    1 + i * $DocChunkStride AS tok_start,
+       |    least(1 + i * $DocChunkStride + ${DocChunkTokens - 1}, n_tokens) AS tok_end,
+       |    greatest(least(1 + i * $DocChunkStride + ${DocChunkTokens - 1}, n_tokens)
+       |      - (1 + i * $DocChunkStride) + 1, 0) AS n_toks,
+       |    ${Codes.foldCodeSql(
+             s"array_to_string(list_slice(toks, 1 + i * $DocChunkStride, " +
+               s"least(1 + i * $DocChunkStride + ${DocChunkTokens - 1}, " +
+               "CAST(len(toks) AS BIGINT))), ' ')", 131L, Codes.P)}
+       |      AS chunk_hash
+       |  FROM cexp
+       |)""".stripMargin
+  }
+
+  /** Fixed-token chunking plan ($DocChunkTokens-token chunks, stride
+    * $DocChunkStride → ${DocChunkTokens - DocChunkStride}-token overlap): per chunk
+    * its 1-based token bounds, width and exact content fingerprint — the
+    * sequence-preparation step every pretraining/RAG ingest runs between
+    * curation and packing. Deterministic and oracle-exact: bounds are
+    * closed-form integer math, the hash is the shared fold-code.
+    */
+  def pipeChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(spark, dir)
+      .select("doc_id", "chunk_seq", "tok_start", "tok_end", "n_toks",
+        "chunk_hash")
+      .orderBy(col("doc_id").asc, col("chunk_seq").asc)
+
+  val pipeChunkSql: String =
+    s"""WITH $chunkFrameSql
+       |SELECT doc_id, chunk_seq, tok_start, tok_end, n_toks, chunk_hash
+       |FROM chunk ORDER BY doc_id ASC, chunk_seq ASC""".stripMargin
+
+  // --- dd_chunk_exact: chunk-granular cross-doc exact dedup ---------------
+  /** Chunk-level exact duplication per document: of the doc's chunks, how
+    * many have a fingerprint that also occurs in ANOTHER document — the
+    * sub-document analogue of line-level dedup (C4/CCNet remove duplicated
+    * lines; this corpus has no newlines, so the fixed-token chunk is the
+    * unit), in exact integer ppm of the doc's chunks.
+    *
+    * Shape: the chunk explode is map-only; document frequency per
+    * fingerprint is ONE aggregate over (hash, doc_id) pairs — 16 bytes a
+    * row, never text — and rejoins the chunk stream on the 8-byte hash
+    * (shuffled hash join keyed by the code; both sides hash-partitioned
+    * once). The per-doc rollup then map-side-combines.
+    */
+  def ddChunkExact(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunkFrame(spark, dir).select(col("doc_id"), col("chunk_hash"))
+    val df = ch.groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    ch.join(df, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ppm", expr("n_dup_chunks * 1000000 DIV n_chunks"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val ddChunkExactSql: String =
+    s"""WITH $chunkFrameSql, chdf AS (
+       |  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM chunk GROUP BY chunk_hash
+       |)
+       |SELECT c.doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_chunks,
+       |  CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS dup_ppm
+       |FROM chunk c JOIN chdf f ON c.chunk_hash = f.chunk_hash
+       |GROUP BY c.doc_id ORDER BY c.doc_id ASC""".stripMargin
+
+  // --- pipe_source_epochs: per-source repeat factors under a token budget --
+  private val EpochTokenBudget = 200000L
+  private val MaxEpochs = 4L
+
+  /** Per-source epoch (repeat-factor) plan under a fixed token budget with
+    * a UNIFORM per-source target — the data-recipe step that decides how
+    * many times each source is repeated when the mixture wants more tokens
+    * than the source holds (the published LLM data recipes cap repeats;
+    * here MaxEpochs = $MaxEpochs): available tokens, the uniform target,
+    * epochs = ceil(target/available) capped, planned tokens =
+    * min(target, available×cap) and the unmet deficit + saturation flag.
+    * All integer arithmetic — ceil is (t+a−1) DIV a, never floats.
+    *
+    * Shape: one token-count aggregate per source (map-side partials), the
+    * source count broadcast from a 1-row frame; the plan math is per-row
+    * projection over ≤|sources| rows.
+    */
+  def pipeSourceEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(Codes.tokens(col("text"))).cast("bigint").as("nt"))
+      .groupBy(col("source"))
+      .agg(sum(col("nt")).as("avail_tokens"))
+    val nSrc = bySource.agg(count(lit(1)).as("n_sources"))
+    bySource.crossJoin(broadcast(nSrc))
+      .withColumn("target_tokens", expr(s"$EpochTokenBudget DIV n_sources"))
+      .withColumn("epochs", expr(
+        s"least((target_tokens + avail_tokens - 1) DIV avail_tokens, $MaxEpochs)"))
+      .withColumn("planned_tokens",
+        expr(s"least(target_tokens, avail_tokens * $MaxEpochs)"))
+      .withColumn("deficit_tokens", col("target_tokens") - col("planned_tokens"))
+      .withColumn("saturated", col("deficit_tokens") > 0L)
+      .select("source", "avail_tokens", "target_tokens", "epochs",
+        "planned_tokens", "deficit_tokens", "saturated")
+      .orderBy(col("source").asc)
+  }
+
+  val pipeSourceEpochsSql: String = {
+    import graft.functions.Codes
+    s"""WITH bysrc AS (
+       |  SELECT source,
+       |    CAST(SUM(CAST(len(${Codes.tokensSql("text")}) AS BIGINT))
+       |      AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY source
+       |), nsrc AS (
+       |  SELECT COUNT(*) AS n_sources FROM bysrc
+       |), plan AS (
+       |  SELECT source, avail_tokens,
+       |    $EpochTokenBudget // n_sources AS target_tokens
+       |  FROM bysrc, nsrc
+       |)
+       |SELECT source, avail_tokens, target_tokens,
+       |  CAST(least((target_tokens + avail_tokens - 1) // avail_tokens,
+       |    $MaxEpochs) AS BIGINT) AS epochs,
+       |  CAST(least(target_tokens, avail_tokens * $MaxEpochs) AS BIGINT)
+       |    AS planned_tokens,
+       |  CAST(target_tokens - least(target_tokens, avail_tokens * $MaxEpochs)
+       |    AS BIGINT) AS deficit_tokens,
+       |  target_tokens - least(target_tokens, avail_tokens * $MaxEpochs) > 0
+       |    AS saturated
+       |FROM plan ORDER BY source ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_chunk" -> pipeChunk,
+    "dd_chunk_exact" -> ddChunkExact,
+    "pipe_source_epochs" -> pipeSourceEpochs,
     "pipe_dedup_funnel" -> pipeDedupFunnel,
     "pipe_token_budget" -> pipeTokenBudget,
     "pipe_quality_calibration" -> pipeQualityCalibration,
@@ -764,5 +941,8 @@ object Pipeline {
     "pipe_split" -> pipeSplitSql,
     "pipe_split_drift" -> pipeSplitDriftSql,
     "pipe_pack_plan" -> pipePackPlanSql,
-    "pipe_sample" -> pipeSampleSql)
+    "pipe_sample" -> pipeSampleSql,
+    "pipe_chunk" -> pipeChunkSql,
+    "dd_chunk_exact" -> ddChunkExactSql,
+    "pipe_source_epochs" -> pipeSourceEpochsSql)
 }

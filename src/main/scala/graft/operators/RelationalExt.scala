@@ -1310,7 +1310,63 @@ object RelationalExt {
              "total_cents")} AS BIGINT) AS top_share_ppm
        |FROM agg""".stripMargin
 
+  // --- q_join_skew: join-key heavy-hitter / skew diagnostic ---------------
+  /** Pre-join skew probe on the lineitem⋈orders key: the top heavy-hitter
+    * order keys by lineitem row count, each with its exact corpus share in
+    * ppm and its ratio to the mean rows-per-key (ppm) — the numbers that
+    * decide whether a shuffle join needs salting or an AQE skew split
+    * BEFORE the join runs. This is the operational query behind every
+    * "task 999 is still running" incident at 100 TB.
+    *
+    * Shape: one key-count aggregate with map-side partials (shuffles only
+    * (key, partial-count) pairs, never rows) → a 1-row global frame
+    * (n_keys, n_rows) broadcast onto the ≤K-row top-k — taken via
+    * orderBy.limit, which Spark plans as TakeOrderedAndProject (per
+    * -partition heaps + driver merge of K×partitions rows, no global
+    * sort). Ties break on the key for determinism.
+    */
+  private val SkewTopK = 10
+
+  def qJoinSkew(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = cnt.agg(count(lit(1)).as("n_keys"),
+      sum(col("n_rows")).as("total_rows"))
+    cnt.orderBy(col("n_rows").desc, col("l_orderkey").asc)
+      .limit(SkewTopK)
+      .crossJoin(broadcast(tot))
+      // skew vs the FLOORED mean rows-per-key, not n_rows*n_keys*1e6/total:
+      // that product overflows Long once n_keys reaches ~1e10 (a 100 TB
+      // fact table), while n_rows*1e6 stays safe for any per-key count a
+      // join would survive.
+      .withColumn("share_ppm", expr("n_rows * 1000000 DIV total_rows"))
+      .withColumn("skew_ppm",
+        expr("n_rows * 1000000 DIV greatest(total_rows DIV n_keys, 1L)"))
+      .select("l_orderkey", "n_rows", "share_ppm", "skew_ppm")
+      .orderBy(col("n_rows").desc, col("l_orderkey").asc)
+  }
+
+  val qJoinSkewSql: String =
+    s"""WITH cnt AS (
+       |  SELECT l_orderkey, COUNT(*) AS n_rows
+       |  FROM lineitem GROUP BY l_orderkey
+       |), tot AS (
+       |  SELECT COUNT(*) AS n_keys, CAST(SUM(n_rows) AS BIGINT) AS total_rows
+       |  FROM cnt
+       |), top AS (
+       |  SELECT l_orderkey, n_rows FROM cnt
+       |  ORDER BY n_rows DESC, l_orderkey ASC LIMIT $SkewTopK
+       |)
+       |SELECT l_orderkey, n_rows,
+       |  CAST(n_rows * 1000000 // total_rows AS BIGINT) AS share_ppm,
+       |  CAST(n_rows * 1000000 // greatest(total_rows // n_keys, 1)
+       |    AS BIGINT) AS skew_ppm
+       |FROM top, tot
+       |ORDER BY n_rows DESC, l_orderkey ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_skew" -> qJoinSkew,
     "q_seasonality" -> qSeasonality,
     "q_revenue_topdecile" -> qRevenueTopdecile,
     "q_sample_estimate" -> qSampleEstimate,
@@ -1364,5 +1420,6 @@ object RelationalExt {
     "q13_order_count_dist" -> q13Sql,
     "q15_top_supplier" -> q15Sql,
     "q16_supplier_variety" -> q16Sql,
-    "q_order_gap" -> qOrderGapSql)
+    "q_order_gap" -> qOrderGapSql,
+    "q_join_skew" -> qJoinSkewSql)
 }

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{EventOps, Pipeline, RelationalExt}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-10 growth/curation operators beyond the DuckDB
+  * oracle gate: conservation laws (every purchase attributed exactly once,
+  * arms partition the user base, chunks tile each document) and internal
+  * consistency between each report and the frames it summarizes.
+  */
+class GrowthOpsSpec extends SparkSpec {
+
+  test("ev_attribution conserves purchases and revenue across sources") {
+    val purchases = EventOps.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val att = EventOps.evAttribution(spark, sf).collect()
+    assert(att.map(_.getAs[Long]("n_purchases")).sum == purchases.count())
+    val sharePpm = att.map(_.getAs[Long]("share_ppm")).sum
+    assert(sharePpm <= 1000000L && sharePpm > 1000000L - att.length,
+      s"floored shares must sum to within ${att.length} ppm of 1e6, got $sharePpm")
+    val sources = att.map(_.getAs[String]("source")).toSet
+    assert(sources.subsetOf(Set("click", "view", "direct")))
+  }
+
+  test("ev_rfm partitions the purchaser base and conserves revenue cents") {
+    val rfm = EventOps.evRfm(spark, sf).collect()
+    val purchases = EventOps.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+    val nPurchasers = purchases.select("user_id").distinct().count()
+    assert(rfm.map(_.getAs[Long]("n_users")).sum == nPurchasers,
+      "RFM cells must partition the purchaser base")
+    val cents = purchases
+      .agg(sum((col("value").cast("decimal(12,2)") * 100).cast("bigint")))
+      .collect().head.getLong(0)
+    assert(rfm.map(_.getAs[Long]("revenue_cents")).sum == cents)
+  }
+
+  test("ev_ab_test arms partition users; assignment is a pure user function") {
+    val ab = EventOps.evAbTest(spark, sf).collect()
+    assert(ab.map(_.getAs[String]("arm")).toSeq.sorted == Seq("A", "B"))
+    val nUsers = EventOps.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(ab.map(_.getAs[Long]("n_users")).sum == nUsers)
+    ab.foreach { r =>
+      assert(r.getAs[Long]("n_converted") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Long]("conv_ppm") <= 1000000L)
+    }
+    // determinism: the arm depends only on user_id, so recomputing over a
+    // differently-partitioned input cannot move a user between arms
+    val again = EventOps.evAbTest(spark, sf).collect()
+    assert(ab.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("ev_stickiness: DAU bounded by its month's MAU, days complete") {
+    val st = EventOps.evStickiness(spark, sf).collect()
+    st.foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("mau"))
+      assert(r.getAs[Long]("stickiness_ppm") <= 1000000L)
+    }
+    val nDays = EventOps.events(spark, sf)
+      .select(col("ts").cast("date")).distinct().count()
+    assert(st.length == nDays, "one row per active day")
+  }
+
+  test("q_join_skew: top key is the global max and ratios are consistent") {
+    val skew = RelationalExt.qJoinSkew(spark, sf).collect()
+    assert(skew.length == 10)
+    val maxCnt = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(skew.head.getAs[Long]("n_rows") == maxCnt)
+    skew.foreach { r =>
+      // mean rows-per-key ≤ total rows, so the skew ratio dominates share
+      assert(r.getAs[Long]("skew_ppm") >= r.getAs[Long]("share_ppm"))
+    }
+    assert(skew.map(_.getAs[Long]("n_rows")).toSeq ==
+      skew.map(_.getAs[Long]("n_rows")).toSeq.sorted.reverse)
+  }
+
+  test("pipe_chunk tiles every document: bounds, stride, and coverage") {
+    val byDoc = Pipeline.pipeChunk(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(byDoc.size == nDocs, "every document must chunk")
+    byDoc.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("chunk_seq"))
+      assert(sorted.head.getAs[Long]("tok_start") == 1L, s"doc $doc start")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_start") -
+            a.getAs[Long]("tok_start") == 24L, s"doc $doc stride")
+          // overlap: next chunk starts before the previous ends
+          assert(b.getAs[Long]("tok_start") <= a.getAs[Long]("tok_end") + 1)
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("n_toks") > 0, s"doc $doc empty tail chunk")
+      sorted.foreach(r => assert(r.getAs[Long]("n_toks") <= 32L))
+    }
+  }
+
+  test("dd_chunk_exact agrees with pipe_chunk counts and bounds dup share") {
+    val chunks = Pipeline.pipeChunk(spark, sf)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    val dup = Pipeline.ddChunkExact(spark, sf).collect()
+    dup.foreach { r =>
+      assert(r.getAs[Long]("n_chunks") == chunks(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_dup_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("dup_ppm") <= 1000000L)
+    }
+  }
+
+  test("pipe_source_epochs plan math is internally consistent") {
+    val plan = Pipeline.pipeSourceEpochs(spark, sf).collect()
+    plan.foreach { r =>
+      val avail = r.getAs[Long]("avail_tokens")
+      val target = r.getAs[Long]("target_tokens")
+      val epochs = r.getAs[Long]("epochs")
+      val planned = r.getAs[Long]("planned_tokens")
+      assert(epochs >= 1L && epochs <= 4L)
+      assert(planned == math.min(target, avail * 4L))
+      assert(r.getAs[Long]("deficit_tokens") == target - planned)
+      assert(r.getAs[Boolean]("saturated") == (target - planned > 0))
+      // ceil law below the cap: epochs*avail covers the target
+      if (epochs < 4L) assert(epochs * avail >= target)
+    }
+  }
+}

@@ -42,8 +42,12 @@ class PlanShapeSpec extends SparkSpec {
       "ev_session_stats", "ev_inactive_users", "ev_funnel_steps",
       "ct_cold_containers", "ns_acl_effective",
       // sim_range_audit's truth side is the same bounded query-set
-      // broadcast as sim_topk_bruteforce.
-      "sim_range_audit")
+      // broadcast as sim_topk_bruteforce; ev_rfm attaches the 1-row
+      // global-anchor scalar to the per-user purchase aggregate;
+      // q_join_skew attaches the 1-row (n_keys, total_rows) scalar to the
+      // 10-row top-k; pipe_source_epochs attaches the 1-row source-count
+      // scalar to the ≤|sources| aggregate.
+      "sim_range_audit", "ev_rfm", "q_join_skew", "pipe_source_epochs")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype
