@@ -457,6 +457,88 @@ object StreamOps {
       }.toDF()
   }
 
+  // --- streaming last-touch attribution -----------------------------------
+
+  case class AttrEv(user_id: Long, ts: Timestamp, event_id: Long,
+    event_type: String, value: Double)
+  /** Per-user attribution state: the most recent click/view, in µs. */
+  case class TouchState(touchMicros: Long, touchType: String)
+  case class AttrOut(event_id: Long, user_id: Long, source: String,
+    cents: Long)
+
+  private val AttrLookbackUs = 24L * 3600L * 1000000L
+
+  /** Exact µs of a Timestamp (getTime alone floors to ms — the 24 h
+    * lookback boundary and the (ts, event_id) ordering must see the same
+    * microseconds the batch window sees via unix_micros).
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Streaming last-touch attribution — the incremental twin of
+    * [[graft.operators.EventOps.attributionPerPurchase]]: per purchase,
+    * one AttrOut crediting the user's most recent preceding click/view
+    * within 24 h (else 'direct'). Keyed state is ONE (µs, type) pair per
+    * user — not a buffer of events — updated in (ts, event_id) order
+    * within each micro-batch (the batch window's exact ordering); the
+    * event-time timeout evicts a user's state once the watermark passes
+    * last-touch + 24 h, when the touch can no longer attribute anything,
+    * so state is bounded by users active inside the horizon. Revenue
+    * rides as exact Long cents (the Double sum would be order-dependent).
+    */
+  def attributionStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withWatermark("ts", "25 hours")
+      .as[AttrEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttrOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[AttrEv], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            // Watermark passed touch + 24 h: nothing left to attribute.
+            state.remove()
+            Iterator.empty
+          } else {
+            // Micro-batch rows are unordered; sort this group's slice by
+            // the batch window's (ts, event_id) ordering.
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var touch = state.getOption.orNull
+            val out = scala.collection.mutable.ArrayBuffer[AttrOut]()
+            for (e <- sorted) {
+              val m = micros(e.ts)
+              e.event_type match {
+                case "click" | "view" =>
+                  touch = TouchState(m, e.event_type)
+                case "purchase" =>
+                  val source =
+                    if (touch == null || m - touch.touchMicros > AttrLookbackUs)
+                      "direct"
+                    else touch.touchType
+                  out += AttrOut(e.event_id, user, source,
+                    math.round(e.value * 100))
+                case _ => ()
+              }
+            }
+            if (touch != null) {
+              val deadlineMs =
+                touch.touchMicros / 1000L + AttrLookbackUs / 1000L + 1000L
+              if (deadlineMs > state.getCurrentWatermarkMs()) {
+                state.update(touch)
+                state.setTimeoutTimestamp(deadlineMs)
+              } else if (state.exists) {
+                // the touch is already past the lookback horizon — any
+                // future purchase is 'direct' regardless, and a timeout
+                // at/below the watermark would throw; evict now instead
+                state.remove()
+              }
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
+
   /** Flush remaining open sessions from the final state (test helper for
     * end-of-stream semantics — the streaming path reaches the same flush
     * via event-time timeout in [[sessionize]]).

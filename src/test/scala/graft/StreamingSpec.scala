@@ -434,4 +434,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length === batchFps.size, "duplicate survived the stream")
     assert(streamed.toSet === batchFps)
   }
+
+  test("streaming attribution equals the batch per-purchase frame") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // 3 time-ordered files → purchases in a later micro-batch must be
+    // credited to touches carried across batches through the keyed state.
+    val base = Files.createTempDirectory("graft-attr-stream")
+    val streamDir = base.resolve("in")
+    Files.createDirectory(streamDir)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val tsUs = tsMicros(raw)
+    val Array(lo, hi) = raw.agg(min(tsUs), max(tsUs))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val span = (hi - lo) / 3 + 1
+    (0 until 3).foreach { i =>
+      val part = raw.filter(tsUs >= lo + i * span &&
+        tsUs < lo + (i + 1) * span)
+      val outDir = base.resolve(s"w$i")
+      part.coalesce(1).write.parquet(outDir.toString)
+      val f = Files.list(outDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      val dest = streamDir.resolve(f"e$i%02d.parquet")
+      Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(1000L * (i + 1)))
+    }
+
+    val q = StreamOps.attributionStream(spark,
+        StreamOps.eventStream(spark, streamDir.toString))
+      .writeStream.format("memory").queryName("attr_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("attr_stream_test")
+      .select("event_id", "source", "cents").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventOps.attributionPerPurchase(spark, sf)
+      .select(col("event_id"), col("source"),
+        (col("value").cast("decimal(12,2)") * 100).cast("bigint"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "test vacuous: no purchases at this sf")
+    assert(streamed === batch,
+      s"${(streamed -- batch).size} extra / ${(batch -- streamed).size}" +
+        " missing streamed attributions vs batch")
+    // the attributed revenue then ties out by construction
+    assert(streamed.toSeq.map(_._3).sum === batch.toSeq.map(_._3).sum)
+  }
 }
