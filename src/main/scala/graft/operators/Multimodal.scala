@@ -477,7 +477,64 @@ object Multimodal {
        |    AS BIGINT) AS kept_ppm
        |FROM t ORDER BY doc_id ASC""".stripMargin
 
+  // --- mm_resolution_histogram: the dataset-card resolution rollup --------
+  /** Resolution/orientation histogram of the image payloads — the
+    * dataset-card table a multimodal training run reads to pick resize
+    * targets and packing buckets BEFORE any decode happens (metadata-only:
+    * the plan touches width/height/bytes, never the payload column, so the
+    * parquet scan prunes the binary blob). Size classes by pixel count
+    * (integer thresholds), orientation by exact integer compare; per cell:
+    * items, total payload bytes, mean megapixel-thousandths via one final
+    * division. Map-side-combined aggregate over a ≤12-cell frame.
+    */
+  def mmResolutionHistogram(spark: SparkSession, dir: String): DataFrame =
+    payloads(spark, dir)
+      .select(col("meta.width").as("width"), col("meta.height").as("height"),
+        length(col("payload")).cast("bigint").as("n_bytes"))
+      .withColumn("px", col("width").cast("bigint") * col("height"))
+      .withColumn("size_class",
+        when(col("px") < 10000L, "tiny")
+          .when(col("px") < 50000L, "small")
+          .when(col("px") < 150000L, "medium").otherwise("large"))
+      .withColumn("orientation",
+        when(col("width") > col("height"), "landscape")
+          .when(col("width") < col("height"), "portrait")
+          .otherwise("square"))
+      .groupBy(col("size_class"), col("orientation"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        expr("sum(px) DIV (count(1) * 1000)").as("mean_kilopx"))
+      .orderBy(col("size_class").asc, col("orientation").asc)
+
+  /** Oracle re-derives the synthesized metadata: width = n_chars % 640,
+    * height = n_chars % 480, payload bytes = n_chars (pure-ASCII corpus).
+    */
+  val mmResolutionHistogramSql: String =
+    """WITH m AS (
+      |  SELECT CAST(n_chars % 640 AS BIGINT) AS width,
+      |    CAST(n_chars % 480 AS BIGINT) AS height,
+      |    CAST(n_chars AS BIGINT) AS n_bytes,
+      |    CAST((n_chars % 640) * (n_chars % 480) AS BIGINT) AS px
+      |  FROM documents
+      |), c AS (
+      |  SELECT
+      |    CASE WHEN px < 10000 THEN 'tiny' WHEN px < 50000 THEN 'small'
+      |      WHEN px < 150000 THEN 'medium' ELSE 'large' END AS size_class,
+      |    CASE WHEN width > height THEN 'landscape'
+      |      WHEN width < height THEN 'portrait' ELSE 'square' END
+      |      AS orientation,
+      |    n_bytes, px
+      |  FROM m
+      |)
+      |SELECT size_class, orientation, COUNT(*) AS n_items,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(px) // (COUNT(*) * 1000) AS BIGINT)
+      |    AS mean_kilopx
+      |FROM c GROUP BY size_class, orientation
+      |ORDER BY size_class ASC, orientation ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_resolution_histogram" -> mmResolutionHistogram,
     "mm_trim_plan" -> mmTrimPlan,
     "mm_decode_stub" -> mmDecodeStub,
     "mm_frame_sample" -> mmFrameSample,
@@ -488,6 +545,7 @@ object Multimodal {
     "mm_audio_energy" -> mmAudioEnergy)
 
   val oracles: Map[String, String] = Map(
+    "mm_resolution_histogram" -> mmResolutionHistogramSql,
     "mm_trim_plan" -> mmTrimPlanSql,
     "mm_decode_stub" -> mmDecodeStubSql,
     "mm_frame_sample" -> mmFrameSampleSql,

@@ -908,7 +908,61 @@ object Pipeline {
        |FROM plan ORDER BY source ASC""".stripMargin
   }
 
+  // --- pipe_shard_manifest: output-shard plan over the shuffled order -----
+  private val ShardTokens = 4096L
+
+  /** The shard-writing manifest a dataset export runs LAST: documents in
+    * epoch-0's reproducible shuffled order (the salted-fingerprint rank of
+    * [[pipeEpochShuffle]]) are packed greedily into ~$ShardTokens-token
+    * output shards (the webdataset/tfrecord layout step); per shard its
+    * doc count, token count and the [first, last] shuffle positions it
+    * covers. Shard assignment is exclusive-prefix-sum DIV shard size —
+    * exact integers, bit-stable across reruns and cluster layouts.
+    *
+    * Shape: the corpus-sized work is ONE distributed prefix scan over the
+    * shuffled order ([[PrefixScan.scanState]]'s empty-group case: range
+    * shards scan in parallel, a bounded offset frame aligns them) — the
+    * naive global window would serialize the corpus through one task. The
+    * rollup after is map-side combinable on shard_id.
+    */
+  def pipeShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Codes
+    val docs = Tables.documents(spark, dir)
+    val ord = Dedup.fingerprints(docs).select(col("doc_id"), col("h1"))
+      .join(docs.select(col("doc_id"),
+        size(Codes.tokens(col("text"))).cast("bigint").as("nt")), "doc_id")
+      .withColumn("he", Codes.hash(0, col("h1")))
+    PrefixScan.scanState(ord, Seq(), Seq(col("he"), col("doc_id")),
+        col("nt"), rankOut = Some("pos"), cumOut = Some("cum"))
+      .withColumn("shard_id", expr(s"cum DIV $ShardTokens"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"))
+      .orderBy(col("shard_id").asc)
+  }
+
+  val pipeShardManifestSql: String = {
+    import graft.functions.Codes
+    s"""WITH ${Dedup.fingerprintsSql}, ord AS (
+       |  SELECT f.doc_id, ${Codes.hashSql(0, "f.h1")} AS he,
+       |    CAST(len(${Codes.tokensSql("d.text")}) AS BIGINT) AS nt
+       |  FROM fp f JOIN documents d ON f.doc_id = d.doc_id
+       |), scanned AS (
+       |  SELECT doc_id, nt,
+       |    ROW_NUMBER() OVER (ORDER BY he ASC, doc_id ASC) AS pos,
+       |    coalesce(SUM(nt) OVER (ORDER BY he ASC, doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+       |  FROM ord
+       |)
+       |SELECT CAST(cum // $ShardTokens AS BIGINT) AS shard_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  CAST(MIN(pos) AS BIGINT) AS first_pos,
+       |  CAST(MAX(pos) AS BIGINT) AS last_pos
+       |FROM scanned GROUP BY 1 ORDER BY shard_id ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_shard_manifest" -> pipeShardManifest,
     "pipe_chunk" -> pipeChunk,
     "dd_chunk_exact" -> ddChunkExact,
     "pipe_source_epochs" -> pipeSourceEpochs,
@@ -942,6 +996,7 @@ object Pipeline {
     "pipe_split_drift" -> pipeSplitDriftSql,
     "pipe_pack_plan" -> pipePackPlanSql,
     "pipe_sample" -> pipeSampleSql,
+    "pipe_shard_manifest" -> pipeShardManifestSql,
     "pipe_chunk" -> pipeChunkSql,
     "dd_chunk_exact" -> ddChunkExactSql,
     "pipe_source_epochs" -> pipeSourceEpochsSql)

@@ -22,7 +22,9 @@ class DeterminismSpec extends SparkSpec {
     "ns_scan_plan", "ns_top_keys_per_bucket", "pipe_curriculum",
     "pipe_token_budget", "dd_minhash_lsh", "dd_canonical",
     "ev_dau_sketch", "tx_rarity", "sim_knn_ivfpq",
-    "ns_acl_effective", "ct_replica_history")
+    "ns_acl_effective", "ct_replica_history",
+    // r10: last-touch window carry, top-k skew cut, chunk explode + df join
+    "ev_attribution", "q_join_skew", "dd_chunk_exact")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()

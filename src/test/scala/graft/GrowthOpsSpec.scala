@@ -112,6 +112,32 @@ class GrowthOpsSpec extends SparkSpec {
     }
   }
 
+  test("mm_resolution_histogram cells partition the payload set") {
+    val hist = graft.operators.Multimodal
+      .mmResolutionHistogram(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(hist.map(_.getAs[Long]("n_items")).sum == docs.count())
+    val bytes = docs.agg(sum(col("n_chars"))).collect().head.getLong(0)
+    assert(hist.map(_.getAs[Long]("total_bytes")).sum == bytes,
+      "ASCII payload bytes must tie out to n_chars")
+  }
+
+  test("pipe_shard_manifest shards are contiguous and conserve the corpus") {
+    val m = Pipeline.pipeShardManifest(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(m.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val ids = m.map(_.getAs[Long]("shard_id")).toSeq
+    assert(ids == (0L until ids.length).toSeq, "shard ids must be dense")
+    // the shuffled positions tile: shard k+1 starts right after shard k
+    m.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("first_pos") == a.getAs[Long]("last_pos") + 1)
+      case _ =>
+    }
+    assert(m.head.getAs[Long]("first_pos") == 1L)
+    assert(m.last.getAs[Long]("last_pos") == docs.count())
+  }
+
   test("pipe_source_epochs plan math is internally consistent") {
     val plan = Pipeline.pipeSourceEpochs(spark, sf).collect()
     plan.foreach { r =>
