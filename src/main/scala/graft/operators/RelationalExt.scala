@@ -1365,7 +1365,77 @@ object RelationalExt {
        |FROM top, tot
        |ORDER BY n_rows DESC, l_orderkey ASC""".stripMargin
 
+  // --- q_integrity_audit: referential-integrity violation report ----------
+  /** Foreign-key integrity audit over the fact tables — the data-quality
+    * gate an ingest runs before analytics trusts a join (a silently
+    * dangling key undercounts every inner-join metric downstream): per
+    * relationship the violating rows (left side with no match), the rows
+    * checked, and the violation rate in exact ppm.
+    *
+    * Shape: one LEFT ANTI join per relationship, each reduced to a 1-row
+    * count before the union — the anti joins against the bounded dims
+    * (customer/part/supplier) broadcast, the fact-fact check
+    * (lineitem→orders) shuffles once on the order key; the report frame
+    * is 4 rows. Anti-join + count is the scale-correct form: no row
+    * explosion, no distinct state, map-side partial counts.
+    */
+  def qIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    def check(name: String, left: DataFrame, leftKey: String,
+        right: DataFrame, rightKey: String): DataFrame = {
+      val viol = left.join(right.select(col(rightKey)),
+        left(leftKey) === col(rightKey), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val tot = left.agg(count(lit(1)).as("n_checked"))
+      viol.crossJoin(broadcast(tot)).select(
+        lit(name).as("check"), col("n_violations"), col("n_checked"),
+        expr("n_violations * 1000000 DIV n_checked").as("violation_ppm"))
+    }
+    check("lineitem_orderkey", li, "l_orderkey", ord, "o_orderkey")
+      .unionAll(check("lineitem_partkey", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+      .unionAll(check("lineitem_suppkey", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"))
+      .unionAll(check("orders_custkey", ord, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"))
+      .orderBy(col("check").asc)
+  }
+
+  val qIntegrityAuditSql: String =
+    """WITH checks AS (
+      |  SELECT 'lineitem_orderkey' AS "check",
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |       WHERE o.o_orderkey = l.l_orderkey)) AS n_violations,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_checked
+      |  UNION ALL
+      |  SELECT 'lineitem_partkey',
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM part p
+      |       WHERE p.p_partkey = l.l_partkey)),
+      |    (SELECT COUNT(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'lineitem_suppkey',
+      |    (SELECT COUNT(*) FROM lineitem l
+      |     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+      |       WHERE s.s_suppkey = l.l_suppkey)),
+      |    (SELECT COUNT(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders_custkey',
+      |    (SELECT COUNT(*) FROM orders o
+      |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |       WHERE c.c_custkey = o.o_custkey)),
+      |    (SELECT COUNT(*) FROM orders)
+      |)
+      |SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
+      |  CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_violations * 1000000 // n_checked AS BIGINT)
+      |    AS violation_ppm
+      |FROM checks ORDER BY "check" ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_integrity_audit" -> qIntegrityAudit,
     "q_join_skew" -> qJoinSkew,
     "q_seasonality" -> qSeasonality,
     "q_revenue_topdecile" -> qRevenueTopdecile,
@@ -1421,5 +1491,6 @@ object RelationalExt {
     "q15_top_supplier" -> q15Sql,
     "q16_supplier_variety" -> q16Sql,
     "q_order_gap" -> qOrderGapSql,
-    "q_join_skew" -> qJoinSkewSql)
+    "q_join_skew" -> qJoinSkewSql,
+    "q_integrity_audit" -> qIntegrityAuditSql)
 }

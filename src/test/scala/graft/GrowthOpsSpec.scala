@@ -138,6 +138,32 @@ class GrowthOpsSpec extends SparkSpec {
     assert(m.last.getAs[Long]("last_pos") == docs.count())
   }
 
+  test("q_integrity_audit detects an injected orphan (and only it)") {
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("graft-integrity")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "documents", "embeddings").foreach { t =>
+      Files.createSymbolicLink(d.resolve(s"$t.parquet"),
+        Paths.get(s"$sf/$t.parquet"))
+    }
+    val li = Tables.lineitem(spark, sf)
+    val orphan = li.limit(1).withColumn("l_orderkey", lit(999999999L))
+    li.unionByName(orphan).write
+      .parquet(d.resolve("lineitem.parquet").toString)
+    val rows = graft.operators.RelationalExt
+      .qIntegrityAudit(spark, d.toString).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_violations")).toMap
+    assert(rows("lineitem_orderkey") == 1L, "injected orphan not detected")
+    assert(rows("orders_custkey") == 0L)
+    assert(rows("lineitem_partkey") == 0L)
+    // and the pristine testdata audits clean across all four relationships
+    val clean = graft.operators.RelationalExt
+      .qIntegrityAudit(spark, sf).collect()
+    assert(clean.forall(_.getAs[Long]("n_violations") == 0L))
+    assert(clean.map(_.getAs[Long]("n_checked")).sum ==
+      li.count() * 3 + Tables.orders(spark, sf).count())
+  }
+
   test("pipe_source_epochs plan math is internally consistent") {
     val plan = Pipeline.pipeSourceEpochs(spark, sf).collect()
     plan.foreach { r =>

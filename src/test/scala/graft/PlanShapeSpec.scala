@@ -47,7 +47,10 @@ class PlanShapeSpec extends SparkSpec {
       // q_join_skew attaches the 1-row (n_keys, total_rows) scalar to the
       // 10-row top-k; pipe_source_epochs attaches the 1-row source-count
       // scalar to the ≤|sources| aggregate.
-      "sim_range_audit", "ev_rfm", "q_join_skew", "pipe_source_epochs")
+      // q_integrity_audit combines 1-row violation/total counters per
+      // relationship before the 4-row union.
+      "sim_range_audit", "ev_rfm", "q_join_skew", "pipe_source_epochs",
+      "q_integrity_audit")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype
