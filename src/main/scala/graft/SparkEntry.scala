@@ -16,7 +16,7 @@ object SparkEntry {
       Namespace.queries ++ Containers.queries ++ Fso.queries ++ Audit.queries ++
       Entities.queries ++ EventOps.queries ++ Temporal.queries ++
       Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
-      Multimodal.queries ++ ImageCodec.queries ++ Pipeline.queries
+      Multimodal.queries ++ ImageCodec.queries ++ AudioCodec.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +26,5 @@ object SparkEntry {
       Namespace.oracles ++ Containers.oracles ++ Fso.oracles ++ Audit.oracles ++
       Entities.oracles ++ EventOps.oracles ++ Temporal.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextOps.oracles ++
-      Multimodal.oracles ++ ImageCodec.oracles ++ Pipeline.oracles
+      Multimodal.oracles ++ ImageCodec.oracles ++ AudioCodec.oracles ++ Pipeline.oracles
 }
