@@ -963,7 +963,58 @@ object TextOps {
        |FROM toks t JOIN ranked r ON t.tok = r.tok
        |GROUP BY t.doc_id ORDER BY t.doc_id ASC""".stripMargin
 
+  // --- tx_novelty: first-occurrence content share per document ------------
+  /** Content novelty per document: of the doc's distinct word-3gram
+    * shingles, the share whose FIRST corpus occurrence (minimum doc_id
+    * over the shingle) is this document — in exact integer ppm. This is
+    * the ordering-free "how much of this doc is new content" signal a
+    * curation run uses to rank near-boilerplate documents for ablation
+    * (low novelty = mostly content already present elsewhere; the
+    * doc-level complement of [[txCrossdup]]'s corpus scalar and
+    * dd_shingle_hist's df curve).
+    *
+    * Shape: the shingle projection is the shared two-stage code pipeline
+    * (compiled kernels, map-only); first-occurrence is ONE aggregate over
+    * (code, doc_id) pairs — 16 bytes a row, never text — rejoined on the
+    * 8-byte code; the per-doc rollup map-side-combines. Docs with < 3
+    * tokens have no shingles and no row, by definition.
+    */
+  def txNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), explode(shingleCodes3(col("tcs"))).as("x"))
+    val firstSeen = sh.groupBy(col("x")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firstSeen, "x")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_shingles"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val txNoveltySql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS ts FROM documents
+       |), tc AS (
+       |  SELECT doc_id, ${strCodesSql("ts")} AS tcs FROM toks
+       |), sc AS (
+       |  SELECT doc_id, ${shingleCodes3Sql("tcs")} AS scs FROM tc
+       |), sh AS (
+       |  SELECT doc_id, unnest(scs) AS x FROM sc
+       |), fs AS (
+       |  SELECT x, MIN(doc_id) AS first_doc FROM sh GROUP BY x
+       |)
+       |SELECT s.doc_id, COUNT(*) AS n_shingles,
+       |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+       |FROM sh s JOIN fs f ON s.x = f.x
+       |GROUP BY s.doc_id ORDER BY s.doc_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_novelty" -> txNovelty,
     "tx_lang_confusion" -> txLangConfusion,
     "tx_sentence_stats" -> txSentenceStats,
     "tx_charset_profile" -> txCharsetProfile,
@@ -992,6 +1043,7 @@ object TextOps {
     "tx_rarity" -> txRaritySql,
     "tx_bpe_merges" -> txBpeMergesSql,
     "tx_crossdup" -> txCrossdupSql,
+    "tx_novelty" -> txNoveltySql,
     "tx_diversity" -> txDiversitySql,
     "tx_countmin_freq" -> txCountminFreqSql,
     "tx_length_histogram" -> txLengthHistogramSql,

@@ -164,6 +164,22 @@ class GrowthOpsSpec extends SparkSpec {
       li.count() * 3 + Tables.orders(spark, sf).count())
   }
 
+  test("tx_novelty: the first doc is fully novel; novel counts partition the vocab") {
+    val nov = graft.operators.TextOps.txNovelty(spark, sf).collect()
+    val first = nov.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("novelty_ppm") == 1000000L,
+      "the minimum-doc_id document must be 100% first-seen")
+    // every distinct corpus shingle is first-seen in exactly one doc
+    val totalNovel = nov.map(_.getAs[Long]("n_novel")).sum
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Codes.shingleCodes3(
+        graft.functions.Codes.strCodes(
+          graft.functions.Codes.tokens(col("text"))))).as("x"))
+      .select("x").distinct().count()
+    assert(totalNovel == vocab, "novel counts must partition the vocabulary")
+    nov.foreach(r => assert(r.getAs[Long]("novelty_ppm") <= 1000000L))
+  }
+
   test("pipe_source_epochs plan math is internally consistent") {
     val plan = Pipeline.pipeSourceEpochs(spark, sf).collect()
     plan.foreach { r =>
