@@ -56,7 +56,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_dot_long"),
       info("graft_dot_long",
         "graft_dot_long(a, b) - exact integer dot product of two long arrays"),
-      (exprs: Seq[Expression]) => DotLongExpr(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => DotLongExpr(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_hll_registers"),
+      info("graft_hll_registers",
+        "graft_hll_registers(key) - 1024 HyperLogLog max-rank registers " +
+          "of a bigint key column (mergeable sketch state; feed to the " +
+          "estimator or AND-merge across partitions/streams)"),
+      (exprs: Seq[Expression]) => graft.functions.HllRegAgg(exprs.head)
+        .toAggregateExpression()))
 
   /** Register on an already-running session (tests, REPL). */
   def register(spark: SparkSession): Unit = all.foreach { case (id, _, b) =>

