@@ -1390,7 +1390,8 @@ object RelationalExt {
       val tot = left.agg(count(lit(1)).as("n_checked"))
       viol.crossJoin(broadcast(tot)).select(
         lit(name).as("check"), col("n_violations"), col("n_checked"),
-        expr("n_violations * 1000000 DIV n_checked").as("violation_ppm"))
+        expr("n_violations * 1000000 DIV greatest(n_checked, 1L)")
+          .as("violation_ppm"))
     }
     check("lineitem_orderkey", li, "l_orderkey", ord, "o_orderkey")
       .unionAll(check("lineitem_partkey", li, "l_partkey",
@@ -1430,7 +1431,7 @@ object RelationalExt {
       |)
       |SELECT "check", CAST(n_violations AS BIGINT) AS n_violations,
       |  CAST(n_checked AS BIGINT) AS n_checked,
-      |  CAST(n_violations * 1000000 // n_checked AS BIGINT)
+      |  CAST(n_violations * 1000000 // greatest(n_checked, 1) AS BIGINT)
       |    AS violation_ppm
       |FROM checks ORDER BY "check" ASC""".stripMargin
 
