@@ -1435,7 +1435,74 @@ object RelationalExt {
       |    AS violation_ppm
       |FROM checks ORDER BY "check" ASC""".stripMargin
 
+  // --- q_null_profile: column-completeness report -------------------------
+  /** Column completeness across the fact tables — the profiling pass a
+    * data-quality dashboard runs next to [[qIntegrityAudit]]: per column
+    * the rows, nulls and null rate in exact ppm (here also blank-string
+    * for the text-typed columns, the practical "missing" in exported
+    * data). ONE conditional-aggregate scan per table — null counting
+    * never justifies a per-column pass or an Expand — unioned into the
+    * ≤|columns| report frame.
+    */
+  def qNullProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+      def missing(c: String): Column =
+        if (df.schema(c).dataType == org.apache.spark.sql.types.StringType)
+          col(c).isNull || trim(col(c)) === ""
+        else col(c).isNull
+      val agg = df.agg(count(lit(1)).as("n_rows"),
+        cols.map(c => sum(when(missing(c), 1L).otherwise(0L))
+          .as(s"__n_$c")): _*)
+      agg.select(explode(array(cols.map(c =>
+          struct(lit(table).as("table_name"), lit(c).as("column_name"),
+            col("n_rows").as("n_rows"), col(s"__n_$c").as("n_missing"))): _*))
+          .as("s"))
+        .select("s.table_name", "s.column_name", "s.n_rows", "s.n_missing")
+    }
+    profile(Tables.orders(spark, dir), "orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))
+      .unionByName(profile(Tables.lineitem(spark, dir), "lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")))
+      .withColumn("missing_ppm",
+        expr("n_missing * 1000000 DIV greatest(n_rows, 1L)"))
+      .orderBy(col("table_name").asc, col("column_name").asc)
+  }
+
+  val qNullProfileSql: String = {
+    def arm(table: String, c: String, isStr: Boolean): String = {
+      val miss =
+        if (isStr) s"$c IS NULL OR trim(CAST($c AS VARCHAR)) = ''"
+        else s"$c IS NULL"
+      s"""SELECT '$table' AS table_name, '$c' AS column_name,
+         |    COUNT(*) AS n_rows,
+         |    CAST(SUM(CASE WHEN $miss THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_missing
+         |  FROM $table""".stripMargin
+    }
+    val arms =
+      Seq(("orders", "o_orderkey", false), ("orders", "o_custkey", false),
+        ("orders", "o_orderstatus", true), ("orders", "o_totalprice", false),
+        ("orders", "o_orderdate", false), ("orders", "o_orderpriority", true),
+        ("lineitem", "l_orderkey", false), ("lineitem", "l_partkey", false),
+        ("lineitem", "l_suppkey", false), ("lineitem", "l_quantity", false),
+        ("lineitem", "l_extendedprice", false),
+        ("lineitem", "l_discount", false), ("lineitem", "l_returnflag", true),
+        ("lineitem", "l_shipdate", false))
+        .map { case (t, c, s) => arm(t, c, s) }
+        .mkString("\n  UNION ALL\n  ")
+    s"""WITH arms AS (
+       |  $arms
+       |)
+       |SELECT table_name, column_name, n_rows, n_missing,
+       |  CAST(n_missing * 1000000 // greatest(n_rows, 1) AS BIGINT)
+       |    AS missing_ppm
+       |FROM arms ORDER BY table_name ASC, column_name ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_null_profile" -> qNullProfile,
     "q_integrity_audit" -> qIntegrityAudit,
     "q_join_skew" -> qJoinSkew,
     "q_seasonality" -> qSeasonality,
@@ -1493,5 +1560,6 @@ object RelationalExt {
     "q16_supplier_variety" -> q16Sql,
     "q_order_gap" -> qOrderGapSql,
     "q_join_skew" -> qJoinSkewSql,
-    "q_integrity_audit" -> qIntegrityAuditSql)
+    "q_integrity_audit" -> qIntegrityAuditSql,
+    "q_null_profile" -> qNullProfileSql)
 }
