@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.Codes
 import graft.functions.Codes._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines (SURVEY §2.D).
@@ -978,7 +979,53 @@ object Dedup {
        |FROM rows ORDER BY threshold_pct ASC""".stripMargin
   }
 
+  // --- dd_dup_bytes: storage-savings report for exact dedup ---------------
+  /** What exact dedup would SAVE, per source — the capacity question a
+    * storage owner asks before running the dedup job at all: docs and
+    * bytes per source, the redundant docs/bytes (every fingerprint-group
+    * member except the minimum doc_id), and the byte savings in exact
+    * ppm. Shape: the 16-byte dual-fingerprint shuffle of [[ddExact]] with
+    * the canonical pick as a per-group min window, rolled up per source
+    * with map-side partials — the report frame is ≤|sources| rows, text
+    * never moves.
+    */
+  def ddDupBytes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    fingerprints(docs)
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id")
+      .withColumn("grp_min",
+        min(col("doc_id")).over(Window.partitionBy(col("h1"), col("h2"))))
+      .withColumn("is_dup", col("doc_id") =!= col("grp_min"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_bytes"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("is_dup"), col("n_chars")).otherwise(0L))
+          .as("dup_bytes"))
+      .withColumn("save_ppm",
+        expr("dup_bytes * 1000000 DIV greatest(total_bytes, 1L)"))
+      .orderBy(col("source").asc)
+  }
+
+  val ddDupBytesSql: String =
+    s"""WITH $fingerprintsSql, marked AS (
+       |  SELECT d.source, d.n_chars,
+       |    f.doc_id <> MIN(f.doc_id) OVER (PARTITION BY f.h1, f.h2)
+       |      AS is_dup
+       |  FROM fp f JOIN documents d ON f.doc_id = d.doc_id
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       |  CAST(SUM(CASE WHEN is_dup THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS dup_bytes,
+       |  CAST(SUM(CASE WHEN is_dup THEN n_chars ELSE 0 END) * 1000000
+       |    // greatest(SUM(n_chars), 1) AS BIGINT) AS save_ppm
+       |FROM marked GROUP BY source ORDER BY source ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_dup_bytes" -> ddDupBytes,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_minhash_est" -> ddMinhashEst,
@@ -996,6 +1043,7 @@ object Dedup {
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
+    "dd_dup_bytes" -> ddDupBytesSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_est" -> ddMinhashEstSql,

@@ -180,6 +180,30 @@ class GrowthOpsSpec extends SparkSpec {
     nov.foreach(r => assert(r.getAs[Long]("novelty_ppm") <= 1000000L))
   }
 
+  test("dd_dup_bytes conserves the corpus and agrees with dd_exact") {
+    val rep = graft.operators.Dedup.ddDupBytes(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val bytes = docs.agg(sum(col("n_chars"))).collect().head.getLong(0)
+    assert(rep.map(_.getAs[Long]("total_bytes")).sum == bytes)
+    val dupDocs = graft.operators.Dedup.ddExact(spark, sf)
+      .agg(sum(col("n_duplicates"))).collect().head.getLong(0)
+    assert(rep.map(_.getAs[Long]("dup_docs")).sum == dupDocs,
+      "per-source redundant docs must sum to dd_exact's duplicate count")
+    rep.foreach(r => assert(r.getAs[Long]("save_ppm") <= 1000000L))
+  }
+
+  test("q_null_profile: fully-populated facts report zero missing") {
+    val prof = graft.operators.RelationalExt.qNullProfile(spark, sf).collect()
+    assert(prof.length == 14)
+    assert(prof.forall(_.getAs[Long]("n_missing") == 0L),
+      "driver testdata has no nulls/blanks in the profiled columns")
+    val byTable = prof.groupBy(_.getAs[String]("table_name"))
+      .map { case (t, rs) => t -> rs.map(_.getAs[Long]("n_rows")).toSet }
+    assert(byTable("lineitem") == Set(Tables.lineitem(spark, sf).count()))
+    assert(byTable("orders") == Set(Tables.orders(spark, sf).count()))
+  }
+
   test("pipe_source_epochs plan math is internally consistent") {
     val plan = Pipeline.pipeSourceEpochs(spark, sf).collect()
     plan.foreach { r =>
