@@ -23,8 +23,10 @@ class DeterminismSpec extends SparkSpec {
     "pipe_token_budget", "dd_minhash_lsh", "dd_canonical",
     "ev_dau_sketch", "tx_rarity", "sim_knn_ivfpq",
     "ns_acl_effective", "ct_replica_history",
-    // r10: last-touch window carry, top-k skew cut, chunk explode + df join
-    "ev_attribution", "q_join_skew", "dd_chunk_exact")
+    // r10: last-touch window carry, top-k skew cut, chunk explode + df
+    // join, per-column grouped NDV branches, fingerprint-group byte rollup
+    "ev_attribution", "q_join_skew", "dd_chunk_exact",
+    "q_column_stats", "dd_dup_bytes")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()
