@@ -539,6 +539,84 @@ object StreamOps {
       }.toDF()
   }
 
+  // --- streaming referential-integrity check ------------------------------
+
+  case class FkRow(key: Long, kind: String, ts: Timestamp)
+  /** Per-key FK state: whether the parent arrived, and the orphan-candidate
+    * children buffered as a COUNT (never the rows — per-key fan-in is
+    * bounded in a sane schema, and the violation report only needs the
+    * count + time range).
+    */
+  case class FkState(parentSeen: Boolean, pending: Long, firstUs: Long,
+    lastUs: Long)
+  case class FkViolation(key: Long, n_orphans: Long,
+    first_seen: Timestamp, last_seen: Timestamp)
+
+  /** Streaming referential-integrity check — the CDC twin of
+    * [[graft.operators.RelationalExt.qIntegrityAudit]]'s LEFT ANTI probe:
+    * a tagged stream of 'parent' / 'child' rows keyed by the FK; children
+    * that arrive before their parent buffer AS A COUNT in keyed state,
+    * the parent's arrival absolves them, and a key whose grace deadline
+    * (last activity + `graceHours`) passes the watermark with no parent
+    * emits one violation row and drops its state.
+    *
+    * Contract: state is bounded by keys active inside the grace horizon
+    * — the price is that a child arriving more than `graceHours` after
+    * its key's last activity re-opens the key and, with no parent
+    * re-arrival, reports as an orphan. That is the right trade for CDC
+    * integrity monitoring (bounded-lag arrivals), and exactly the class
+    * of late-data policy a batch LEFT ANTI join cannot express at all.
+    */
+  def fkViolationStream(spark: SparkSession, rows: DataFrame,
+      graceHours: Int = 24 * 180): DataFrame = {
+    import spark.implicits._
+    val graceMs = graceHours.toLong * 3600L * 1000L
+    rows.select(col("key"), col("kind"), col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .as[FkRow]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[FkState, FkViolation](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, it: Iterator[FkRow], state: GroupState[FkState]) =>
+          def violation(st: FkState): Iterator[FkViolation] =
+            if (!st.parentSeen && st.pending > 0)
+              Iterator.single(FkViolation(key, st.pending,
+                new Timestamp(st.firstUs / 1000L),
+                new Timestamp(st.lastUs / 1000L)))
+            else Iterator.empty
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            violation(st)
+          } else {
+            val sorted = it.toSeq.sortBy(e => micros(e.ts))
+            var st = state.getOption
+              .getOrElse(FkState(parentSeen = false, 0L, Long.MaxValue,
+                Long.MinValue))
+            for (e <- sorted) {
+              val m = micros(e.ts)
+              if (e.kind == "parent")
+                st = st.copy(parentSeen = true, pending = 0L)
+              else if (!st.parentSeen)
+                st = st.copy(pending = st.pending + 1,
+                  firstUs = math.min(st.firstUs, m))
+              st = st.copy(lastUs = math.max(st.lastUs, m))
+            }
+            val deadlineMs = st.lastUs / 1000L + graceMs
+            if (deadlineMs > state.getCurrentWatermarkMs()) {
+              state.update(st)
+              state.setTimeoutTimestamp(deadlineMs)
+              Iterator.empty
+            } else {
+              // grace already elapsed at processing time — same outcome as
+              // the timeout path, without arming an in-the-past timer
+              state.remove()
+              violation(st)
+            }
+          }
+      }.toDF()
+  }
+
   /** Flush remaining open sessions from the final state (test helper for
     * end-of-stream semantics — the streaming path reaches the same flush
     * via event-time timeout in [[sessionize]]).

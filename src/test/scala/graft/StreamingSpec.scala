@@ -435,6 +435,68 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSet === batchFps)
   }
 
+  test("streaming FK check reports exactly the injected orphans") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    // CDC arrival model with SYNTHETIC event time (the driver data's
+    // o_orderdate/l_shipdate have no parent-before-child invariant):
+    // batch 1 streams every order parent at T0, batch 2 the lineitem
+    // children at T0+1h plus 3 injected orphan children whose parent
+    // never arrives, batch 3 a lone watermark-advancing parent 4 days
+    // later. With a 1-day grace the orphans' deadline passes the final
+    // watermark and flushes; every real child was absolved by the
+    // cross-batch parent state.
+    val ss = spark
+    import ss.implicits._
+    val t0 = 1700000000L
+    val parents = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("key"), lit("parent").as("kind"),
+        timestamp_seconds(lit(t0)).as("ts"))
+    val children = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("key"), lit("child").as("kind"),
+        timestamp_seconds(lit(t0 + 3600L)).as("ts"))
+    val orphans = Seq((999000001L, 2L), (999000002L, 1L), (999000003L, 3L))
+    val injected = orphans.flatMap { case (k, n) =>
+      (0L until n).map(i => (k, "child", t0 + 3600L + i))
+    }.toDF("key", "kind", "sec")
+      .select(col("key"), col("kind"), timestamp_seconds(col("sec")).as("ts"))
+    val tick = Seq((-1L, "parent", t0 + 4L * 86400L))
+      .toDF("key", "kind", "sec")
+      .select(col("key"), col("kind"), timestamp_seconds(col("sec")).as("ts"))
+
+    val base = Files.createTempDirectory("graft-fk-stream")
+    val streamDir = base.resolve("in")
+    Files.createDirectory(streamDir)
+    Seq(parents, children.unionByName(injected), tick).zipWithIndex.foreach {
+      case (part, i) =>
+        val outDir = base.resolve(s"w$i")
+        part.coalesce(1).write.parquet(outDir.toString)
+        val f = Files.list(outDir).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dest = streamDir.resolve(f"e$i%02d.parquet")
+        Files.copy(f, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(1000L * (i + 1)))
+    }
+    val schema = spark.read.parquet(streamDir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+
+    val q = StreamOps.fkViolationStream(spark, stream, graceHours = 24)
+      .writeStream.format("memory").queryName("fk_stream_test")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val emitted = spark.table("fk_stream_test")
+      .select("key", "n_orphans").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(emitted == orphans.toMap,
+      s"emitted $emitted, expected ${orphans.toMap}")
+    // and none of the intact order keys was flagged
+    val intact = Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(emitted.keySet.intersect(intact).isEmpty)
+  }
+
   test("streaming attribution equals the batch per-purchase frame") {
     import java.nio.file.{Files, StandardCopyOption}
     import java.nio.file.attribute.FileTime
