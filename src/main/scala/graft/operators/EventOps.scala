@@ -1094,7 +1094,10 @@ object EventOps {
           unix_micros(col("ts")) - unix_micros(col("touch.tts")) >
             AttributionLookbackUs, "direct")
           .otherwise(col("touch.ttype")))
-      .select(col("event_id"), col("user_id"), col("source"), col("value"))
+      .select(col("event_id"), col("user_id"), col("source"), col("value"),
+        when(col("source") =!= "direct",
+          unix_micros(col("ts")) - unix_micros(col("touch.tts")))
+          .as("lag_us"))
   }
 
   def evAttribution(spark: SparkSession, dir: String): DataFrame =
@@ -1192,6 +1195,59 @@ object EventOps {
       |  CAST(SUM(cents) AS BIGINT) AS revenue_cents
       |FROM seg GROUP BY r_seg, f_seg, m_seg
       |ORDER BY r_seg ASC, f_seg ASC, m_seg ASC""".stripMargin
+
+  // --- ev_conversion_lag: touch-to-purchase latency histogram -------------
+  /** How long after the credited touch do purchases land? The attributed
+    * purchases of [[attributionPerPurchase]] bucketed by exact integer-µs
+    * lag (≤1 min / ≤1 h / ≤6 h / ≤24 h, plus the un-attributed 'direct'
+    * bucket), with purchases, exact-decimal revenue and share in ppm —
+    * the report that justifies the attribution window's width. Same ONE
+    * user-keyed window pass as the attribution rollup; the histogram is a
+    * ≤5-row aggregate.
+    */
+  def evConversionLag(spark: SparkSession, dir: String): DataFrame =
+    attributionPerPurchase(spark, dir)
+      .withColumn("lag_bucket",
+        when(col("lag_us").isNull, "direct")
+          .when(col("lag_us") <= 60L * 1000000L, "le_1m")
+          .when(col("lag_us") <= 3600L * 1000000L, "le_1h")
+          .when(col("lag_us") <= 6L * 3600L * 1000000L, "le_6h")
+          .otherwise("le_24h"))
+      .groupBy(col("lag_bucket"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sumValue(col("value")).as("revenue"))
+      .withColumn("share_ppm", expr(
+        "n_purchases * 1000000 DIV sum(n_purchases) OVER ()"))
+      .orderBy(col("lag_bucket").asc)
+
+  val evConversionLagSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, ts, event_type, value,
+       |    LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+       |        THEN struct_pack(tts := ts, ttype := event_type) END
+       |        IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+       |  FROM events
+       |), p AS (
+       |  SELECT CASE WHEN touch IS NULL
+       |      OR epoch_us(ts) - epoch_us(touch.tts) > $AttributionLookbackUs
+       |      THEN NULL ELSE epoch_us(ts) - epoch_us(touch.tts) END AS lag_us,
+       |    value
+       |  FROM t WHERE event_type = 'purchase'
+       |), b AS (
+       |  SELECT CASE WHEN lag_us IS NULL THEN 'direct'
+       |      WHEN lag_us <= 60000000 THEN 'le_1m'
+       |      WHEN lag_us <= 3600000000 THEN 'le_1h'
+       |      WHEN lag_us <= 21600000000 THEN 'le_6h'
+       |      ELSE 'le_24h' END AS lag_bucket, value
+       |  FROM p
+       |)
+       |SELECT lag_bucket, COUNT(*) AS n_purchases,
+       |  $sumValueSql AS revenue,
+       |  CAST(COUNT(*) * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT)
+       |    AS share_ppm
+       |FROM b GROUP BY lag_bucket ORDER BY lag_bucket ASC""".stripMargin
 
   // --- ev_ab_test: deterministic experiment assignment + lift report ------
   /** A/B experiment readout with DETERMINISTIC assignment: each user lands
@@ -1293,6 +1349,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_ab_test" -> evAbTest,
     "ev_stickiness" -> evStickiness,
+    "ev_conversion_lag" -> evConversionLag,
     "ev_attribution" -> evAttribution,
     "ev_rfm" -> evRfm,
     "ev_hour_profile" -> evHourProfile,
@@ -1323,6 +1380,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "ev_ab_test" -> evAbTestSql,
     "ev_stickiness" -> evStickinessSql,
+    "ev_conversion_lag" -> evConversionLagSql,
     "ev_attribution" -> evAttributionSql,
     "ev_rfm" -> evRfmSql,
     "ev_hour_profile" -> evHourProfileSql,
