@@ -22,6 +22,21 @@ class GrowthOpsSpec extends SparkSpec {
     assert(sources.subsetOf(Set("click", "view", "direct")))
   }
 
+  test("ev_conversion_lag buckets partition the purchases; direct ties out") {
+    val lag = EventOps.evConversionLag(spark, sf).collect()
+    val att = EventOps.evAttribution(spark, sf).collect()
+    assert(lag.map(_.getAs[Long]("n_purchases")).sum ==
+      att.map(_.getAs[Long]("n_purchases")).sum)
+    val directLag = lag.find(_.getAs[String]("lag_bucket") == "direct")
+      .map(_.getAs[Long]("n_purchases")).getOrElse(0L)
+    val directAtt = att.find(_.getAs[String]("source") == "direct")
+      .map(_.getAs[Long]("n_purchases")).getOrElse(0L)
+    assert(directLag == directAtt,
+      "the un-attributed bucket must equal attribution's direct credit")
+    assert(lag.map(_.getAs[String]("lag_bucket")).toSet
+      .subsetOf(Set("direct", "le_1m", "le_1h", "le_6h", "le_24h")))
+  }
+
   test("ev_rfm partitions the purchaser base and conserves revenue cents") {
     val rfm = EventOps.evRfm(spark, sf).collect()
     val purchases = EventOps.events(spark, sf)
