@@ -73,6 +73,17 @@ class ReportOpsSpec extends SparkSpec {
       audit.getAs[Long]("max_abs_err_ppm"))
   }
 
+  test("sim_range_search mean recall clears the 70% floor its gauge gates") {
+    // The r10 weak grade: 2x6-plane Hamming-1 probing recalled ~39% mean.
+    // The shipped Hamming-<=2 multi-probe must hold >= 700000 ppm mean
+    // (measured ~81% at sf0.001/sf0.01, ~77% at sf0.1); this pins the
+    // floor so a probe-set regression fails loudly instead of silently
+    // degrading the range-retrieval capability.
+    val audit = Similarity.simRangeAudit(spark, sf)
+      .agg(avg(col("recall_ppm"))).collect().head.getDouble(0)
+    assert(audit >= 700000.0, s"mean range recall $audit ppm < 700000")
+  }
+
   test("sim_knn_ivfpq ranks are well-formed and audited in the recall report") {
     val res = Similarity.simKnnIvfPq(spark, sf).collect()
     res.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
