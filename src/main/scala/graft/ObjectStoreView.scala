@@ -332,6 +332,44 @@ object ObjectStoreView {
       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size
       |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin
 
+  /** GDPR / encryption posture of every key — the compliance dimension of
+    * the namespace (reference: buckets carry a `gdprEnabled` metadata flag,
+    * common/.../om/helpers/OmBucketInfo.java:289; keys carry
+    * `FileEncryptionInfo`, common/.../om/helpers/OmKeyInfo.java:59; and
+    * `OmUtils.prepareKeyForDelete` strips GDPR metadata + encryption info
+    * before a key moves to the deletedTable,
+    * common/.../OmUtils.java:433-452). Deterministic test binding:
+    * even-numbered buckets (b0/b2/b4) are GDPR-enforced; a key is
+    * encrypted when its bucket is GDPR (per-key GDPR secret) or its part
+    * id lands in the 1-in-5 BEK slice; the R-flagged slice is the
+    * deletedTable (as in [[trashKeys]]); and 1-in-97 orders inject a
+    * deletion-hygiene VIOLATION (a deleted GDPR key that still carries
+    * its metadata — what prepareKeyForDelete exists to prevent).
+    */
+  def gdprKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val gdpr = (col("l_suppkey") % 5) % 2 === 0
+    val deleted = col("l_returnflag") === "R"
+    keysFrom(Tables.lineitem(spark, sfDir)).select(
+      col("volume"), col("bucket"), col("size"),
+      gdpr.as("gdpr_enabled"),
+      (gdpr || col("l_partkey") % 5 === 0).as("encrypted"),
+      deleted.as("deleted"),
+      (deleted && gdpr && col("l_orderkey") % 97 === 0)
+        .as("hygiene_violation"))
+  }
+
+  val gdprKeysSql: String =
+    """SELECT
+      |  'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,
+      |  'b' || CAST(l_suppkey % 5 AS VARCHAR) AS bucket,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS size,
+      |  (l_suppkey % 5) % 2 = 0 AS gdpr_enabled,
+      |  ((l_suppkey % 5) % 2 = 0 OR l_partkey % 5 = 0) AS encrypted,
+      |  l_returnflag = 'R' AS deleted,
+      |  (l_returnflag = 'R' AND (l_suppkey % 5) % 2 = 0
+      |    AND l_orderkey % 97 = 0) AS hygiene_violation
+      |FROM lineitem""".stripMargin
+
   /** Multipart uploads in flight: one upload per open order, parts = its
     * lineitems (reference: S3InitiateMultipartUploadRequest + part key
     * tracking, /root/reference/hadoop-ozone/ozone-manager/.../request/s3/

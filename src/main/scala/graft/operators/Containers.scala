@@ -1171,7 +1171,149 @@ object Containers {
        |FROM key_blocks WHERE container_id = $FsckContainer
        |ORDER BY block_local_id ASC""".stripMargin
 
+  // --- ct_scrub_report: datanode data-scanner sweep -----------------------
+  /** The container data scanner as analytics (VERDICT r10 #3 — the last
+    * health surface with durable evidence): each datanode's scrubber
+    * thread walks every container replica it hosts, re-verifying chunk
+    * checksums under an I/O throttle, and marks corrupt containers
+    * unhealthy (hadoop-hdds/container-service/.../ozoneimpl/
+    * ContainerDataScanner.java:96 `runIteration` — scanData under
+    * HddsDataTransferThrottler, incNumUnHealthyContainers +
+    * markContainerUnhealthy on failure). Per datanode: replicas scanned,
+    * bytes verified, corruption found, the iteration's duration at the
+    * configured bandwidth budget and its utilization of the minimum scan
+    * interval (ContainerScrubberConfiguration defaults:
+    * volume.bytes.per.second = 1 MiB, data.scan.interval = 1m —
+    * util > 1e6 ppm means the node cannot complete an iteration inside
+    * the interval, the capacity signal an operator plans throttles by).
+    *
+    * Corruption binding: a container is corrupt when it holds a key whose
+    * size is divisible by [[CorruptSizeModulus]] — a DATA-derived
+    * checksum-mismatch stand-in (≈1 in 10⁴ keys), so the spec can inject
+    * a corrupt container by writing a key and prove the sweep detects it
+    * (the q_integrity_audit pattern), and every replica of a corrupt
+    * container reports it (write-path corruption reaches all copies).
+    *
+    * Scale: per-container rollup (one corpus shuffle, map-side partials)
+    * → bounded replica explode (≤ 4) → per-node rollup over the ≤ 1024×4
+    * placement frame — node report is fleet-sized regardless of keys.
+    */
+  private val CorruptSizeModulus = 9973L
+  private val ScrubBandwidthBytesPerSec = 1048576L
+  private val ScrubIntervalSec = 60L
+
+  def ctScrubReport(spark: SparkSession, dir: String): DataFrame = {
+    val perContainer = ObjectStoreView.containerKeys(spark, dir)
+      .groupBy(col("container_id"))
+      .agg(sum(col("size")).as("bytes"),
+        max(when(col("size") % CorruptSizeModulus === 0, 1L).otherwise(0L))
+          .as("corrupt"))
+      .withColumn("replicas",
+        ObjectStoreView.containerReplicas(col("container_id")))
+    perContainer.filter(col("replicas") >= 1)
+      .select(col("container_id"), col("bytes"), col("corrupt"),
+        explode(sequence(lit(1L), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_containers_scanned"),
+        sum(col("bytes")).as("bytes_verified"),
+        sum(col("corrupt")).as("n_corrupt_found"))
+      .withColumn("scan_seconds",
+        expr(s"(bytes_verified + ${ScrubBandwidthBytesPerSec - 1})" +
+          s" DIV $ScrubBandwidthBytesPerSec"))
+      .withColumn("interval_util_ppm",
+        expr(s"scan_seconds * 1000000 DIV $ScrubIntervalSec"))
+      .orderBy(col("node_id").asc)
+  }
+
+  val ctScrubReportSql: String =
+    s"""WITH container_keys AS ($cks), sc AS (
+       |  SELECT container_id, CAST(SUM(size) AS BIGINT) AS bytes,
+       |    MAX(CASE WHEN size % $CorruptSizeModulus = 0 THEN 1 ELSE 0 END)
+       |      AS corrupt,
+       |    ${repl("container_id")} AS replicas
+       |  FROM container_keys GROUP BY container_id
+       |), placed AS (
+       |  SELECT (sc.container_id * 31 + u.r * 17) % 20 AS node_id,
+       |    sc.bytes, sc.corrupt
+       |  FROM sc, UNNEST(range(1, sc.replicas + 1)) AS u(r)
+       |  WHERE sc.replicas >= 1
+       |)
+       |SELECT node_id, COUNT(*) AS n_containers_scanned,
+       |  CAST(SUM(bytes) AS BIGINT) AS bytes_verified,
+       |  CAST(SUM(corrupt) AS BIGINT) AS n_corrupt_found,
+       |  CAST((SUM(bytes) + ${ScrubBandwidthBytesPerSec - 1})
+       |    // $ScrubBandwidthBytesPerSec AS BIGINT) AS scan_seconds,
+       |  CAST(((SUM(bytes) + ${ScrubBandwidthBytesPerSec - 1})
+       |    // $ScrubBandwidthBytesPerSec) * 1000000 // $ScrubIntervalSec
+       |    AS BIGINT) AS interval_util_ppm
+       |FROM placed GROUP BY node_id ORDER BY node_id ASC""".stripMargin
+
+  // --- ins_scm_protocol: SCM block-location protocol counters -------------
+  /** ScmProtocolBlockLocationInsight's per-protobuf-message counter
+    * display (insight/.../scm/ScmProtocolBlockLocationInsight.java:53-61
+    * — `addProtocolMessageMetrics` over ScmBlockLocationProtocolProtos
+    * .Type: AllocateScmBlock / DeleteScmKeyBlocks / GetScmInfo, plus the
+    * server's processed-request total), derived from durable evidence
+    * (VERDICT r10 #4): every stored block is one AllocateScmBlock
+    * (ceil(size / 1 MiB) per key, counted arithmetically — no explode),
+    * every key in the deletedTable is one DeleteScmKeyBlocks transaction
+    * on the deleted-block log, and every datanode that has ever filed a
+    * replica report performed the GetScmInfo handshake at registration.
+    * The remaining insight points (datanode dispatcher, Ratis,
+    * event-queue) have no durable evidence in the data model and are
+    * documented out of scope in SURVEY §2.
+    *
+    * Scale: two 1-row corpus aggregates + a fleet-sized distinct, all
+    * map-side combinable; the total row re-aggregates the 3-row frame.
+    */
+  def insScmProtocol(spark: SparkSession, dir: String): DataFrame = {
+    val base = ObjectStoreView.keysWithFlag(spark, dir)
+      .agg(
+        sum(expr(s"(size + ${ObjectStoreView.BlockBytes - 1})" +
+          s" DIV ${ObjectStoreView.BlockBytes}")).as("a"),
+        sum(when(col("rflag") === "R", 1L).otherwise(0L)).as("d"))
+      .select(explode(array(
+        struct(lit("scm_block_location_protocol_AllocateScmBlock")
+          .as("metric"), col("a").as("value")),
+        struct(lit("scm_block_location_protocol_DeleteScmKeyBlocks")
+          .as("metric"), col("d").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+    val handshakes = ObjectStoreView.replicaReports(spark, dir)
+      .agg(countDistinct(col("node_id")).as("value"))
+      .select(lit("scm_block_location_protocol_GetScmInfo").as("metric"),
+        col("value"))
+    val counters = base.unionByName(handshakes)
+    val total = counters.agg(sum(col("value")).as("value"))
+      .select(lit("scm_rpc_processed_requests").as("metric"), col("value"))
+    counters.unionByName(total).orderBy(col("metric").asc)
+  }
+
+  val insScmProtocolSql: String = {
+    val bb = ObjectStoreView.BlockBytes
+    s"""WITH kf AS (${ObjectStoreView.keysWithFlagSql}),
+       |reports AS (${ObjectStoreView.replicaReportsSql}), c AS (
+       |  SELECT CAST(SUM((size + ${bb - 1}) // $bb) AS BIGINT) AS a,
+       |    CAST(SUM(CASE WHEN rflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  FROM kf
+       |), g AS (
+       |  SELECT CAST(COUNT(DISTINCT node_id) AS BIGINT) AS g FROM reports
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'scm_block_location_protocol_AllocateScmBlock' AS metric,
+       |    a AS value FROM c
+       |  UNION ALL
+       |  SELECT 'scm_block_location_protocol_DeleteScmKeyBlocks', d FROM c
+       |  UNION ALL
+       |  SELECT 'scm_block_location_protocol_GetScmInfo', g.g FROM g
+       |  UNION ALL
+       |  SELECT 'scm_rpc_processed_requests', c.a + c.d + g.g FROM c, g
+       |) t ORDER BY metric ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_scrub_report" -> ctScrubReport,
+    "ins_scm_protocol" -> insScmProtocol,
     "ct_block_report" -> ctBlockReport,
     "ct_container_blocks" -> ctContainerBlocks,
     "ct_replica_history" -> ctReplicaHistory,
@@ -1197,6 +1339,8 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_scrub_report" -> ctScrubReportSql,
+    "ins_scm_protocol" -> insScmProtocolSql,
     "ct_block_report" -> ctBlockReportSql,
     "ct_container_blocks" -> ctContainerBlocksSql,
     "ct_replica_history" -> ctReplicaHistorySql,
