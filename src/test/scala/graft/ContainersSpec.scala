@@ -130,4 +130,48 @@ class ContainersSpec extends SparkSpec {
       m("scm_replica_manager_over_replicated_containers") +
       m("scm_replica_manager_healthy_containers") == containers)
   }
+
+  test("ct_scrub_report detects an injected corrupt container on exactly its hosts") {
+    // The q_integrity_audit injection pattern (VERDICT r10 #3): build a
+    // 4-row lineitem whose derived container layout is fully known, write
+    // it next to symlinks of the other tables, and prove the sweep's
+    // attribution — not just that the oracle twin agrees with itself.
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.functions.lit
+    val d = Files.createTempDirectory("graft-scrub")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "documents", "embeddings").foreach { t =>
+      Files.createSymbolicLink(d.resolve(s"$t.parquet"),
+        Paths.get(s"$sf/$t.parquet"))
+    }
+    val li = Tables.lineitem(spark, sf)
+    def row(o: Long, l: Int, price: Double) = li.limit(1)
+      .withColumn("l_orderkey", lit(o))
+      .withColumn("l_linenumber", lit(l))
+      .withColumn("l_extendedprice", lit(price))
+    // cid = (o*7 + l) % 1024; size = price*100; corrupt iff size % 9973 == 0;
+    // replicas(cid) = (cid*31 + 7) % 5; node(cid, r) = (cid*31 + r*17) % 20.
+    val corrupt = row(1L, 3, 99.73)   // cid 10 (replicas 2, nodes {7, 4}), size 9973 -> CORRUPT
+    val sibling = row(0L, 10, 50.00)  // cid 10 too, size 5000 -> clean
+    val clean   = row(1L, 4, 123.45)  // cid 11 (replicas 3, nodes {18, 15, 12}), clean
+    val missing = row(0L, 3, 99.73)   // cid 3: replicas 0 -> unscannable, must not appear
+    corrupt.unionByName(sibling).unionByName(clean).unionByName(missing)
+      .write.parquet(d.resolve("lineitem.parquet").toString)
+    val rep = Containers.ctScrubReport(spark, d.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep.keySet == Set(4L, 7L, 12L, 15L, 18L),
+      "scanned-node set must be exactly container 10's and 11's placements")
+    Seq(4L, 7L).foreach { n =>
+      assert(rep(n).getAs[Long]("n_corrupt_found") == 1L,
+        s"host node $n must report the corrupt container")
+      assert(rep(n).getAs[Long]("bytes_verified") == 9973L + 5000L,
+        s"host node $n verifies both of container 10's keys")
+      assert(rep(n).getAs[Long]("n_containers_scanned") == 1L)
+    }
+    Seq(12L, 15L, 18L).foreach { n =>
+      assert(rep(n).getAs[Long]("n_corrupt_found") == 0L,
+        s"non-host node $n must report no corruption")
+      assert(rep(n).getAs[Long]("bytes_verified") == 12345L)
+    }
+  }
 }
