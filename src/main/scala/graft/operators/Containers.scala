@@ -1270,9 +1270,10 @@ object Containers {
   def insScmProtocol(spark: SparkSession, dir: String): DataFrame = {
     val base = ObjectStoreView.keysWithFlag(spark, dir)
       .agg(
-        sum(expr(s"(size + ${ObjectStoreView.BlockBytes - 1})" +
-          s" DIV ${ObjectStoreView.BlockBytes}")).as("a"),
-        sum(when(col("rflag") === "R", 1L).otherwise(0L)).as("d"))
+        coalesce(sum(expr(s"(size + ${ObjectStoreView.BlockBytes - 1})" +
+          s" DIV ${ObjectStoreView.BlockBytes}")), lit(0L)).as("a"),
+        coalesce(sum(when(col("rflag") === "R", 1L).otherwise(0L)), lit(0L))
+          .as("d"))
       .select(explode(array(
         struct(lit("scm_block_location_protocol_AllocateScmBlock")
           .as("metric"), col("a").as("value")),
@@ -1293,8 +1294,10 @@ object Containers {
     val bb = ObjectStoreView.BlockBytes
     s"""WITH kf AS (${ObjectStoreView.keysWithFlagSql}),
        |reports AS (${ObjectStoreView.replicaReportsSql}), c AS (
-       |  SELECT CAST(SUM((size + ${bb - 1}) // $bb) AS BIGINT) AS a,
-       |    CAST(SUM(CASE WHEN rflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |  SELECT COALESCE(CAST(SUM((size + ${bb - 1}) // $bb) AS BIGINT), 0)
+       |      AS a,
+       |    COALESCE(CAST(SUM(CASE WHEN rflag = 'R' THEN 1 ELSE 0 END)
+       |      AS BIGINT), 0) AS d
        |  FROM kf
        |), g AS (
        |  SELECT CAST(COUNT(DISTINCT node_id) AS BIGINT) AS g FROM reports

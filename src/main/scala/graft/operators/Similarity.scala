@@ -535,16 +535,51 @@ object Similarity {
     * collect is model-sized (16 rows × 64 dims), not data-sized; the
     * DuckDB oracles still recompute the full training chain, so any drift
     * between the memo and the declarative training breaks the hash gate.
-    * Keyed by dir: empty-input and populated test fixtures never mix, and
-    * the exact-integer training is partitioning-invariant, so replaying
-    * the memo under a different shuffle config is value-identical.
+    * Keyed by (dir, embeddings fingerprint): empty-input and populated
+    * test fixtures never mix, and regenerating the data under a dir
+    * within one JVM changes the fingerprint (file names, sizes, mtimes)
+    * so the stale model is never replayed. The exact-integer training is
+    * partitioning-invariant, so replaying the memo under a different
+    * shuffle config is value-identical.
+    *
+    * NOTE: constructing a consumer's DataFrame is EAGER on memo miss —
+    * the first `trainedCentroids(dir)` call runs the training job and
+    * collects the 16-row model at plan-BUILD time, before any action on
+    * the returned frame. Analysis-only sweeps over the trained-sim
+    * queries therefore execute one small job per cold dir; tests that
+    * must avoid that can [[clearCentroidCache]] and skip those names.
     */
   private val centroidModels =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Seq[Long], Long)]]()
 
+  /** Drops every memoized centroid model (test/ops hook — e.g. after
+    * regenerating data in place, though the fingerprint key already
+    * catches that when the rewrite changes any file size/mtime/name).
+    */
+  def clearCentroidCache(): Unit = centroidModels.clear()
+
+  /** Cheap driver-side fingerprint of the training input: every file under
+    * dir/embeddings.parquet folded as (name, length, mtime). Pure FS
+    * metadata — no Spark job, no data read.
+    */
+  private def embeddingsFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq.sortBy(_.getName)).getOrElse(Nil)
+          .flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(dir, "embeddings.parquet")
+    if (!root.exists()) "absent"
+    else walk(root).foldLeft(1469598103934665603L) { (h, f) =>
+      val s = s"${f.getName}:${f.length}:${f.lastModified}"
+      s.foldLeft(h)((a, c) => (a ^ c) * 1099511628211L)
+    }.toHexString
+  }
+
   private[operators] def trainedCentroids(
       spark: SparkSession, dir: String): DataFrame = {
-    val rows = centroidModels.computeIfAbsent(dir, _ =>
+    val key = s"$dir#${embeddingsFingerprint(dir)}"
+    val rows = centroidModels.computeIfAbsent(key, _ =>
       trainedCentroidsPlan(Dedup.quantized(spark, dir)).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))))
     import spark.implicits._

@@ -75,13 +75,17 @@ class ReportOpsSpec extends SparkSpec {
 
   test("sim_range_search mean recall clears the 70% floor its gauge gates") {
     // The r10 weak grade: 2x6-plane Hamming-1 probing recalled ~39% mean.
-    // The shipped Hamming-<=2 multi-probe must hold >= 700000 ppm mean
-    // (measured ~81% at sf0.001/sf0.01, ~77% at sf0.1); this pins the
-    // floor so a probe-set regression fails loudly instead of silently
-    // degrading the range-retrieval capability.
-    val audit = Similarity.simRangeAudit(spark, sf)
-      .agg(avg(col("recall_ppm"))).collect().head.getDouble(0)
-    assert(audit >= 700000.0, s"mean range recall $audit ppm < 700000")
+    // The shipped Hamming-<=2 multi-probe must hold >= 700000 ppm mean.
+    // Floor derivation (ADVICE r11): measured ~810000 ppm at sf0.001 and
+    // sf0.01 and ~770000 ppm at sf0.1 — the floor is the WORST measured
+    // sf minus 70000 ppm headroom for testdata-regeneration drift, and
+    // both the tuning sf (0.1) and the cheap sf (0.001) are asserted so
+    // the margin claim itself stays tested, not just documented.
+    Seq(sf, "/root/testdata/sf0.1").foreach { d =>
+      val audit = Similarity.simRangeAudit(spark, d)
+        .agg(avg(col("recall_ppm"))).collect().head.getDouble(0)
+      assert(audit >= 700000.0, s"mean range recall $audit ppm < 700000 at $d")
+    }
   }
 
   test("sim_knn_ivfpq ranks are well-formed and audited in the recall report") {
