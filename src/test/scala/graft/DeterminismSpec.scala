@@ -26,7 +26,11 @@ class DeterminismSpec extends SparkSpec {
     // r10: last-touch window carry, top-k skew cut, chunk explode + df
     // join, per-column grouped NDV branches, fingerprint-group byte rollup
     "ev_attribution", "q_join_skew", "dd_chunk_exact",
-    "q_column_stats", "dd_dup_bytes")
+    "q_column_stats", "dd_dup_bytes",
+    // r12: scrub sweep = per-container rollup + replica explode + node
+    // rollup (two shuffles around an explode — the r11 family's cheap
+    // ordering-sensitive representative)
+    "ct_scrub_report")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()
