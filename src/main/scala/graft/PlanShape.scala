@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.PlanExpression
+import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Per-query physical plan-shape counters (VERDICT r10 #7): the numbers a
+  * scale review reads first — how many shuffles, how many broadcast joins,
+  * how wide the codegen spans. `PlanProbe` dumps them for every registered
+  * query into PLANS_r{n}.json; PlanShapeSpec reads the latest committed
+  * artifact back as its cross-round regression baseline, so a plan-shape
+  * drift (an extra exchange sneaking into an operator) fails `sbt test`
+  * instead of staying invisible between rounds.
+  *
+  * Counts are taken with AQE disabled so the executedPlan IS the final
+  * static plan (codegen stages collapsed, no runtime re-plan wrappers) and
+  * the numbers are deterministic for fixed testdata — the runtime AQE plan
+  * can only improve on this static shape.
+  */
+object PlanShape {
+
+  /** Every node of the plan, including subquery plans (scalar subqueries,
+    * IN-subqueries, DPP), with any adaptive wrapper unwrapped.
+    */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
+    case _ =>
+      val subPlans = p.expressions.flatMap(_.collect {
+        case pe: PlanExpression[_] => pe.plan
+      }).collect { case sp: SparkPlan => nodes(sp) }.flatten
+      (p +: p.children.flatMap(nodes)) ++ subPlans
+  }
+
+  /** Ordered (stable artifact layout) counter map for one query's plan. */
+  def counts(df: DataFrame): Seq[(String, Int)] = {
+    val ns = nodes(df.queryExecution.executedPlan)
+    Seq(
+      "exchanges" -> ns.count(_.isInstanceOf[ShuffleExchangeExec]),
+      "broadcast_exchanges" -> ns.count(_.isInstanceOf[BroadcastExchangeExec]),
+      "broadcast_joins" -> ns.count(n => n.isInstanceOf[BroadcastHashJoinExec]
+        || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "sort_merge_joins" -> ns.count(_.isInstanceOf[SortMergeJoinExec]),
+      "shuffled_hash_joins" -> ns.count(_.isInstanceOf[ShuffledHashJoinExec]),
+      "codegen_spans" -> ns.count(_.isInstanceOf[WholeStageCodegenExec]))
+  }
+
+  /** Plan-build under the SAME conf the artifact and the spec share: AQE
+    * off for a deterministic static plan. Restores the session conf.
+    */
+  def countsNoAqe(spark: SparkSession,
+      build: => DataFrame): Seq[(String, Int)] = {
+    val key = "spark.sql.adaptive.enabled"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try counts(build) finally spark.conf.set(key, before)
+  }
+}
+
+/** Emits PLANS_r{n}.json: `runMain graft.PlanProbe <out.json> [sfDir]`. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "PLANS.json"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cs = PlanShape.countsNoAqe(spark, fn(spark, sfDir))
+      val body = cs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+      s"""  "$name": {$body}"""
+    }
+    val json = lines.mkString(s"""{"sf": "$sfDir", "queries": {\n""",
+      ",\n", "\n}}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"wrote $out (${lines.size} queries)")
+    spark.stop()
+  }
+}

@@ -139,4 +139,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges.forall(l => !l.contains("text#")),
       "dd_exact shuffles the raw document text")
   }
+
+  /** Cross-round plan-shape regression gate (VERDICT r10 #7 / r11 #4):
+    * the latest committed PLANS_r{n}.json is the baseline; every query's
+    * live static (AQE-off) shuffle-exchange count must not EXCEED it — an
+    * extra exchange is the one plan drift that silently costs a corpus
+    * shuffle at 100 TB. Other counter drifts (broadcast joins, codegen
+    * spans) are reported via info(), not failed: they move for benign
+    * reasons (operator rewrites, span fusion). After a DELIBERATE plan
+    * improvement, regenerate with
+    * `sbt "runMain graft.PlanProbe PLANS_r{n}.json"` and commit.
+    */
+  test("no query grew a shuffle exchange vs the latest PLANS_r{n} artifact") {
+    val arts = Option(new java.io.File(".").listFiles()).get.toSeq
+      .filter(_.getName.matches("PLANS_r\\d+\\.json"))
+    assume(arts.nonEmpty, "no PLANS_r{n}.json artifact committed yet")
+    val latest = arts.maxBy(f =>
+      f.getName.stripPrefix("PLANS_r").stripSuffix(".json").toInt)
+    val entry = ("\"([a-z0-9_]+)\": \\{\"exchanges\": (\\d+), " +
+      "\"broadcast_exchanges\": (\\d+), \"broadcast_joins\": (\\d+)").r
+    val text = java.nio.file.Files.readString(latest.toPath)
+    val baseline = entry.findAllMatchIn(text)
+      .map(m => m.group(1) -> (m.group(2).toInt, m.group(4).toInt)).toMap
+    assert(baseline.size > 200, s"failed to parse ${latest.getName}")
+    val regressions = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) => baseline.get(name).flatMap {
+        case (baseEx, baseBj) =>
+          val live = PlanShape.countsNoAqe(spark, fn(spark, sf)).toMap
+          if (live("exchanges") > baseEx)
+            Some(s"$name: ${live("exchanges")} exchanges vs $baseEx in ${latest.getName}")
+          else {
+            if (live("broadcast_joins") != baseBj)
+              info(s"$name broadcast_joins drifted: ${live("broadcast_joins")} vs $baseBj (not gated)")
+            None
+          }
+      }
+    }
+    (SparkEntry.queries.keySet -- baseline.keySet).toSeq.sorted
+      .foreach(n => info(s"$n is new since ${latest.getName} (ungated this round)"))
+    assert(regressions.isEmpty,
+      s"shuffle-exchange regressions vs ${latest.getName} — if deliberate, " +
+        s"regenerate the artifact:\n${regressions.mkString("\n")}")
+  }
 }
