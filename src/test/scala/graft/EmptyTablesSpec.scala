@@ -31,6 +31,22 @@ class EmptyTablesSpec extends SparkSpec {
     }
   }
 
+  test("ins_scm_protocol reports 0 (not NULL) for every counter on a fresh namespace") {
+    // ADVICE r11: Spark's SUM skips NULLs but the oracle's `a + d + g`
+    // would propagate one — both engines now coalesce the corpus sums, so
+    // an empty namespace must report 0 processed requests, a value
+    // assertion the schema-only empty gate above cannot make.
+    val rows = graft.operators.Containers.insScmProtocol(spark, emptyDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(
+      "scm_block_location_protocol_AllocateScmBlock",
+      "scm_block_location_protocol_DeleteScmKeyBlocks",
+      "scm_block_location_protocol_GetScmInfo",
+      "scm_rpc_processed_requests"))
+    assert(rows.values.forall(_ == 0L),
+      s"fresh-namespace counters must all be 0, got $rows")
+  }
+
   test("EVERY query keeps the populated schema on empty input") {
     // Universal schema-drift gate (VERDICT r9 #8): the analyzed schema
     // must be input-independent for every registered query — a dtype that
