@@ -49,4 +49,30 @@ class DeterminismSpec extends SparkSpec {
       } finally conf.set("spark.sql.shuffle.partitions", before)
     }
   }
+
+  /** r12: the representative set above proves the ordering-sensitive
+    * families at three layouts; this sweep extends the invariance gate to
+    * EVERY other registered query at two (4-partition baseline vs 7) — a
+    * query whose output depends on partition count is exactly the bug
+    * class that passes every single-layout test and corrupts results only
+    * on the real cluster, so the property is worth the ~3 min it costs.
+    * Failures accumulate and report together.
+    */
+  test("EVERY registered query is invariant to the shuffle-partition count") {
+    val rest = SparkEntry.queries.keySet -- names
+    val conf = spark.conf
+    val before = conf.get("spark.sql.shuffle.partitions")
+    val diffs = rest.toSeq.sorted.flatMap { name =>
+      val base = rows(name)
+      conf.set("spark.sql.shuffle.partitions", "7")
+      val alt = try rows(name)
+        finally conf.set("spark.sql.shuffle.partitions", before)
+      if (alt == base) None
+      else Some(s"$name: ${(base diff alt).size} rows only at 4p, " +
+        s"${(alt diff base).size} rows only at 7p")
+    }
+    assert(diffs.isEmpty,
+      s"${diffs.size} queries depend on the shuffle layout:\n${
+        diffs.mkString("\n")}")
+  }
 }
