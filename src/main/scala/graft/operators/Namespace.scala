@@ -895,6 +895,56 @@ object Namespace {
        |  AND s.key = c.key
        |ORDER BY s.size ASC, c.container_id ASC""".stripMargin
 
+  // --- ns_key_versions: versioned-key sprawl report -----------------------
+  /** The key-versioning surface: Ozone keys carry a VERSION LIST — every
+    * overwrite under a version-enabled bucket appends a new
+    * OmKeyLocationInfoGroup at the tail rather than replacing the blocks
+    * (common/.../om/helpers/OmKeyInfo.java:55 `keyLocationVersions`,
+    * :277-295 `addNewVersion` "the new version are always at the tail",
+    * :153-154 `getLatestVersionLocations` = last element; the bucket flag
+    * is OmBucketInfo.java:58 `isVersionEnabled`). Reads serve the latest
+    * version while superseded versions keep holding blocks — exactly the
+    * space-sprawl this report surfaces: one row per key written more than
+    * once, with its version count, write-time span, total vs live bytes
+    * and the reclaimable difference (what a version-purge would free).
+    * The test binding maps each physical write of the same (volume,
+    * bucket, key) path to one version; "latest" is the lexicographic max
+    * of (mtime, size) — mtime first like the reference's tail-append
+    * order, size as the deterministic tie-break for same-instant writes.
+    *
+    * Scale: one scan → one map-side-combinable groupBy on the full key
+    * identity; the `n_versions > 1` filter prunes the rollup to the
+    * sparse versioned subset (~7 in 1e4 keys in the binding) AFTER the
+    * aggregate, so the output frame is version-sprawl-sized while the
+    * shuffle carries only 5 partial counters per distinct key.
+    */
+  def nsKeyVersions(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.keys(spark, dir)
+      .groupBy(col("volume"), col("bucket"), col("key"))
+      .agg(count(lit(1)).as("n_versions"),
+        min(col("mtime")).as("oldest_mtime"),
+        max(col("mtime")).as("latest_mtime"),
+        sum(col("size")).as("total_bytes"),
+        max(struct(col("mtime").as("m"), col("size").as("s")))
+          .getField("s").as("live_bytes"))
+      .filter(col("n_versions") > 1)
+      .withColumn("reclaimable_bytes", col("total_bytes") - col("live_bytes"))
+      .select("volume", "bucket", "key", "n_versions", "oldest_mtime",
+        "latest_mtime", "total_bytes", "live_bytes", "reclaimable_bytes")
+      .orderBy(col("volume").asc, col("bucket").asc, col("key").asc)
+
+  val nsKeyVersionsSql: String =
+    s"""WITH keys AS ($ks)
+       |SELECT volume, bucket, key, COUNT(*) AS n_versions,
+       |  MIN(mtime) AS oldest_mtime, MAX(mtime) AS latest_mtime,
+       |  CAST(SUM(size) AS BIGINT) AS total_bytes,
+       |  (MAX({'m': mtime, 's': size})).s AS live_bytes,
+       |  CAST(SUM(size) AS BIGINT) - (MAX({'m': mtime, 's': size})).s
+       |    AS reclaimable_bytes
+       |FROM keys GROUP BY volume, bucket, key
+       |HAVING COUNT(*) > 1
+       |ORDER BY volume ASC, bucket ASC, key ASC""".stripMargin
+
   // --- ns_compaction_plan: small-object compaction layout -----------------
 
   /** Compaction plan: pack each bucket's objects (key order) into target-
@@ -1065,6 +1115,7 @@ object Namespace {
     "ns_scan_plan" -> nsScanPlan,
     "ns_compaction_plan" -> nsCompactionPlan,
     "ns_lookup_key" -> nsLookupKey,
+    "ns_key_versions" -> nsKeyVersions,
     "ns_list_prefix" -> nsListPrefix,
     "ns_common_prefixes" -> nsCommonPrefixes,
     "ns_list_v2_page" -> nsListV2Page,
@@ -1092,6 +1143,7 @@ object Namespace {
     "ns_scan_plan" -> nsScanPlanSql,
     "ns_compaction_plan" -> nsCompactionPlanSql,
     "ns_lookup_key" -> nsLookupKeySql,
+    "ns_key_versions" -> nsKeyVersionsSql,
     "ns_list_prefix" -> nsListPrefixSql,
     "ns_common_prefixes" -> nsCommonPrefixesSql,
     "ns_list_v2_page" -> nsListV2PageSql,

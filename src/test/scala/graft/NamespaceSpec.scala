@@ -201,4 +201,56 @@ class NamespaceSpec extends SparkSpec {
     assert(checkpointed < namespaceKeys,
       s"checkpoint is namespace-sized ($checkpointed >= $namespaceKeys)")
   }
+
+  test("ns_key_versions: latest-by-mtime wins (not largest), ties break by size") {
+    // Injection pattern: a lineitem where one key path is written 3 times
+    // (same (o, l) + same ship month → same derived key), one twice at
+    // the SAME instant, and one once — proving the version rollup counts,
+    // picks the live version by (mtime, size) and never reports
+    // single-version keys.
+    import java.nio.file.{Files, Paths}
+    val d = Files.createTempDirectory("graft-versions")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "events", "documents", "embeddings").foreach { t =>
+      Files.createSymbolicLink(d.resolve(s"$t.parquet"),
+        Paths.get(s"$sf/$t.parquet"))
+    }
+    val li = Tables.lineitem(spark, sf)
+    val tsType = li.schema("l_shipdate").dataType
+    def row(o: Long, l: Int, supp: Long, price: Double, ship: String) =
+      li.limit(1)
+        .withColumn("l_orderkey", lit(o))
+        .withColumn("l_linenumber", lit(l))
+        .withColumn("l_suppkey", lit(supp))
+        .withColumn("l_extendedprice", lit(price))
+        .withColumn("l_shipdate", lit(ship).cast(tsType))
+    // key data/1995/03/5-1.obj: 3 versions; live = the LATEST (0.70), not
+    // the largest (9.99).
+    val v1 = row(5L, 1, 2L, 1.00, "1995-03-01 00:00:00")
+    val v2 = row(5L, 1, 2L, 9.99, "1995-03-05 00:00:00")
+    val v3 = row(5L, 1, 2L, 0.70, "1995-03-10 00:00:00")
+    // key data/1995/03/8-1.obj: 2 same-instant versions; size breaks the tie.
+    val t1 = row(8L, 1, 2L, 0.10, "1995-03-02 12:00:00")
+    val t2 = row(8L, 1, 2L, 0.20, "1995-03-02 12:00:00")
+    // single write -> must NOT appear.
+    val solo = row(6L, 1, 2L, 5.00, "1995-03-03 00:00:00")
+    v1.unionByName(v2).unionByName(v3).unionByName(t1).unionByName(t2)
+      .unionByName(solo)
+      .write.parquet(d.resolve("lineitem.parquet").toString)
+    val rep = Namespace.nsKeyVersions(spark, d.toString).collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(rep.keySet == Set("data/1995/03/5-1.obj", "data/1995/03/8-1.obj"),
+      s"versioned-key set wrong: ${rep.keySet}")
+    val k3 = rep("data/1995/03/5-1.obj")
+    assert(k3.getAs[Long]("n_versions") == 3L)
+    assert(k3.getAs[Long]("live_bytes") == 70L,
+      "live must be the latest write's size, not the largest version")
+    assert(k3.getAs[Long]("total_bytes") == 100L + 999L + 70L)
+    assert(k3.getAs[Long]("reclaimable_bytes") == 100L + 999L)
+    val k2 = rep("data/1995/03/8-1.obj")
+    assert(k2.getAs[Long]("n_versions") == 2L)
+    assert(k2.getAs[Long]("live_bytes") == 20L,
+      "same-instant versions must break the tie on size")
+    assert(k2.getAs[Long]("reclaimable_bytes") == 10L)
+  }
 }
