@@ -140,6 +140,18 @@ class PlanShapeSpec extends SparkSpec {
       "dd_exact shuffles the raw document text")
   }
 
+  test("PlanShape counters see the joins and codegen spans they gate on") {
+    // Sanity of the artifact's own instrument: q5 is the known
+    // broadcast-dimension plan, q1 the single-agg codegen plan.
+    val q5 = PlanShape.countsNoAqe(spark,
+      SparkEntry.queries("q5_local_supplier_volume")(spark, sf)).toMap
+    assert(q5("broadcast_joins") >= 4, s"q5 counters: $q5")
+    assert(q5("exchanges") >= 1 && q5("codegen_spans") >= 2)
+    val q1 = PlanShape.countsNoAqe(spark,
+      SparkEntry.queries("q1_pricing_summary")(spark, sf)).toMap
+    assert(q1("exchanges") >= 1 && q1("codegen_spans") >= 1)
+  }
+
   /** Cross-round plan-shape regression gate (VERDICT r10 #7 / r11 #4):
     * the latest committed PLANS_r{n}.json is the baseline; every query's
     * live static (AQE-off) shuffle-exchange count must not EXCEED it — an
