@@ -1013,7 +1013,155 @@ object TextOps {
        |FROM sh s JOIN fs f ON s.x = f.x
        |GROUP BY s.doc_id ORDER BY s.doc_id ASC""".stripMargin
 
+  // --- tx_zipf: rank-frequency conformance of the corpus head ------------
+  /** Zipf's-law conformance report over the 50 most frequent corpus tokens:
+    * rank (1-based, count-desc/token-asc total order), observed count, the
+    * ideal-Zipf prediction `c1 / rank` (integer floor of the rank-1 count
+    * scaled by rank) and the rank-frequency product ratio
+    * `cnt * rank / c1` — exactly 1.0 under ideal Zipf, drifting low for
+    * head-heavy (templated/boilerplate) corpora and high for flat
+    * (synthetic/shuffled) ones. The standard corpus-health probe a
+    * tokenizer/mixture change is sanity-checked against: natural-language
+    * corpora hold the ratio near 1 across the head; a drifting head is the
+    * first symptom of duplicated boilerplate or a broken text extractor.
+    * No logarithms (repo gate policy — ln is not correctly rounded
+    * cross-engine, see [[txDiversity]]): the ratio is one IEEE division of
+    * exact integers (`cnt * rnk` ≤ 2^53 up to ~10^11-token heads), so both
+    * engines produce the identical double.
+    *
+    * Shape: the only corpus-sized stage is the token-count aggregate
+    * (map-side combined, shuffle carries distinct words); the top-50 is a
+    * TakeOrdered — never a global sort — and the rank/max windows run over
+    * the 50-row frame (unpartitioned Window over aggregated+limited input,
+    * the PlanShapeSpec-sanctioned bounded case).
+    */
+  def txZipf(spark: SparkSession, dir: String): DataFrame =
+    zipfOf(Tables.documents(spark, dir))
+
+  private[graft] def zipfOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = wc.orderBy(col("cnt").desc, col("tok").asc).limit(50)
+    top
+      .select(
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc))
+          .as("rnk"),
+        col("tok"), col("cnt"),
+        max(col("cnt")).over(Window.partitionBy()).as("c1"))
+      .select(col("rnk"), col("tok"), col("cnt"),
+        expr("c1 DIV rnk").as("zipf_pred"),
+        round(col("cnt").cast("double") * col("rnk") / col("c1"), 6)
+          .as("rf_ratio"))
+      .orderBy(col("rnk").asc)
+  }
+
+  val txZipfSql: String =
+    s"""WITH w0 AS (
+       |  SELECT unnest(${tokensSql("text")}) AS tok FROM documents
+       |), wc AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM w0 GROUP BY tok
+       |), top AS (
+       |  SELECT tok, cnt FROM wc ORDER BY cnt DESC, tok ASC LIMIT 50
+       |), rk AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rnk,
+       |    tok, cnt, MAX(cnt) OVER () AS c1
+       |  FROM top
+       |)
+       |SELECT rnk, tok, cnt, CAST(c1 // rnk AS BIGINT) AS zipf_pred,
+       |  round(CAST(cnt AS DOUBLE) * rnk / c1, 6) AS rf_ratio
+       |FROM rk ORDER BY rnk ASC""".stripMargin
+
+  // --- tx_bigram_stats: per-source bigram branching profile ---------------
+  /** Per-source adjacent-token (bigram) structure profile: total and
+    * distinct bigram counts, bigram type-token ratio, the average
+    * branching factor (distinct successors per distinct prefix token — the
+    * log-free stand-in for conditional next-token entropy) and the
+    * highest-branching prefix token. Flat branching with high bigram TTR
+    * reads as natural text; a collapsed branching factor (few successors
+    * per prefix) flags templated or machine-generated sources before they
+    * pollute a training mixture — this is the per-source triage view the
+    * mixture designer reads next to [[txBigramFreqScore]]'s per-doc score.
+    * All statistics are exact integer/rational arithmetic (ppm via integer
+    * division; argmax via lexicographic struct max with token tie-break),
+    * so the cross-engine hash gate holds bit-identically.
+    *
+    * Shape: bigram expansion is a map-only indexed `transform` off the
+    * token array (no window, no self-join); the one corpus-sized shuffle
+    * is the (source, a, b) count with map-side partials, and every later
+    * stage runs over the distinct-bigram frame, sublinear in corpus size.
+    */
+  def txBigramStats(spark: SparkSession, dir: String): DataFrame =
+    bigramStatsOf(Tables.documents(spark, dir))
+
+  private[graft] def bigramStatsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), tokens(col("text")).as("ts"))
+    // Guard size >= 2: Spark's sequence(1, n) runs DESCENDING for n < 1.
+    val bg = toks
+      .select(col("source"), explode(
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("a"),
+              element_at(col("ts"), i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+        .as("p"))
+      .select(col("source"), col("p.a").as("a"), col("p.b").as("b"))
+    val bc = bg.groupBy(col("source"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val pref = bc.groupBy(col("source"), col("a"))
+      .agg(sum(col("c")).as("n_from"), count(lit(1)).as("n_succ"))
+    pref.groupBy(col("source"))
+      .agg(sum(col("n_from")).as("n_bigrams"),
+        sum(col("n_succ")).as("n_distinct_bigrams"),
+        count(lit(1)).as("n_prefixes"),
+        max(struct(col("n_succ").as("c"), col("a").as("t"))).as("mx"))
+      .select(col("source"), col("n_bigrams"), col("n_distinct_bigrams"),
+        col("n_prefixes"),
+        expr("n_distinct_bigrams * 1000000 DIV greatest(n_prefixes, 1)")
+          .as("branching_ppm"),
+        expr("n_distinct_bigrams * 1000000 DIV greatest(n_bigrams, 1)")
+          .as("bigram_ttr_ppm"),
+        col("mx.t").as("top_prefix"), col("mx.c").as("top_prefix_succ"))
+      .orderBy(col("source").asc)
+  }
+
+  val txBigramStatsSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, ${tokensSql("text")} AS ts FROM documents
+       |), bg AS (
+       |  SELECT source,
+       |    unnest([{'a': ts[i], 'b': ts[i+1]}
+       |      for i in range(1, greatest(len(ts), 1))]) AS p
+       |  FROM toks
+       |), pairs AS (
+       |  SELECT source, p['a'] AS a, p['b'] AS b FROM bg
+       |), bc AS (
+       |  SELECT source, a, b, COUNT(*) AS c FROM pairs GROUP BY source, a, b
+       |), pref AS (
+       |  SELECT source, a, CAST(SUM(c) AS BIGINT) AS n_from,
+       |    COUNT(*) AS n_succ
+       |  FROM bc GROUP BY source, a
+       |), agg AS (
+       |  SELECT source, CAST(SUM(n_from) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(n_succ) AS BIGINT) AS n_distinct_bigrams,
+       |    COUNT(*) AS n_prefixes,
+       |    (MAX({'c': n_succ, 't': a})).t AS top_prefix,
+       |    (MAX({'c': n_succ, 't': a})).c AS top_prefix_succ
+       |  FROM pref GROUP BY source
+       |)
+       |SELECT source, n_bigrams, n_distinct_bigrams, n_prefixes,
+       |  CAST(n_distinct_bigrams * 1000000 // greatest(n_prefixes, 1)
+       |    AS BIGINT) AS branching_ppm,
+       |  CAST(n_distinct_bigrams * 1000000 // greatest(n_bigrams, 1)
+       |    AS BIGINT) AS bigram_ttr_ppm,
+       |  top_prefix, top_prefix_succ
+       |FROM agg ORDER BY source ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_zipf" -> txZipf,
+    "tx_bigram_stats" -> txBigramStats,
     "tx_novelty" -> txNovelty,
     "tx_lang_confusion" -> txLangConfusion,
     "tx_sentence_stats" -> txSentenceStats,
@@ -1036,6 +1184,8 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_zipf" -> txZipfSql,
+    "tx_bigram_stats" -> txBigramStatsSql,
     "tx_lang_confusion" -> txLangConfusionSql,
     "tx_sentence_stats" -> txSentenceStatsSql,
     "tx_charset_profile" -> txCharsetProfileSql,

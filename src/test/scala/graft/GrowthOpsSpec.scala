@@ -234,4 +234,69 @@ class GrowthOpsSpec extends SparkSpec {
       if (epochs < 4L) assert(epochs * avail >= target)
     }
   }
+
+  test("tx_zipf: constructed corpus yields exact ranks, predictions, ratios") {
+    import spark.implicits._
+    // 6×"w1", 3×"w2", 2×"w3", 1×"w4" — c1=6, so zipf_pred = 6 DIV rnk and
+    // rf_ratio = cnt*rnk/6 are all exactly representable doubles.
+    val docs = Seq(
+      (1L, "w1 w1 w1 w2 w2 w3"),
+      (2L, "w1 w1 w1 w2 w3 w4"))
+      .toDF("doc_id", "text")
+    val z = graft.operators.TextOps.zipfOf(docs).collect()
+    assert(z.map(r => (r.getAs[Int]("rnk"), r.getAs[String]("tok"),
+      r.getAs[Long]("cnt"), r.getAs[Long]("zipf_pred"),
+      r.getAs[Double]("rf_ratio"))).toSeq == Seq(
+      (1, "w1", 6L, 6L, 1.0),
+      (2, "w2", 3L, 3L, 1.0),
+      (3, "w3", 2L, 2L, 1.0),
+      (4, "w4", 1L, 1L, 0.666667)))  // round(4/6, 6)
+  }
+
+  test("tx_zipf on the corpus: dense ranks, non-increasing counts, exact head") {
+    val z = graft.operators.TextOps.txZipf(spark, sf).collect()
+    assert(z.nonEmpty && z.length <= 50)
+    assert(z.map(_.getAs[Int]("rnk")).toSeq == (1 to z.length))
+    val cnts = z.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b },
+      "counts must be non-increasing in rank")
+    // rank 1 is the true corpus-max token count, and its ratio is exactly 1
+    val wc = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Codes.tokens(col("text"))).as("t"))
+      .groupBy("t").count().agg(max("count")).collect().head.getLong(0)
+    assert(z.head.getAs[Long]("cnt") == wc)
+    assert(z.head.getAs[Double]("rf_ratio") == 1.0)
+  }
+
+  test("tx_bigram_stats: constructed source yields exact branching profile") {
+    import spark.implicits._
+    // "a b a c a b" → bigrams (a,b),(b,a),(a,c),(c,a),(a,b): n=5;
+    // prefixes a→{b,c}, b→{a}, c→{a}: 3 prefixes, 4 distinct bigrams;
+    // top prefix = a (2 successors).
+    val docs = Seq((1L, "a b a c a b", "sX")).toDF("doc_id", "text", "source")
+    val r = graft.operators.TextOps.bigramStatsOf(docs).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("source") == "sX")
+    assert(row.getAs[Long]("n_bigrams") == 5L)
+    assert(row.getAs[Long]("n_distinct_bigrams") == 4L)
+    assert(row.getAs[Long]("n_prefixes") == 3L)
+    assert(row.getAs[Long]("branching_ppm") == 4L * 1000000 / 3)
+    assert(row.getAs[Long]("bigram_ttr_ppm") == 4L * 1000000 / 5)
+    assert(row.getAs[String]("top_prefix") == "a")
+    assert(row.getAs[Long]("top_prefix_succ") == 2L)
+  }
+
+  test("tx_bigram_stats conserves per-source bigram totals") {
+    val rep = graft.operators.TextOps.txBigramStats(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_bigrams")).toMap
+    // independent count: every doc contributes max(n_tokens - 1, 0) bigrams
+    val expect = Tables.documents(spark, sf)
+      .select(col("source"),
+        greatest(size(graft.functions.Codes.tokens(col("text"))) - 1, lit(0))
+          .cast("long").as("nb"))
+      .groupBy("source").agg(sum("nb").as("nb")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("nb")).toMap
+    assert(rep == expect, "bigram totals must match the per-doc token counts")
+  }
 }
