@@ -912,14 +912,36 @@ object Namespace {
     * of (mtime, size) — mtime first like the reference's tail-append
     * order, size as the deterministic tie-break for same-instant writes.
     *
-    * Scale: one scan → one map-side-combinable groupBy on the full key
-    * identity; the `n_versions > 1` filter prunes the rollup to the
-    * sparse versioned subset (~7 in 1e4 keys in the binding) AFTER the
-    * aggregate, so the output frame is version-sprawl-sized while the
-    * shuffle carries only 5 partial counters per distinct key.
+    * Scale (the 16-byte fingerprint shuffle): the naive one-pass rollup
+    * groups the corpus on its full (volume, bucket, key) STRING identity —
+    * at sf0.1 that shuffle carries 63 MB, ~100 bytes per distinct key,
+    * and it grows linearly with the namespace. Instead, pass A aggregates
+    * an 8-byte xxhash64 fingerprint of the identity to a count (16 bytes
+    * per distinct key on the wire, map-side combined), keeps the sparse
+    * `count > 1` fingerprints (~7 in 1e4 keys in the binding), and pass B
+    * re-scans the corpus joined against that BROADCAST fingerprint set —
+    * so the full 5-counter rollup with the key strings only ever runs on
+    * the version-sprawl-sized subset. A second parquet scan buys a ~4×
+    * smaller global exchange: linear local IO for less all-to-all traffic,
+    * the right trade at 1000 executors.
+    *
+    * Hash collisions cannot corrupt the result: a colliding unversioned
+    * key only rides into pass B as a false-positive row, where the rollup
+    * groups by the TRUE string identity again and the re-applied
+    * `n_versions > 1` filter drops it — the fingerprint only prunes, never
+    * merges. (At extreme sprawl the broadcast side grows with the
+    * versioned subset — ~8 MB per 1e6 versioned keys; swap the hint for
+    * AQE's runtime choice if a namespace ever approaches that.)
     */
-  def nsKeyVersions(spark: SparkSession, dir: String): DataFrame =
-    ObjectStoreView.keys(spark, dir)
+  def nsKeyVersions(spark: SparkSession, dir: String): DataFrame = {
+    val keys = ObjectStoreView.keys(spark, dir)
+    def fp = xxhash64(col("volume"), col("bucket"), col("key"))
+    val versionedFps = keys.select(fp.as("kfp"))
+      .groupBy(col("kfp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("kfp"))
+    keys.withColumn("kfp", fp)
+      .join(broadcast(versionedFps), "kfp")
       .groupBy(col("volume"), col("bucket"), col("key"))
       .agg(count(lit(1)).as("n_versions"),
         min(col("mtime")).as("oldest_mtime"),
@@ -932,6 +954,7 @@ object Namespace {
       .select("volume", "bucket", "key", "n_versions", "oldest_mtime",
         "latest_mtime", "total_bytes", "live_bytes", "reclaimable_bytes")
       .orderBy(col("volume").asc, col("bucket").asc, col("key").asc)
+  }
 
   val nsKeyVersionsSql: String =
     s"""WITH keys AS ($ks)
