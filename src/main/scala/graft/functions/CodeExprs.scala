@@ -1,7 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{Expression, Nondeterministic, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -127,6 +129,59 @@ case class StrCodesExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): StrCodesExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_str_codes"
+}
+
+/** EXCLUSIVE partition-local running sum of a LONG child, in physical row
+  * order — the [[org.apache.spark.sql.catalyst.expressions.MonotonicallyIncreasingID]]
+  * pattern generalized from a row counter to a value accumulator: a
+  * per-partition mutable long, reset by `initializeInternal` at partition
+  * start, emitted-then-incremented per row, with a codegen twin so the
+  * projection stays inside whole-stage codegen.
+  *
+  * This exists for [[graft.operators.PrefixScan.scanState]]: evaluated
+  * directly above a `sortWithinPartitions` on range-partitioned input, it
+  * yields the per-shard scan state that previously required a
+  * `Window.partitionBy(shard, group)` — i.e. a SECOND corpus-sized hash
+  * exchange. Declared `stateful` (and thereby nondeterministic), which is
+  * also the correctness lever: Catalyst will not push filters/projections
+  * past it, collapse it into downstream uses, or fold it — the evaluation
+  * point is pinned exactly where the caller put it, in sorted row order.
+  * Meaningful ONLY above an explicit per-partition sort; the wrapper in
+  * [[graft.operators.PrefixScan]] owns that contract.
+  */
+case class PartitionRunningSumExpr(child: Expression)
+    extends UnaryExpression with Nondeterministic {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def stateful: Boolean = true
+
+  @transient private[this] var acc: Long = _
+
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    acc = 0L
+
+  override def evalInternal(input: InternalRow): Any = {
+    val out = acc
+    val v = child.eval(input)
+    if (v != null) acc += v.asInstanceOf[Long]
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val accTerm = ctx.addMutableState(CodeGenerator.JAVA_LONG, "graftRunSum")
+    ctx.addPartitionInitializationStatement(s"$accTerm = 0L;")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        final long ${ev.value} = $accTerm;
+        if (!${c.isNull}) { $accTerm += ${c.value}; }""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PartitionRunningSumExpr = copy(child = newChild)
+  override def prettyName: String = "graft_partition_running_sum"
 }
 
 /** string → long full-string polynomial fold fingerprint. */
