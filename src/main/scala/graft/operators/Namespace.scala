@@ -493,6 +493,114 @@ object Namespace {
        |FROM diff GROUP BY volume, bucket, diff_type
        |ORDER BY volume ASC, bucket ASC, diff_type ASC""".stripMargin
 
+  // --- ns_du_incremental: delta-maintained usage report --------------------
+
+  /** Incrementally-maintained per-(volume, bucket) usage report: the
+    * materialized report at snapshot A plus the A→B update-event stream
+    * (PUT / DELETE / UPDATE), merged into the report at B WITHOUT
+    * rescanning B. This is the reference's Recon maintenance model —
+    * aggregate tables are kept current by consuming OM DB update batches
+    * rather than re-iterating the key table (recon/.../tasks/
+    * ReconOmTask.java:40 `process(OMUpdateEventBatch)`;
+    * FileSizeCountTask.java:130-144 applies PUT, DELETE and
+    * UPDATE-as-delete-old+put-new deltas to the maintained counts;
+    * OMDBUpdateEvent.java:158 defines the three actions). At 100 TB this
+    * is the difference between a nightly full-corpus rescan and reading
+    * yesterday's |buckets|-sized report plus ONE pass over the day's
+    * delta: the only corpus-sized input is the event stream, aggregated
+    * with map-side partials down to the bucket frame, then a
+    * metadata-sized full-outer merge with the base report. Buckets whose
+    * maintained key count reaches 0 leave the report (the DELETE-to-empty
+    * case).
+    *
+    * The DuckDB oracle deliberately computes the B report from SCRATCH
+    * (full recompute over the B state) — the driver's hash gate therefore
+    * proves the incremental maintenance is exactly equivalent to the
+    * rescan it replaces, not merely self-consistent.
+    */
+  def duIncremental(baseReport: DataFrame, events: DataFrame): DataFrame = {
+    val deltas = events.groupBy(col("volume"), col("bucket"))
+      .agg(
+        sum(when(col("action") === "PUT", 1L)
+          .when(col("action") === "DELETE", -1L)
+          .otherwise(0L)).as("d_keys"),
+        sum(col("d_bytes")).as("d_bytes"),
+        sum(when(col("action") === "PUT", 1L).otherwise(0L)).as("n_puts"),
+        sum(when(col("action") === "DELETE", 1L).otherwise(0L))
+          .as("n_deletes"),
+        sum(when(col("action") === "UPDATE", 1L).otherwise(0L))
+          .as("n_updates"))
+    baseReport.join(deltas, Seq("volume", "bucket"), "full_outer")
+      .select(col("volume"), col("bucket"),
+        (coalesce(col("n_keys"), lit(0L)) +
+          coalesce(col("d_keys"), lit(0L))).as("n_keys"),
+        (coalesce(col("total_bytes"), lit(0L)) +
+          coalesce(col("d_bytes"), lit(0L))).as("total_bytes"),
+        coalesce(col("n_puts"), lit(0L)).as("n_puts"),
+        coalesce(col("n_deletes"), lit(0L)).as("n_deletes"),
+        coalesce(col("n_updates"), lit(0L)).as("n_updates"))
+      .filter(col("n_keys") > 0)
+      .orderBy(col("volume").asc, col("bucket").asc)
+  }
+
+  /** Registered binding: base = aggregate of snapshot A (standing in for
+    * the materialized report table — at scale this is a metadata read,
+    * not a scan), events = the A→B delta derived from the flagged key
+    * basis in one scan (the test binding's stand-in for the OM update
+    * log): R-flagged pre-A keys are DELETEd, A-flagged pre-A keys grow
+    * 1 KiB (UPDATE), in-window non-R keys are PUT at their B size —
+    * exactly the [[ObjectStoreView.snapshotA]]→[[ObjectStoreView.snapshotB]]
+    * transition.
+    */
+  def nsDuIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val kf = ObjectStoreView.keysWithFlag(spark, dir)
+    val a = lit("1997-01-01").cast("timestamp")
+    val b = lit("1998-01-01").cast("timestamp")
+    val base = kf.filter(col("mtime") < a)
+      .groupBy(col("volume"), col("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"))
+    val events = kf
+      .withColumn("action",
+        when(col("rflag") === "R" && col("mtime") < a, "DELETE")
+          .when(col("rflag") === "A" && col("mtime") < a, "UPDATE")
+          .when(col("mtime") >= a && col("mtime") < b &&
+            col("rflag") =!= "R", "PUT"))
+      .filter(col("action").isNotNull)
+      .withColumn("d_bytes",
+        when(col("action") === "DELETE", -col("size"))
+          .when(col("action") === "UPDATE", lit(1024L))
+          .otherwise(col("size") +
+            when(col("rflag") === "A", lit(1024L)).otherwise(lit(0L))))
+      .select("volume", "bucket", "action", "d_bytes")
+    duIncremental(base, events)
+  }
+
+  val nsDuIncrementalSql: String =
+    s"""WITH kf AS (${ObjectStoreView.keysWithFlagSql}), b AS (
+       |  SELECT volume, bucket, COUNT(*) AS n_keys,
+       |    CAST(SUM(size + CASE WHEN rflag = 'A' THEN 1024 ELSE 0 END)
+       |      AS BIGINT) AS total_bytes
+       |  FROM kf WHERE mtime < TIMESTAMP '1998-01-01' AND rflag <> 'R'
+       |  GROUP BY volume, bucket
+       |), ev AS (
+       |  SELECT volume, bucket,
+       |    SUM(CASE WHEN mtime >= TIMESTAMP '1997-01-01'
+       |      AND mtime < TIMESTAMP '1998-01-01' AND rflag <> 'R'
+       |      THEN 1 ELSE 0 END) AS n_puts,
+       |    SUM(CASE WHEN rflag = 'R' AND mtime < TIMESTAMP '1997-01-01'
+       |      THEN 1 ELSE 0 END) AS n_deletes,
+       |    SUM(CASE WHEN rflag = 'A' AND mtime < TIMESTAMP '1997-01-01'
+       |      THEN 1 ELSE 0 END) AS n_updates
+       |  FROM kf GROUP BY volume, bucket
+       |)
+       |SELECT b.volume, b.bucket, b.n_keys, b.total_bytes,
+       |  CAST(COALESCE(e.n_puts, 0) AS BIGINT) AS n_puts,
+       |  CAST(COALESCE(e.n_deletes, 0) AS BIGINT) AS n_deletes,
+       |  CAST(COALESCE(e.n_updates, 0) AS BIGINT) AS n_updates
+       |FROM b LEFT JOIN ev e
+       |  ON b.volume = e.volume AND b.bucket = e.bucket
+       |ORDER BY b.volume ASC, b.bucket ASC""".stripMargin
+
   // --- ns_top_keys_per_bucket: per-group top-k via the custom operator ---
   /** Top 3 largest keys in EVERY bucket — per-group form of [[nsTopKeys]]
     * (Recon's per-bucket largest-objects panel), executed by the custom
@@ -1152,6 +1260,7 @@ object Namespace {
     "ns_bucket_usage" -> nsBucketUsage,
     "ns_key_age" -> nsKeyAge,
     "ns_snapshot_diff" -> nsSnapshotDiff,
+    "ns_du_incremental" -> nsDuIncremental,
     "ns_snapshot_diff_summary" -> nsSnapshotDiffSummary,
     "ns_snapshot_diff_chain" -> nsSnapshotDiffChain,
     "ns_top_keys_per_bucket" -> nsTopKeysPerBucket,
@@ -1180,6 +1289,7 @@ object Namespace {
     "ns_bucket_usage" -> nsBucketUsageSql,
     "ns_key_age" -> nsKeyAgeSql,
     "ns_snapshot_diff" -> nsSnapshotDiffSql,
+    "ns_du_incremental" -> nsDuIncrementalSql,
     "ns_snapshot_diff_summary" -> nsSnapshotDiffSummarySql,
     "ns_snapshot_diff_chain" -> nsSnapshotDiffChainSql,
     "ns_top_keys_per_bucket" -> nsTopKeysPerBucketSql,
