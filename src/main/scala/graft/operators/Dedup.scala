@@ -125,15 +125,21 @@ object Dedup {
     * [[Codes.pairs]] — no self-join, signatures computed exactly once;
     * buckets over [[MaxBucket]] are dropped (skew guard).
     */
-  private[graft] def lshPairs(sigs: DataFrame): DataFrame = {
-    // One explode over an array of (band, sig) structs — the 64 minhash
-    // columns in `sigs` are computed exactly once per doc (a 16-way union
-    // of selects would re-run the signature projection per band).
+  /** (band, sig, doc_id) rows — one explode over an array of (band, sig)
+    * structs, so the 64 minhash columns in `sigs` are computed exactly once
+    * per doc (a 16-way union of selects would re-run the signature
+    * projection per band).
+    */
+  private[graft] def bandRows(sigs: DataFrame): DataFrame = {
     val bandStructs = array((0 until Bands).map(b =>
       struct(lit(b).as("band"), bandSig(b).as("sig"))): _*)
-    val bands = sigs
+    sigs
       .select(col("doc_id"), explode(bandStructs).as("bs"))
       .select(col("bs.band").as("band"), col("bs.sig").as("sig"), col("doc_id"))
+  }
+
+  private[graft] def lshPairs(sigs: DataFrame): DataFrame = {
+    val bands = bandRows(sigs)
     bands.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, MaxBucket))
@@ -1024,7 +1030,139 @@ object Dedup {
        |    // greatest(SUM(n_chars), 1) AS BIGINT) AS save_ppm
        |FROM marked GROUP BY source ORDER BY source ASC""".stripMargin
 
+  // --- dd_incremental: new-batch ingest gate vs the corpus index ----------
+
+  /** "New batch" binding for the incremental gate: every 10th doc_id plays
+    * the day's ingest; the rest is the already-indexed corpus.
+    */
+  private[graft] val IncrMod = 10L
+
+  /** Incremental-ingest dedup gate: dedup TODAY'S batch against the
+    * already-indexed corpus — never re-dedup the corpus itself. This is
+    * the production shape of dedup at 100 TB: the corpus's fingerprint and
+    * LSH-band tables are materialized once (here recomputed from the
+    * corpus split — the test binding's stand-in for the index), and a
+    * daily ingest is admitted by (1) an exact fingerprint lookup — the
+    * batch's 16-byte fingerprints BROADCAST against the corpus index, the
+    * corpus side never shuffles — and (2) an LSH-band lookup (batch bands
+    * broadcast against the corpus band index) whose candidates are
+    * Jaccard-verified at the same ≥ 0.6 threshold as [[ddNgramJaccard]].
+    * Corpus buckets over [[MaxBucket]] emit no candidates (the lshPairs
+    * skew guard: a bucket that hot is boilerplate, not a dup signal) —
+    * the guard counts are recovered from the matched buckets themselves,
+    * so no corpus-wide bucket aggregation runs. Per new doc: the exact /
+    * near flags and the ADMIT / REJECT_EXACT / REJECT_NEAR verdict.
+    * Asymmetric by design: new-vs-new duplicates are NOT flagged here —
+    * they are the next index build's problem (matching the incremental
+    * contract: the gate answers "is this already in the corpus?").
+    */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % IncrMod === lit(IncrMod - 1)
+    val newDocs = docs.filter(isNew)
+    val corpus = docs.filter(!isNew)
+
+    val exactHits = fingerprints(corpus)
+      .join(broadcast(fingerprints(newDocs).withColumnRenamed("doc_id", "new_id")),
+        Seq("h1", "h2"))
+      .select(col("new_id")).distinct()
+      .withColumn("is_exact_dup", lit(true))
+
+    // Matched (band, sig) buckets only, batch-bucket-sized: localCheckpoint
+    // cuts the double corpus scan that bn + cand deriving from the same
+    // join would otherwise cost (the ns_snapshot_diff_chain precedent).
+    val rawCand = bandRows(signatures(corpus))
+      .join(broadcast(bandRows(signatures(newDocs))
+        .withColumnRenamed("doc_id", "new_id")), Seq("band", "sig"))
+      .select(col("band"), col("sig"), col("doc_id").as("corp_id"),
+        col("new_id"))
+      .localCheckpoint()
+    // Every corpus member of a matched bucket is present in rawCand, so
+    // the skew-guard bucket size is recoverable without touching the
+    // full index.
+    val bn = rawCand.groupBy(col("band"), col("sig"))
+      .agg(countDistinct(col("corp_id")).as("n"))
+      .filter(col("n") <= MaxBucket)
+    val cand = rawCand.join(bn.select("band", "sig"), Seq("band", "sig"))
+      .select(col("new_id"), col("corp_id")).distinct()
+
+    val sets = docs
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
+    val nearHits = cand
+      .join(sets.select(col("doc_id").as("new_id"), col("sg").as("sg_a")),
+        "new_id")
+      .join(sets.select(col("doc_id").as("corp_id"), col("sg").as("sg_b")),
+        "corp_id")
+      .withColumn("n_inter", size(array_intersect(col("sg_a"), col("sg_b"))))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (size(col("sg_a")) + size(col("sg_b")) - col("n_inter")), 6))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("new_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+
+    newDocs.select(col("doc_id"))
+      .join(exactHits.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .join(nearHits.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("is_exact_dup"), lit(false)).as("is_exact_dup"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+      .withColumn("verdict",
+        when(col("is_exact_dup"), "REJECT_EXACT")
+          .when(col("is_near_dup"), "REJECT_NEAR")
+          .otherwise("ADMIT"))
+      .orderBy(col("doc_id").asc)
+  }
+
+  val ddIncrementalSql: String = {
+    val bandSelects = (0 until Bands)
+      .map(b => s"SELECT $b AS band, ${bandSigSql(b)} AS sig, doc_id FROM sigs")
+      .mkString("\nUNION ALL\n")
+    val newPred = s"doc_id % $IncrMod = ${IncrMod - 1}"
+    s"""WITH $signaturesSql, $fingerprintsSql, exact_m AS (
+       |  SELECT DISTINCT n.doc_id FROM fp n JOIN fp c
+       |    ON n.h1 = c.h1 AND n.h2 = c.h2
+       |  WHERE n.$newPred AND NOT c.$newPred
+       |), bands AS (
+       |$bandSelects
+       |), rawc AS (
+       |  SELECT cb.band, cb.sig, cb.doc_id AS corp_id, nb.doc_id AS new_id
+       |  FROM bands cb JOIN bands nb
+       |    ON cb.band = nb.band AND cb.sig = nb.sig
+       |  WHERE NOT cb.$newPred AND nb.$newPred
+       |), bn AS (
+       |  SELECT band, sig FROM rawc GROUP BY band, sig
+       |  HAVING COUNT(DISTINCT corp_id) <= $MaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT r.new_id, r.corp_id FROM rawc r
+       |  JOIN bn ON r.band = bn.band AND r.sig = bn.sig
+       |), sets AS (
+       |  SELECT doc_id, scs AS sg FROM sc
+       |), near_m AS (
+       |  SELECT DISTINCT c.new_id AS doc_id
+       |  FROM cand c JOIN sets sa ON c.new_id = sa.doc_id
+       |  JOIN sets sb ON c.corp_id = sb.doc_id
+       |  WHERE round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) /
+       |    (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg))), 6)
+       |    >= 0.6
+       |)
+       |SELECT d.doc_id,
+       |  (e.doc_id IS NOT NULL) AS is_exact_dup,
+       |  (m.doc_id IS NOT NULL) AS is_near_dup,
+       |  CASE WHEN e.doc_id IS NOT NULL THEN 'REJECT_EXACT'
+       |       WHEN m.doc_id IS NOT NULL THEN 'REJECT_NEAR'
+       |       ELSE 'ADMIT' END AS verdict
+       |FROM documents d
+       |LEFT JOIN exact_m e ON d.doc_id = e.doc_id
+       |LEFT JOIN near_m m ON d.doc_id = m.doc_id
+       |WHERE d.$newPred
+       |ORDER BY d.doc_id ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_incremental" -> ddIncremental,
     "dd_dup_bytes" -> ddDupBytes,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
@@ -1043,6 +1181,7 @@ object Dedup {
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
+    "dd_incremental" -> ddIncrementalSql,
     "dd_dup_bytes" -> ddDupBytesSql,
     "dd_exact" -> ddExactSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,

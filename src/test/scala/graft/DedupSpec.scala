@@ -71,4 +71,37 @@ class DedupSpec extends SparkSpec {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(sym == symRev)
   }
+
+  test("dd_incremental verdicts: exact vs corpus, near vs corpus, novel, new-vs-new ignored") {
+    // Injection pattern: a crafted documents table where the batch
+    // (doc_id % 10 == 9) holds one exact dup of a corpus doc (case/
+    // whitespace-normalized), one near dup (1 of 40 tokens changed), one
+    // novel doc, and two new docs that duplicate EACH OTHER but nothing
+    // in the corpus — the last pair must both ADMIT (the gate is
+    // asymmetric by contract: new-vs-new is the next index build's job).
+    val s = spark
+    import s.implicits._
+    import java.nio.file.Files
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"w$i").mkString(" ")
+    val novel = (100 to 140).map(i => s"z$i").mkString(" ")
+    val newPair = (200 to 240).map(i => s"y$i").mkString(" ")
+    val d = Files.createTempDirectory("graft-incr")
+    Seq(
+      (1L, base, "en", "src0"),
+      (2L, (50 to 90).map(i => s"q$i").mkString(" "), "en", "src0"),
+      (9L, "  " + base.toUpperCase + " ", "en", "src1"),
+      (19L, near, "en", "src1"),
+      (29L, novel, "en", "src1"),
+      (39L, newPair, "en", "src1"),
+      (49L, newPair, "en", "src1")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(d.resolve("documents.parquet").toString)
+    val got = graft.operators.Dedup.ddIncremental(spark, d.toString)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(9L -> "REJECT_EXACT", 19L -> "REJECT_NEAR",
+      29L -> "ADMIT", 39L -> "ADMIT", 49L -> "ADMIT"),
+      s"verdicts wrong: $got")
+  }
 }
