@@ -56,6 +56,61 @@ object CodeKernels {
     new GenericArrayData(out)
   }
 
+  private val MhA: Array[Long] = Codes.A.toArray
+  private val MhB: Array[Long] = Codes.B.toArray
+
+  /** All 64 minhash values of a long-code array in ONE traversal — kernel
+    * twin of both prior formulations: the explode → 64×min(hash_i)
+    * aggregate (whose partial-agg hashmap and docs-sized exchange this
+    * removes) and the per-i `array_min(transform(...))` chain (64
+    * interpreted higher-order traversals of the same array). Same
+    * arithmetic: min over x of (A(i)·x + B(i)) % P, A·x < 2^62 so the
+    * step stays in Long range. Caller must guarantee a non-empty array
+    * (empty-shingle docs are filtered out, matching the oracle's
+    * `WHERE len(scs) > 0`).
+    */
+  def minHash64(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = Array.fill(Codes.NumHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var h = 0
+      while (h < Codes.NumHashes) {
+        val v = (MhA(h) * x + MhB(h)) % P
+        if (v < out(h)) out(h) = v
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 16-bit simhash of a token-hash array in one traversal — kernel twin
+    * of the 16 interpreted `aggregate(transform(hs, ...))` passes (one per
+    * bit) of the declarative form: per bit j, count +1 for a set bit and
+    * −1 for a clear one over all hashes; the output bit is set iff the
+    * balance is positive.
+    */
+  def simHash16(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 16) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 16) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** Exact integer dot product of two equal-length long arrays. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
@@ -117,6 +172,34 @@ case class StrCodeExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): StrCodeExpr =
     copy(child = newChild)
   override def prettyName: String = "graft_str_code"
+}
+
+/** array<long> shingle codes → array<long> of the 64 minhash minima in one
+  * traversal (see [[CodeKernels.minHash64]]).
+  */
+case class MinHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CodeKernels.minHash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodeKernels.minHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): MinHash64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_min_hash64"
+}
+
+/** array<long> token hashes → 16-bit simhash in one traversal (see
+  * [[CodeKernels.simHash16]]).
+  */
+case class SimHash16Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    CodeKernels.simHash16(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodeKernels.simHash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash16Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_sim_hash16"
 }
 
 /** array<string> → array<long> of 32-codepoint polynomial codes. */

@@ -139,6 +139,25 @@ object Codes {
   def strCodesSql(arrE: String): String =
     s"list_transform($arrE, s -> ${strCodeSql("s")})"
 
+  /** All 64 minhash minima of a shingle-code array in one compiled
+    * traversal ([[MinHash64Expr]]) — replaces the explode → 64×min
+    * aggregate (a docs-sized exchange per LSH consumer) and the 64
+    * interpreted `array_min(transform(...))` passes of the streaming
+    * path. Caller filters empty arrays first (the oracle's
+    * `WHERE len(scs) > 0`).
+    */
+  def minHash64(scs: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      MinHash64Expr(org.apache.spark.sql.GraftBridge.expression(scs)))
+
+  /** 16-bit simhash of a token-hash array in one compiled traversal
+    * ([[SimHash16Expr]]) — replaces 16 interpreted
+    * `aggregate(transform(...))` passes, one per bit.
+    */
+  def simHash16(hs: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      SimHash16Expr(org.apache.spark.sql.GraftBridge.expression(hs)))
+
   /** Word-3gram shingle codes from per-token codes: three token codes
     * folded with multiplier 8191 mod P, distinct. Equivalent to hashing the
     * shingle string but ~30× cheaper: token codes are computed once and

@@ -86,13 +86,28 @@ object Dedup {
     * (8-byte rows, map-side partial min, tiny shuffle) rather than 64
     * interpreted array_min passes.
     */
+  /** Per-doc 64-column minhash signature, computed MAP-SIDE by the
+    * [[graft.functions.MinHash64Expr]] kernel — one compiled traversal of
+    * the shingle-code array per doc. The previous explode → 64×min
+    * aggregate paid a docs-sized exchange (partial-agg hashmap + one
+    * 64-long row per doc on the wire) in EVERY LSH consumer; this form
+    * shuffles nothing. The three-stage projection keeps each kernel input
+    * an attribute, not an inlined expression (the CollapseProject trap:
+    * a non-cheap producer referenced 64 times must stay materialized).
+    */
   private[graft] def signatures(docs: DataFrame): DataFrame = {
-    val tcs = docs.select(col("doc_id"),
-      strCodes(tokens(col("text"))).as("tcs"))
-    val sh = tcs.select(col("doc_id"),
-      explode(shingleCodes3(col("tcs"))).as("x"))
-    val mins = (0 until NumHashes).map(i => min(Codes.hash(i, col("x"))).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // The shingle-set-nonempty guard is expressed as token count AT THE
+    // SCAN (< 3 tokens ⟺ zero shingles): a filter on the scs column would
+    // be predicate-pushed below the projections and re-evaluate the whole
+    // interpreted shingle lambda per row — with the token codes inlined
+    // per element, the O(tokens²) txContamination trap.
+    val sh = docs
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), shingleCodes3(col("tcs")).as("scs"))
+      .select(col("doc_id"), Codes.minHash64(col("scs")).as("mh"))
+    sh.select(col("doc_id") +:
+      (0 until NumHashes).map(i => col("mh").getItem(i).as(s"mh$i")): _*)
   }
 
   /** The matching DuckDB CTE chain: sc(doc_id, scs), sigs(doc_id, mh0..63). */
@@ -789,14 +804,11 @@ object Dedup {
       strCodes(tokens(col("text"))), x => Codes.hash(0, x)))
     val withHs = Tables.documents(spark, dir)
       .select(col("doc_id"), hs.as("hs"))
-    val bitSum = (j: Int) => aggregate(
-      transform(col("hs"), h =>
-        when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-      lit(0L), (acc, v) => acc + v)
-    val simhash = (0 until 16)
-      .map(j => when(bitSum(j) > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    withHs.select(col("doc_id"), simhash.as("simhash"))
+    // All 16 bit balances in one compiled traversal (SimHash16Expr) — the
+    // declarative form ran 16 interpreted aggregate(transform(...))
+    // passes over the same array. The SQL twin below stays the per-bit
+    // semantic definition both engines share.
+    withHs.select(col("doc_id"), Codes.simHash16(col("hs")).as("simhash"))
       .withColumn("bucket_size",
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("simhash"))))
@@ -1071,11 +1083,16 @@ object Dedup {
     // Matched (band, sig) buckets only, batch-bucket-sized: localCheckpoint
     // cuts the double corpus scan that bn + cand deriving from the same
     // join would otherwise cost (the ns_snapshot_diff_chain precedent).
+    // The pre-checkpoint repartition pins the preserved partitioning to
+    // (band, sig) — one small-frame exchange that both bn aggregation
+    // stages then satisfy for free (the map-only signature kernel no
+    // longer leaves a reusable hash partitioning behind).
     val rawCand = bandRows(signatures(corpus))
       .join(broadcast(bandRows(signatures(newDocs))
         .withColumnRenamed("doc_id", "new_id")), Seq("band", "sig"))
       .select(col("band"), col("sig"), col("doc_id").as("corp_id"),
         col("new_id"))
+      .repartition(col("band"), col("sig"))
       .localCheckpoint()
     // Every corpus member of a matched bucket is present in rawCand, so
     // the skew-guard bucket size is recoverable without touching the

@@ -239,14 +239,21 @@ object StreamOps {
     // Two-stage projection: the shingle lambda must read an attribute, not
     // an inlined token-code expression (same CollapseProject trap as the
     // batch signatures — see Dedup.signatures).
-    val tcs = docs.select(col("doc_id"), col("ts"),
-      Codes.strCodes(Codes.tokens(col("text"))).as("tcs"))
+    // Token-count guard at the source (< 3 tokens ⟺ zero shingles): a
+    // filter on scs would predicate-push below the projections and
+    // re-evaluate the interpreted shingle lambda per row (see
+    // Dedup.signatures).
+    val tcs = docs
+      .filter(size(Codes.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), col("ts"),
+        Codes.strCodes(Codes.tokens(col("text"))).as("tcs"))
     val sh = tcs
       .select(col("doc_id"), col("ts"), Codes.shingleCodes3(col("tcs")).as("scs"))
-      .filter(size(col("scs")) > 0)
-    val mins = (0 until Codes.NumHashes).map(i =>
-      array_min(transform(col("scs"), x => Codes.hash(i, x))).as(s"mh$i"))
-    val sigs = sh.select(col("doc_id") +: col("ts") +: mins: _*)
+      .select(col("doc_id"), col("ts"), Codes.minHash64(col("scs")).as("mh"))
+    // One compiled traversal for all 64 minima (MinHash64Expr) — replaces
+    // 64 interpreted array_min(transform(...)) passes of the same array.
+    val sigs = sh.select(col("doc_id") +: col("ts") +:
+      (0 until Codes.NumHashes).map(i => col("mh").getItem(i).as(s"mh$i")): _*)
     val bandStructs = array((0 until graft.operators.Dedup.Bands).map(b =>
       struct(lit(b).as("band"),
         graft.operators.Dedup.bandSig(b).as("sig"))): _*)
