@@ -111,6 +111,21 @@ object CodeKernels {
     out
   }
 
+  /** Count of positions where two equal-length long arrays agree — kernel
+    * twin of the zip_with + aggregate form (interpreted per candidate
+    * pair) used for minhash-signature agreement.
+    */
+  def eqCount(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) acc += 1
+      i += 1
+    }
+    acc
+  }
+
   /** Exact integer dot product of two equal-length long arrays. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
@@ -155,6 +170,23 @@ case class DotLongExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): DotLongExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_dot_long"
+}
+
+/** Count of agreeing positions of two equal-length long arrays (minhash-
+  * signature agreement hot path — see [[CodeKernels.eqCount]]).
+  */
+case class EqCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CodeKernels.eqCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.CodeKernels.eqCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EqCountExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_eq_count"
 }
 
 /** string → long 32-codepoint polynomial code — scalar twin of

@@ -453,10 +453,10 @@ object Dedup {
         "doc_a")
       .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
         "doc_b")
-      .withColumn("n_eq", aggregate(
-        zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("n_eq", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.EqCountExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("sig_a")),
+          org.apache.spark.sql.GraftBridge.expression(col("sig_b")))))
       .withColumn("est_jaccard",
         round(col("n_eq").cast("double") / NumHashes, 6))
       .select("doc_a", "doc_b", "n_eq", "est_jaccard")
@@ -511,10 +511,10 @@ object Dedup {
         size(array_intersect(col("sg_a"), col("sg_b"))).cast("bigint"))
       .withColumn("n_union",
         size(col("sg_a")) + size(col("sg_b")) - col("n_inter"))
-      .withColumn("n_eq", aggregate(
-        zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("n_eq", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.EqCountExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("sig_a")),
+          org.apache.spark.sql.GraftBridge.expression(col("sig_b")))))
       .withColumn("exact_ppm", expr("n_inter * 1000000 DIV n_union"))
       .withColumn("est_ppm", expr(s"n_eq * 1000000 DIV $NumHashes"))
       .withColumn("jaccard",
