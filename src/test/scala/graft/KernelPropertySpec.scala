@@ -80,4 +80,44 @@ class KernelPropertySpec extends AnyFunSuite {
         a.zip(b).map { case (x, y) => x * y }.sum)
     }
   }
+
+  private def longArray(n: Int): Array[Long] =
+    Array.fill(n)(rnd.nextLong().abs % P)
+
+  private def toArrayData(xs: Array[Long]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs)
+
+  test("minHash64 kernel equals the per-hash reference on random code arrays") {
+    (1 to 200).foreach { _ =>
+      val xs = longArray(1 + rnd.nextInt(120))
+      val got = CodeKernels.minHash64(toArrayData(xs)).toLongArray()
+      val ref = (0 until Codes.NumHashes).map(i =>
+        xs.map(x => (Codes.A(i) * x + Codes.B(i)) % P).min).toArray
+      assert(got.sameElements(ref))
+    }
+  }
+
+  test("simHash16 kernel equals the per-bit balance reference") {
+    (1 to 200).foreach { _ =>
+      val xs = longArray(1 + rnd.nextInt(120))
+      val got = CodeKernels.simHash16(toArrayData(xs))
+      val ref = (0 until 16).map { j =>
+        val bal = xs.map(h => if (((h >> j) & 1L) == 1L) 1L else -1L).sum
+        if (bal > 0) 1L << j else 0L
+      }.sum
+      assert(got === ref)
+    }
+  }
+
+  test("eqCount kernel equals the positionwise reference") {
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val a = longArray(n)
+      // copy with a random subset of positions forced equal
+      val b = a.indices.map(i =>
+        if (rnd.nextBoolean()) a(i) else rnd.nextLong().abs % P).toArray
+      val ref = a.indices.count(i => a(i) == b(i)).toLong
+      assert(CodeKernels.eqCount(toArrayData(a), toArrayData(b)) === ref)
+    }
+  }
 }
