@@ -30,7 +30,14 @@ class DeterminismSpec extends SparkSpec {
     // r12: scrub sweep = per-container rollup + replica explode + node
     // rollup (two shuffles around an explode — the r11 family's cheap
     // ordering-sensitive representative)
-    "ct_scrub_report")
+    "ct_scrub_report",
+    // r12 growth: the incremental-ingest gate rides an eager
+    // localCheckpoint pinned to a (band, sig) repartition plus broadcast
+    // index joins — the one query whose plan depends on a materialized
+    // RDD's preserved partitioning
+    "dd_incremental",
+    // r12 growth: delta-merge full-outer join of two aggregates
+    "ns_du_incremental")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()
