@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLongExpr, FoldCodeExpr, StrCodesExpr}
+import graft.functions.{DotLongExpr, EqCountExpr, FoldCodeExpr, MinHash64Expr, SimHash16Expr, StrCodesExpr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -57,6 +57,21 @@ object GraftFunctions {
       info("graft_dot_long",
         "graft_dot_long(a, b) - exact integer dot product of two long arrays"),
       (exprs: Seq[Expression]) => DotLongExpr(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_min_hash64"),
+      info("graft_min_hash64",
+        "graft_min_hash64(codes) - the 64 minhash minima of a long-code " +
+          "array in one traversal (LSH signature; caller filters empty " +
+          "arrays)"),
+      (exprs: Seq[Expression]) => MinHash64Expr(exprs.head)),
+    (FunctionIdentifier("graft_sim_hash16"),
+      info("graft_sim_hash16",
+        "graft_sim_hash16(hashes) - 16-bit simhash of a token-hash array"),
+      (exprs: Seq[Expression]) => SimHash16Expr(exprs.head)),
+    (FunctionIdentifier("graft_eq_count"),
+      info("graft_eq_count",
+        "graft_eq_count(a, b) - count of agreeing positions of two " +
+          "equal-length long arrays (signature agreement)"),
+      (exprs: Seq[Expression]) => EqCountExpr(exprs.head, exprs(1))),
     (FunctionIdentifier("graft_hll_registers"),
       info("graft_hll_registers",
         "graft_hll_registers(key) - 1024 HyperLogLog max-rank registers " +

@@ -60,4 +60,20 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(viaSql === viaApi)
   }
+
+  test("graft_min_hash64, graft_sim_hash16 and graft_eq_count are callable from SQL text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_min_hash64(array(7L, 11L, 13L)) AS mh,
+        |       graft_sim_hash16(array(1L, 3L, 3L)) AS sh,
+        |       graft_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS eq"""
+        .stripMargin).head()
+    val xs = Array(7L, 11L, 13L)
+    val refMh = (0 until Codes.NumHashes).map(i =>
+      xs.map(x => (Codes.A(i) * x + Codes.B(i)) % Codes.P).min)
+    assert(r.getSeq[Long](0) === refMh)
+    // bits of {1, 3, 3}: bit0 balance +3 -> set; bit1 balance +1 -> set
+    assert(r.getLong(1) === 3L)
+    assert(r.getLong(2) === 2L)
+  }
 }
