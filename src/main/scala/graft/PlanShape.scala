@@ -61,6 +61,19 @@ object PlanShape {
 
 /** Emits PLANS_r{n}.json: `runMain graft.PlanProbe <out.json> [sfDir]`. */
 object PlanProbe {
+
+  /** Plans probed IN ADDITION to the registry: pre-checkpoint subtrees
+    * that an eager `localCheckpoint` truncates out of the registered
+    * query's physical plan (the checkpoint materializes its input at
+    * DataFrame-construction time, so the registered plan starts at a
+    * LogicalRDD and the exchange-regression gate cannot see the stages
+    * before it). Keys carry a `__pre_ckpt` suffix so they can never
+    * collide with registry names (SurveySyncSpec owns that namespace).
+    */
+  val extraPlans: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      DataFrame] = Map(
+    "dd_incremental__pre_ckpt" ->
+      ((s, dir) => graft.operators.Dedup.ddIncrementalRawCand(s, dir)))
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.json"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
@@ -72,7 +85,7 @@ object PlanProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val lines = (SparkEntry.queries ++ extraPlans).toSeq.sortBy(_._1).map { case (name, fn) =>
       val cs = PlanShape.countsNoAqe(spark, fn(spark, sfDir))
       val body = cs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
       s"""  "$name": {$body}"""

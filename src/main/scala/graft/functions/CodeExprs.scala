@@ -67,14 +67,17 @@ object CodeKernels {
     * arithmetic: min over x of (A(i)·x + B(i)) % P, A·x < 2^62 so the
     * step stays in Long range. Caller must guarantee a non-empty array
     * (empty-shingle docs are filtered out, matching the oracle's
-    * `WHERE len(scs) > 0`).
+    * `WHERE len(scs) > 0`). Inputs are normalized into [0, P) first —
+    * a no-op for [[Codes]] output, but the expression is registered on
+    * the public SQL surface (graft_min_hash64) where arbitrary longs
+    * would otherwise overflow the A·x step.
     */
   def minHash64(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val out = Array.fill(Codes.NumHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val x = arr.getLong(i)
+      val x = ((arr.getLong(i) % P) + P) % P
       var h = 0
       while (h < Codes.NumHashes) {
         val v = (MhA(h) * x + MhB(h)) % P
@@ -113,10 +116,13 @@ object CodeKernels {
 
   /** Count of positions where two equal-length long arrays agree — kernel
     * twin of the zip_with + aggregate form (interpreted per candidate
-    * pair) used for minhash-signature agreement.
+    * pair) used for minhash-signature agreement. Bounded by the SHORTER
+    * array: the expression is on the public SQL surface (graft_eq_count),
+    * where unequal lengths must not read past either buffer (zip_with's
+    * null-padded tail positions never compared equal either).
     */
   def eqCount(a: ArrayData, b: ArrayData): Long = {
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -126,9 +132,11 @@ object CodeKernels {
     acc
   }
 
-  /** Exact integer dot product of two equal-length long arrays. */
+  /** Exact integer dot product of two equal-length long arrays (bounded
+    * by the shorter — same input-domain hardening as [[eqCount]]).
+    */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
-    val n = a.numElements()
+    val n = math.min(a.numElements(), b.numElements())
     var acc = 0L
     var i = 0
     while (i < n) {

@@ -73,19 +73,6 @@ object Dedup {
        |  FROM fp GROUP BY h1, h2
        |) t ORDER BY canonical_id ASC""".stripMargin
 
-  /** Per-doc MinHash signature columns mh0..mh63 over word-3gram shingle
-    * codes.
-    *
-    * Shape notes, hard-won: token codes are materialized as their own
-    * projection BEFORE shingling — `shingleCodes3`'s lambda reads the
-    * array via element_at, and if the token-code expression were inlined
-    * there (CollapseProject does inline single-reference producers) it
-    * would be re-evaluated per shingle element in the interpreted HOF
-    * path — an O(tokens²·32) blowup per document. The 64 hash minima run
-    * as a codegen'd grouped aggregate over exploded LONG shingle codes
-    * (8-byte rows, map-side partial min, tiny shuffle) rather than 64
-    * interpreted array_min passes.
-    */
   /** Per-doc 64-column minhash signature, computed MAP-SIDE by the
     * [[graft.functions.MinHash64Expr]] kernel — one compiled traversal of
     * the shingle-code array per doc. The previous explode → 64×min
@@ -1068,6 +1055,26 @@ object Dedup {
     * they are the next index build's problem (matching the incremental
     * contract: the gate answers "is this already in the corpus?").
     */
+  /** The candidate-bucket frame of [[ddIncremental]] BEFORE its
+    * localCheckpoint — exposed so the PLANS_r{n} plan-shape gate can count
+    * the pre-checkpoint stages: the eager checkpoint truncates the
+    * physical plan, so drift in this prefix (the corpus band scan, the
+    * broadcast of the batch bands, the (band, sig) repartition) would
+    * otherwise be invisible to the exchange-regression gate. Probed under
+    * the key `dd_incremental__pre_ckpt` by [[graft.PlanProbe.extraPlans]].
+    */
+  private[graft] def ddIncrementalRawCand(spark: SparkSession,
+      dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % IncrMod === lit(IncrMod - 1)
+    bandRows(signatures(docs.filter(!isNew)))
+      .join(broadcast(bandRows(signatures(docs.filter(isNew)))
+        .withColumnRenamed("doc_id", "new_id")), Seq("band", "sig"))
+      .select(col("band"), col("sig"), col("doc_id").as("corp_id"),
+        col("new_id"))
+      .repartition(col("band"), col("sig"))
+  }
+
   def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % IncrMod === lit(IncrMod - 1)
@@ -1087,13 +1094,7 @@ object Dedup {
     // (band, sig) — one small-frame exchange that both bn aggregation
     // stages then satisfy for free (the map-only signature kernel no
     // longer leaves a reusable hash partitioning behind).
-    val rawCand = bandRows(signatures(corpus))
-      .join(broadcast(bandRows(signatures(newDocs))
-        .withColumnRenamed("doc_id", "new_id")), Seq("band", "sig"))
-      .select(col("band"), col("sig"), col("doc_id").as("corp_id"),
-        col("new_id"))
-      .repartition(col("band"), col("sig"))
-      .localCheckpoint()
+    val rawCand = ddIncrementalRawCand(spark, dir).localCheckpoint()
     // Every corpus member of a matched bucket is present in rawCand, so
     // the skew-guard bucket size is recoverable without touching the
     // full index.
@@ -1178,7 +1179,115 @@ object Dedup {
        |ORDER BY d.doc_id ASC""".stripMargin
   }
 
+  // --- dd_band_sweep: LSH banding-configuration tuning sweep --------------
+  /** Candidate-volume / precision curve across LSH banding configurations
+    * of the SAME 64 minhashes — 4×16, 8×8, 16×4 (bands × rows-per-band) —
+    * the tuning run an operator does BEFORE committing a 100 TB dedup to
+    * one banding: more bands ⇒ lower match threshold ⇒ more candidates to
+    * verify (recall↑, precision↓). Per config: candidate-pair count,
+    * exact-Jaccard-verified count (≥ 0.6, [[ddNgramJaccard]]'s predicate
+    * verbatim — the 16-band row of this sweep reconciles with
+    * dd_minhash_lsh / dd_ngram_jaccard counts by construction), and
+    * integer precision ppm.
+    *
+    * Scale shape: signatures are map-side kernel work; each config is one
+    * (band, sig) shuffle of 3-long rows with the [[MaxBucket]] skew guard;
+    * the three tagged candidate sets union BEFORE verification, so the
+    * shingle-set join (the expensive stage — set payloads move) runs ONCE
+    * over all configs instead of once per config. Reference anchor: the
+    * banding trade-off documented for [[lshPairs]] (SURVEY §2.D).
+    */
+  private[graft] val SweepBands = Seq(4, 8, 16)
+
+  def ddBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sigs = signatures(docs)
+    val candAll = SweepBands.map { nb =>
+      val rows = NumHashes / nb
+      def sig(b: Int): Column = (0 until rows).map(r => col(s"mh${rows * b + r}"))
+        .reduce((acc, h) => (acc * 31L + h) % P)
+      val bandStructs = array((0 until nb).map(b =>
+        struct(lit(b).as("band"), sig(b).as("sig"))): _*)
+      sigs
+        .select(col("doc_id"), explode(bandStructs).as("bs"))
+        .select(col("bs.band").as("band"), col("bs.sig").as("sig"), col("doc_id"))
+        .groupBy(col("band"), col("sig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, MaxBucket))
+        .select(explode(Codes.pairs(col("ids"))).as("pr"))
+        .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+        .distinct()
+        .select(lit(nb).as("bands"), col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _)
+    val sets = docs
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
+    candAll
+      .join(sets.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sg_a"), col("sg_b"))))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (size(col("sg_a")) + size(col("sg_b")) - col("n_inter")), 6))
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("jaccard") >= 0.6, 1L).otherwise(0L)).as("n_verified"))
+      .withColumn("rows_per_band", lit(NumHashes.toLong) / col("bands"))
+      .withColumn("rows_per_band", col("rows_per_band").cast("bigint"))
+      .withColumn("precision_ppm",
+        expr("n_verified * 1000000 DIV n_candidates"))
+      .select(col("bands").cast("bigint").as("bands"), col("rows_per_band"),
+        col("n_candidates"), col("n_verified"), col("precision_ppm"))
+      .orderBy(col("bands").asc)
+  }
+
+  val ddBandSweepSql: String = {
+    def bandSigSqlC(b: Int, rows: Int): String =
+      (0 until rows).map(r => s"mh${rows * b + r}")
+        .reduce((acc, h) => s"(($acc * 31 + $h) % $P)")
+    val candCtes = SweepBands.map { nb =>
+      val rows = NumHashes / nb
+      val bandSelects = (0 until nb)
+        .map(b => s"SELECT $b AS band, ${bandSigSqlC(b, rows)} AS sig, doc_id FROM sigs")
+        .mkString("\nUNION ALL\n")
+      s"""bands_$nb AS (
+         |$bandSelects
+         |), bcnt_$nb AS (
+         |  SELECT band, sig, doc_id,
+         |    COUNT(*) OVER (PARTITION BY band, sig) AS n FROM bands_$nb
+         |), cand_$nb AS (
+         |  SELECT DISTINCT $nb AS bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bcnt_$nb a JOIN bcnt_$nb b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |    AND a.n <= $MaxBucket AND b.n <= $MaxBucket
+         |)""".stripMargin
+    }.mkString(", ")
+    val candUnion = SweepBands
+      .map(nb => s"SELECT * FROM cand_$nb").mkString("\nUNION ALL\n")
+    s"""WITH $signaturesSql, $candCtes, candall AS (
+       |$candUnion
+       |), sets AS (
+       |  SELECT doc_id, scs AS sg FROM sc
+       |), scored AS (
+       |  SELECT c.bands,
+       |    round(CAST(len(list_intersect(sa.sg, sb.sg)) AS DOUBLE) /
+       |      (len(sa.sg) + len(sb.sg) - len(list_intersect(sa.sg, sb.sg))), 6)
+       |      AS jaccard
+       |  FROM candall c
+       |  JOIN sets sa ON c.doc_a = sa.doc_id
+       |  JOIN sets sb ON c.doc_b = sb.doc_id
+       |)
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       |  CAST($NumHashes // bands AS BIGINT) AS rows_per_band,
+       |  COUNT(*) AS n_candidates,
+       |  CAST(SUM(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_verified,
+       |  CAST(SUM(CASE WHEN jaccard >= 0.6 THEN 1 ELSE 0 END) * 1000000
+       |    // COUNT(*) AS BIGINT) AS precision_ppm
+       |FROM scored GROUP BY bands ORDER BY bands ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_band_sweep" -> ddBandSweep,
     "dd_incremental" -> ddIncremental,
     "dd_dup_bytes" -> ddDupBytes,
     "dd_exact" -> ddExact,
@@ -1198,6 +1307,7 @@ object Dedup {
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
+    "dd_band_sweep" -> ddBandSweepSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_dup_bytes" -> ddDupBytesSql,
     "dd_exact" -> ddExactSql,

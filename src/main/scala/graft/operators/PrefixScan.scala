@@ -66,8 +66,20 @@ object PrefixScan {
       .sortWithinPartitions(sorted: _*)
       .withColumn("__ps_shard", spark_partition_id())
       .withColumn("__ps_rcnt", runningSum(lit(1L)))
-    val sharded =
+    val shardedRaw =
       if (needCum) base.withColumn("__ps_run", runningSum(value)) else base
+    // Exchange-reuse contract: the offsets branch and the probe branch below
+    // BOTH contain this subtree. Under the default spark.sql.exchange.reuse
+    // =true, ReuseExchange materializes the range exchange once, so both
+    // branches see the identical sampled range boundaries, shard ids and
+    // running sums. With reuse disabled the two RangePartitioner instances
+    // would sample independently (different RDD ids → different seeds) and
+    // the __ps_shard equi-join could silently mis-align baselines — so in
+    // that configuration the sharded frame is materialized once instead.
+    val sharded =
+      if (df.sparkSession.conf.get("spark.sql.exchange.reuse", "true") == "false")
+        shardedRaw.localCheckpoint()
+      else shardedRaw
     // Metadata frame: per-(shard, group) counts/sums → exclusive prefix
     // offsets across shards (shard order = scan order, by the range
     // partitioning) + the group total + the partition-running baselines at

@@ -104,4 +104,23 @@ class DedupSpec extends SparkSpec {
       29L -> "ADMIT", 39L -> "ADMIT", 49L -> "ADMIT"),
       s"verdicts wrong: $got")
   }
+
+  /** dd_band_sweep's 16-band row IS the production (16×4) pipeline: its
+    * candidate count must equal dd_minhash_lsh's pair count and its
+    * verified count dd_ngram_jaccard's row count. Across configs, fewer
+    * rows per band ⇒ looser match threshold ⇒ candidates monotonically
+    * non-decreasing in the band count (the S-curve direction the sweep
+    * exists to expose).
+    */
+  test("dd_band_sweep reconciles with the LSH pipeline and is monotone in bands") {
+    val rows = graft.operators.Dedup.ddBandSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set(4L, 8L, 16L))
+    val nLsh = graft.operators.Dedup.ddMinhashLsh(spark, sf).count()
+    val nVer = graft.operators.Dedup.ddNgramJaccard(spark, sf).count()
+    assert(rows(16L) == (nLsh, nVer),
+      s"16-band row ${rows(16L)} != (dd_minhash_lsh=$nLsh, dd_ngram_jaccard=$nVer)")
+    assert(rows(4L)._1 <= rows(8L)._1 && rows(8L)._1 <= rows(16L)._1,
+      s"candidate counts not monotone in bands: $rows")
+  }
 }

@@ -120,4 +120,38 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(CodeKernels.eqCount(toArrayData(a), toArrayData(b)) === ref)
     }
   }
+
+  /** The kernels sit on the public SQL surface (graft_eq_count etc.), so
+    * arbitrary user input must stay in-bounds: unequal lengths clamp to
+    * the shorter array (never read past either buffer) and out-of-domain
+    * minhash codes are normalized into [0, P) instead of overflowing the
+    * A·x step (in-domain outputs unchanged — pinned by the tests above).
+    */
+  test("eqCount and dotLong clamp to the shorter array on unequal lengths") {
+    (1 to 100).foreach { _ =>
+      val n = 1 + rnd.nextInt(32)
+      val m = n + 1 + rnd.nextInt(32)
+      val a = longArray(n)
+      val b = a.take(n) ++ longArray(m - n) // shared prefix, longer tail
+      val refEq = (0 until n).count(i => a(i) == b(i)).toLong
+      val refDot = (0 until n).map(i => a(i) * b(i)).sum
+      assert(CodeKernels.eqCount(toArrayData(a), toArrayData(b)) === refEq)
+      assert(CodeKernels.eqCount(toArrayData(b), toArrayData(a)) === refEq)
+      assert(CodeKernels.dotLong(toArrayData(a), toArrayData(b)) === refDot)
+      assert(CodeKernels.dotLong(toArrayData(b), toArrayData(a)) === refDot)
+    }
+    assert(CodeKernels.eqCount(toArrayData(Array.empty[Long]),
+      toArrayData(longArray(8))) === 0L)
+  }
+
+  test("minHash64 normalizes out-of-domain codes into [0, P)") {
+    (1 to 100).foreach { _ =>
+      val raw = Array.fill(1 + rnd.nextInt(60))(rnd.nextLong()) // any long
+      val norm = raw.map(x => ((x % P) + P) % P)
+      val got = CodeKernels.minHash64(toArrayData(raw)).toLongArray()
+      val ref = CodeKernels.minHash64(toArrayData(norm)).toLongArray()
+      assert(got.sameElements(ref))
+      assert(got.forall(v => v >= 0L && v < P))
+    }
+  }
 }

@@ -174,7 +174,10 @@ class PlanShapeSpec extends SparkSpec {
     val baseline = entry.findAllMatchIn(text)
       .map(m => m.group(1) -> (m.group(2).toInt, m.group(4).toInt)).toMap
     assert(baseline.size > 200, s"failed to parse ${latest.getName}")
-    val regressions = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // extraPlans: pre-checkpoint subtrees the registered plan can't show
+    // (see PlanProbe.extraPlans) — gated under the same baseline keys.
+    val gated = SparkEntry.queries ++ PlanProbe.extraPlans
+    val regressions = gated.toSeq.sortBy(_._1).flatMap {
       case (name, fn) => baseline.get(name).flatMap {
         case (baseEx, baseBj) =>
           val live = PlanShape.countsNoAqe(spark, fn(spark, sf)).toMap
@@ -187,7 +190,7 @@ class PlanShapeSpec extends SparkSpec {
           }
       }
     }
-    (SparkEntry.queries.keySet -- baseline.keySet).toSeq.sorted
+    (gated.keySet -- baseline.keySet).toSeq.sorted
       .foreach(n => info(s"$n is new since ${latest.getName} (ungated this round)"))
     assert(regressions.isEmpty,
       s"shuffle-exchange regressions vs ${latest.getName} — if deliberate, " +
