@@ -27,6 +27,8 @@ object Similarity {
   // precision to code distortion, and the standard compensation is a
   // deeper probe list (scan cost stays the probed fraction: 3/16).
   private val IvfPqProbes = 3
+  // Probe depths swept by sim_probe_sweep (recall/cost curve).
+  private val ProbeSweepDepths = Seq(1, 2, 4)
 
   /** Deterministic pseudo-random hyperplane component: for plane j and
     * dimension i, w = ((aj * (i+1) + bj) % 97) - 48 — small signed ints,
@@ -756,6 +758,155 @@ object Similarity {
        |FROM rep ORDER BY method ASC, query_id ASC""".stripMargin
   }
 
+  // --- sim_probe_sweep: IVF nprobe recall/cost tuning curve ---------------
+  /** Recall-vs-cost curve across IVF probe depths — nprobe ∈ {1, 2, 4}
+    * nearest cells per query — the tuning run that picks the probe depth
+    * BEFORE a production ANN deployment: deeper probes buy recall linearly
+    * in scan cost. Per nprobe: retrieved count, exact-truth hits (against
+    * the [[simTopkBruteforce]] top-K, [[simRecallReport]]'s metric),
+    * integer recall ppm, and the SCANNED CORPUS FRACTION in ppm (the cost
+    * axis: Σ probed-cell sizes over queries × corpus size — exact integer
+    * arithmetic, no estimates).
+    *
+    * Scale shape: one broadcast-centroid assignment pass ([[simKnnIvf]]'s),
+    * one probe ranking over queries × 16 centroids, then every per-nprobe
+    * branch rides a TAGGED explode of the probe list (prk ≤ nprobe), so
+    * the candidate join runs ONCE at the deepest depth and the three
+    * curves share it; the rank window partitions by (nprobe, query).
+    * Cell sizes and the corpus total are cell-count-bounded frames; the
+    * 1-row corpus total attaches via broadcast (PlanShapeSpec-allowlisted).
+    */
+  def simProbeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val centroids = nm.filter(col("vec_id").between(10, 25))
+      .select(col("vec_id").as("c_id"), col("q").as("qc"), col("n2").as("nc"))
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qv"), col("n2").as("nv"))
+    val queriesDf = nm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("nq"))
+
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", Dedup.cosine(col("qv"), col("qc"), col("nv"), col("nc")))
+      .withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("neighbor_id"), col("qv"), col("nv"), col("c_id").as("cell"))
+
+    val maxProbe = ProbeSweepDepths.max
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_c").desc, col("c_id").asc)
+    val probes = queriesDf.crossJoin(broadcast(centroids))
+      .withColumn("cos_c", Dedup.cosine(col("qq"), col("qc"), col("nq"), col("nc")))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= maxProbe)
+      .select(col("query_id"), col("qq"), col("nq"), col("c_id").as("cell"),
+        col("prk"))
+
+    val nps = array(ProbeSweepDepths.map(lit): _*)
+    val wTop = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val topk = assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("cos_sim",
+        round(Dedup.cosine(col("qq"), col("qv"), col("nq"), col("nv")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("prk"))
+      .withColumn("nprobe", explode(nps))
+      .filter(col("prk") <= col("nprobe"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+
+    val truth = simTopkBruteforce(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    val rec = topk
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_approx"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+
+    val cellSizes = assigned.groupBy(col("cell")).agg(count(lit(1)).as("csz"))
+    val corpusTotal = cellSizes
+      .agg(sum(col("csz")).cast("bigint").as("corpus_n"))
+    val scanned = probes.join(broadcast(cellSizes), Seq("cell"))
+      .withColumn("nprobe", explode(nps))
+      .filter(col("prk") <= col("nprobe"))
+      .groupBy(col("nprobe"))
+      .agg(sum(col("csz")).cast("bigint").as("n_scanned"),
+        countDistinct(col("query_id")).as("n_queries"))
+
+    rec.join(scanned, Seq("nprobe"))
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_approx"))
+      .withColumn("scanned_ppm",
+        expr("n_scanned * 1000000 DIV (corpus_n * n_queries)"))
+      .select(col("nprobe").cast("bigint").as("nprobe"), col("n_approx"),
+        col("n_hits"), col("recall_ppm"), col("n_scanned"),
+        col("scanned_ppm"))
+      .orderBy(col("nprobe").asc)
+  }
+
+  val simProbeSweepSql: String = {
+    val npList = ProbeSweepDepths.mkString(", ")
+    s"""WITH ${Dedup.quantizedSql}, cent AS (
+       |  SELECT vec_id AS c_id, q AS qc, n2 AS nc FROM nm
+       |  WHERE vec_id BETWEEN 10 AND 25
+       |), asg AS (
+       |  SELECT * FROM (
+       |    SELECT v.vec_id AS neighbor_id, v.q AS qv, v.n2 AS nv, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+       |        ${Dedup.cosineSql("v.q", "c.qc", "v.n2", "c.nc")} DESC,
+       |        c.c_id ASC) AS crk
+       |    FROM nm v CROSS JOIN cent c WHERE v.vec_id >= 10
+       |  ) t WHERE crk = 1
+       |), probes AS (
+       |  SELECT * FROM (
+       |    SELECT s.vec_id AS query_id, s.q AS qq, s.n2 AS nq, c.c_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |        ${Dedup.cosineSql("s.q", "c.qc", "s.n2", "c.nc")} DESC,
+       |        c.c_id ASC) AS prk
+       |    FROM nm s CROSS JOIN cent c WHERE s.vec_id < 10
+       |  ) t WHERE prk <= ${ProbeSweepDepths.max}
+       |), nps AS (
+       |  SELECT unnest([$npList]) AS nprobe
+       |), ranked AS (
+       |  SELECT np.nprobe, p.query_id, a.neighbor_id,
+       |    round(${Dedup.cosineSql("p.qq", "a.qv", "p.nq", "a.nv")}, 6)
+       |      AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY np.nprobe, p.query_id ORDER BY
+       |      round(${Dedup.cosineSql("p.qq", "a.qv", "p.nq", "a.nv")}, 6)
+       |        DESC, a.neighbor_id ASC) AS rk
+       |  FROM probes p JOIN asg a ON p.cell = a.cell
+       |  CROSS JOIN nps np WHERE p.prk <= np.nprobe
+       |), topk AS (
+       |  SELECT nprobe, query_id, neighbor_id FROM ranked WHERE rk <= 3
+       |), tr AS (
+       |  SELECT query_id, neighbor_id FROM ($simTopkBruteforceSql) bf
+       |), rec AS (
+       |  SELECT k.nprobe, COUNT(*) AS n_approx,
+       |    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_hits
+       |  FROM topk k LEFT JOIN tr t ON k.query_id = t.query_id
+       |    AND k.neighbor_id = t.neighbor_id
+       |  GROUP BY k.nprobe
+       |), csz AS (
+       |  SELECT cell, COUNT(*) AS csz FROM asg GROUP BY cell
+       |), ctot AS (
+       |  SELECT CAST(SUM(csz) AS BIGINT) AS corpus_n FROM csz
+       |), sc AS (
+       |  SELECT np.nprobe, CAST(SUM(c.csz) AS BIGINT) AS n_scanned,
+       |    COUNT(DISTINCT p.query_id) AS n_queries
+       |  FROM probes p JOIN csz c ON p.cell = c.cell
+       |  CROSS JOIN nps np WHERE p.prk <= np.nprobe
+       |  GROUP BY np.nprobe
+       |)
+       |SELECT CAST(r.nprobe AS BIGINT) AS nprobe, r.n_approx, r.n_hits,
+       |  CAST(r.n_hits * 1000000 // r.n_approx AS BIGINT) AS recall_ppm,
+       |  s.n_scanned,
+       |  CAST(s.n_scanned * 1000000 // (ctot.corpus_n * s.n_queries)
+       |    AS BIGINT) AS scanned_ppm
+       |FROM rec r JOIN sc s ON r.nprobe = s.nprobe CROSS JOIN ctot
+       |ORDER BY nprobe ASC""".stripMargin
+  }
+
   // --- sim_pq_codes: product-quantization compression codes --------------
   /** Product quantization — the memory-compression half of a 100 TB ANN
     * index (IVF partitions the corpus, PQ shrinks each resident vector):
@@ -1118,6 +1269,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_probe_sweep" -> simProbeSweep,
     "sim_knn_ivfpq" -> simKnnIvfPq,
     "sim_cluster_purity" -> simClusterPurity,
     "sim_knn_pq" -> simKnnPq,
@@ -1131,6 +1283,7 @@ object Similarity {
     "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "sim_probe_sweep" -> simProbeSweepSql,
     "sim_knn_ivfpq" -> simKnnIvfPqSql,
     "sim_cluster_purity" -> simClusterPuritySql,
     "sim_knn_pq" -> simKnnPqSql,

@@ -50,7 +50,9 @@ class PlanShapeSpec extends SparkSpec {
       // q_integrity_audit combines 1-row violation/total counters per
       // relationship before the 4-row union.
       "sim_range_audit", "ev_rfm", "q_join_skew", "pipe_source_epochs",
-      "q_integrity_audit")
+      // sim_probe_sweep rides simKnnIvf's 16-row centroid broadcasts plus
+      // a 1-row corpus-total scalar attach — all bounded by construction.
+      "q_integrity_audit", "sim_probe_sweep")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype

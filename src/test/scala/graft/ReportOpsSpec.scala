@@ -104,6 +104,28 @@ class ReportOpsSpec extends SparkSpec {
     assert(methods == Set("lsh", "ivf", "pq", "ivfpq"))
   }
 
+  /** The sweep's nprobe=2 row IS the production simKnnIvf pipeline (same
+    * centroids, probe rule, top-3): its hit count must equal the recall
+    * report's summed ivf hits. Across depths, recall and scanned fraction
+    * are monotone non-decreasing in nprobe — the curve the sweep exists
+    * to expose.
+    */
+  test("sim_probe_sweep reconciles with simKnnIvf recall and is monotone") {
+    val rows = Similarity.simProbeSweep(spark, sf).collect()
+      .map(r => r.getAs[Long]("nprobe") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_scanned"))).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L))
+    val ivfHits = Similarity.simRecallReport(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("method") === "ivf")
+      .agg(org.apache.spark.sql.functions.sum("n_hits")).collect()(0).getLong(0)
+    assert(rows(2L)._1 == ivfHits,
+      s"nprobe=2 hits ${rows(2L)._1} != recall report ivf hits $ivfHits")
+    assert(rows(1L)._1 <= rows(2L)._1 && rows(2L)._1 <= rows(4L)._1,
+      s"recall not monotone: $rows")
+    assert(rows(1L)._2 < rows(2L)._2 && rows(2L)._2 < rows(4L)._2,
+      s"scan cost not strictly growing: $rows")
+  }
+
   test("q_histogram_equidepth buckets are equal-depth and value-ordered") {
     val rows = RelationalExt.qHistogramEquidepth(spark, sf)
       .collect().sortBy(_.getAs[Long]("bucket"))
