@@ -1036,25 +1036,6 @@ object Dedup {
     */
   private[graft] val IncrMod = 10L
 
-  /** Incremental-ingest dedup gate: dedup TODAY'S batch against the
-    * already-indexed corpus — never re-dedup the corpus itself. This is
-    * the production shape of dedup at 100 TB: the corpus's fingerprint and
-    * LSH-band tables are materialized once (here recomputed from the
-    * corpus split — the test binding's stand-in for the index), and a
-    * daily ingest is admitted by (1) an exact fingerprint lookup — the
-    * batch's 16-byte fingerprints BROADCAST against the corpus index, the
-    * corpus side never shuffles — and (2) an LSH-band lookup (batch bands
-    * broadcast against the corpus band index) whose candidates are
-    * Jaccard-verified at the same ≥ 0.6 threshold as [[ddNgramJaccard]].
-    * Corpus buckets over [[MaxBucket]] emit no candidates (the lshPairs
-    * skew guard: a bucket that hot is boilerplate, not a dup signal) —
-    * the guard counts are recovered from the matched buckets themselves,
-    * so no corpus-wide bucket aggregation runs. Per new doc: the exact /
-    * near flags and the ADMIT / REJECT_EXACT / REJECT_NEAR verdict.
-    * Asymmetric by design: new-vs-new duplicates are NOT flagged here —
-    * they are the next index build's problem (matching the incremental
-    * contract: the gate answers "is this already in the corpus?").
-    */
   /** The candidate-bucket frame of [[ddIncremental]] BEFORE its
     * localCheckpoint — exposed so the PLANS_r{n} plan-shape gate can count
     * the pre-checkpoint stages: the eager checkpoint truncates the
@@ -1067,20 +1048,26 @@ object Dedup {
       dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isNew = col("doc_id") % IncrMod === lit(IncrMod - 1)
-    bandRows(signatures(docs.filter(!isNew)))
-      .join(broadcast(bandRows(signatures(docs.filter(isNew)))
+    incrementalRawCand(docs.filter(isNew), docs.filter(!isNew))
+  }
+
+  private[graft] def incrementalRawCand(newDocs: DataFrame,
+      corpus: DataFrame): DataFrame =
+    bandRows(signatures(corpus))
+      .join(broadcast(bandRows(signatures(newDocs))
         .withColumnRenamed("doc_id", "new_id")), Seq("band", "sig"))
       .select(col("band"), col("sig"), col("doc_id").as("corp_id"),
         col("new_id"))
       .repartition(col("band"), col("sig"))
-  }
 
-  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val isNew = col("doc_id") % IncrMod === lit(IncrMod - 1)
-    val newDocs = docs.filter(isNew)
-    val corpus = docs.filter(!isNew)
-
+  /** The gate's core, parameterized over the batch and the index — shared
+    * by the registered [[ddIncremental]] binding (doc_id % [[IncrMod]]
+    * split) and the per-micro-batch streaming twin
+    * ([[graft.streaming.StreamOps.ingestGateStream]]). `newDocs` and
+    * `corpus` both carry (doc_id, text).
+    */
+  private[graft] def incrementalVerdicts(newDocs: DataFrame,
+      corpus: DataFrame): DataFrame = {
     val exactHits = fingerprints(corpus)
       .join(broadcast(fingerprints(newDocs).withColumnRenamed("doc_id", "new_id")),
         Seq("h1", "h2"))
@@ -1094,7 +1081,7 @@ object Dedup {
     // (band, sig) — one small-frame exchange that both bn aggregation
     // stages then satisfy for free (the map-only signature kernel no
     // longer leaves a reusable hash partitioning behind).
-    val rawCand = ddIncrementalRawCand(spark, dir).localCheckpoint()
+    val rawCand = incrementalRawCand(newDocs, corpus).localCheckpoint()
     // Every corpus member of a matched bucket is present in rawCand, so
     // the skew-guard bucket size is recoverable without touching the
     // full index.
@@ -1104,13 +1091,13 @@ object Dedup {
     val cand = rawCand.join(bn.select("band", "sig"), Seq("band", "sig"))
       .select(col("new_id"), col("corp_id")).distinct()
 
-    val sets = docs
+    def sets(d: DataFrame): DataFrame = d
       .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
       .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
     val nearHits = cand
-      .join(sets.select(col("doc_id").as("new_id"), col("sg").as("sg_a")),
+      .join(sets(newDocs).select(col("doc_id").as("new_id"), col("sg").as("sg_a")),
         "new_id")
-      .join(sets.select(col("doc_id").as("corp_id"), col("sg").as("sg_b")),
+      .join(sets(corpus).select(col("doc_id").as("corp_id"), col("sg").as("sg_b")),
         "corp_id")
       .withColumn("n_inter", size(array_intersect(col("sg_a"), col("sg_b"))))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
@@ -1132,6 +1119,31 @@ object Dedup {
           .when(col("is_near_dup"), "REJECT_NEAR")
           .otherwise("ADMIT"))
       .orderBy(col("doc_id").asc)
+  }
+
+  /** Incremental-ingest dedup gate: dedup TODAY'S batch against the
+    * already-indexed corpus — never re-dedup the corpus itself. This is
+    * the production shape of dedup at 100 TB: the corpus's fingerprint and
+    * LSH-band tables are materialized once (here recomputed from the
+    * corpus split — the test binding's stand-in for the index), and a
+    * daily ingest is admitted by (1) an exact fingerprint lookup — the
+    * batch's 16-byte fingerprints BROADCAST against the corpus index, the
+    * corpus side never shuffles — and (2) an LSH-band lookup (batch bands
+    * broadcast against the corpus band index) whose candidates are
+    * Jaccard-verified at the same ≥ 0.6 threshold as [[ddNgramJaccard]].
+    * Corpus buckets over [[MaxBucket]] emit no candidates (the lshPairs
+    * skew guard: a bucket that hot is boilerplate, not a dup signal) —
+    * the guard counts are recovered from the matched buckets themselves,
+    * so no corpus-wide bucket aggregation runs. Per new doc: the exact /
+    * near flags and the ADMIT / REJECT_EXACT / REJECT_NEAR verdict.
+    * Asymmetric by design: new-vs-new duplicates are NOT flagged here —
+    * they are the next index build's problem (matching the incremental
+    * contract: the gate answers "is this already in the corpus?").
+    */
+  def ddIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isNew = col("doc_id") % IncrMod === lit(IncrMod - 1)
+    incrementalVerdicts(docs.filter(isNew), docs.filter(!isNew))
   }
 
   val ddIncrementalSql: String = {
@@ -1177,6 +1189,96 @@ object Dedup {
        |LEFT JOIN near_m m ON d.doc_id = m.doc_id
        |WHERE d.$newPred
        |ORDER BY d.doc_id ASC""".stripMargin
+  }
+
+  // --- dd_sig_width_sweep: signature-width estimate-error sweep -----------
+  /** Estimate-error curve across MinHash signature widths — the third axis
+    * of the dedup tuning triad (banding → [[ddBandSweep]], verify
+    * threshold → [[ddThresholdSweep]], signature width → this): per width
+    * w ∈ {8, 16, 32, 64} hashes, the mean/max |signature-estimate − exact
+    * Jaccard| over the LSH candidates, in integer ppm. Each width's
+    * estimate reads the FIRST w positions of the same 64-hash signature
+    * (a prefix of independent hashes IS a w-hash signature), so the whole
+    * sweep costs one candidate frame + four compiled [[graft.functions.CodeKernels.eqCount]]
+    * prefix passes — no recomputation per width. Storing 8 bytes × width
+    * per doc is the index-size axis this curve prices against accuracy.
+    */
+  private[graft] val SigWidths = Seq(8, 16, 32, 64)
+
+  def ddSigWidthSweep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val docs = Tables.documents(spark, dir)
+    val sigs = signatures(docs)
+    val sigArr = sigs.select(col("doc_id"),
+      array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    val sets = docs
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
+    def eqPrefix(w: Int): Column = GraftBridge.column(
+      graft.functions.EqCountExpr(
+        GraftBridge.expression(slice(col("sig_a"), 1, w)),
+        GraftBridge.expression(slice(col("sig_b"), 1, w))))
+    val base = lshPairs(sigs)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+      .join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("bigint"))
+      .withColumn("n_union",
+        size(col("sg_a")) + size(col("sg_b")) - col("n_inter"))
+      .withColumn("exact_ppm", expr("n_inter * 1000000 DIV n_union"))
+    val withEq = SigWidths.foldLeft(base)((df, w) =>
+      df.withColumn(s"n_eq_$w", eqPrefix(w)))
+    withEq
+      .select(col("exact_ppm"), explode(array(SigWidths.map(w =>
+        struct(lit(w.toLong).as("width"),
+          expr(s"n_eq_$w * 1000000 DIV $w").as("est_ppm"))): _*)).as("we"))
+      .select(col("we.width").as("width"), col("we.est_ppm").as("est_ppm"),
+        col("exact_ppm"))
+      .withColumn("err", abs(col("est_ppm") - col("exact_ppm")))
+      .groupBy(col("width"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(col("err")).as("sum_err"), max(col("err")).as("max_abs_err_ppm"))
+      .withColumn("mean_abs_err_ppm", expr("sum_err DIV n_candidates"))
+      .select("width", "n_candidates", "mean_abs_err_ppm", "max_abs_err_ppm")
+      .orderBy(col("width").asc)
+  }
+
+  val ddSigWidthSweepSql: String = {
+    def agree(w: Int): String = (0 until w)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val eqCols = SigWidths
+      .map(w => s"CAST(${agree(w)} AS BIGINT) AS n_eq_$w").mkString(",\n    ")
+    val widthRows = SigWidths.map(w =>
+      s"SELECT $w AS width, n_eq_$w * 1000000 // $w AS est_ppm, exact_ppm FROM e")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $signaturesSql, $lshPairsSql, sets AS (
+       |  SELECT doc_id, scs AS sg FROM sc
+       |), p AS (
+       |  SELECT
+       |    CAST(len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS n_inter,
+       |    CAST(len(sa.sg) + len(sb.sg)
+       |      - len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS n_union,
+       |    $eqCols
+       |  FROM cand c
+       |  JOIN sets sa ON c.doc_a = sa.doc_id
+       |  JOIN sets sb ON c.doc_b = sb.doc_id
+       |  JOIN sigs a ON c.doc_a = a.doc_id
+       |  JOIN sigs b ON c.doc_b = b.doc_id
+       |), e AS (
+       |  SELECT n_inter * 1000000 // n_union AS exact_ppm,
+       |    ${SigWidths.map(w => s"n_eq_$w").mkString(", ")}
+       |  FROM p
+       |), t AS (
+       |  $widthRows
+       |)
+       |SELECT CAST(width AS BIGINT) AS width, COUNT(*) AS n_candidates,
+       |  CAST(SUM(ABS(est_ppm - exact_ppm)) // COUNT(*) AS BIGINT)
+       |    AS mean_abs_err_ppm,
+       |  CAST(MAX(ABS(est_ppm - exact_ppm)) AS BIGINT) AS max_abs_err_ppm
+       |FROM t GROUP BY width ORDER BY width ASC""".stripMargin
   }
 
   // --- dd_band_sweep: LSH banding-configuration tuning sweep --------------
@@ -1288,6 +1390,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_band_sweep" -> ddBandSweep,
+    "dd_sig_width_sweep" -> ddSigWidthSweep,
     "dd_incremental" -> ddIncremental,
     "dd_dup_bytes" -> ddDupBytes,
     "dd_exact" -> ddExact,
@@ -1308,6 +1411,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd_band_sweep" -> ddBandSweepSql,
+    "dd_sig_width_sweep" -> ddSigWidthSweepSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_dup_bytes" -> ddDupBytesSql,
     "dd_exact" -> ddExactSql,

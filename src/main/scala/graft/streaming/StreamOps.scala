@@ -650,4 +650,32 @@ object StreamOps {
         out.iterator
       }.toDF()
   }
+
+  /** Streaming ingest gate — the micro-batch twin of
+    * [[graft.operators.Dedup.ddIncremental]]: a stream of new documents
+    * `(doc_id, text, ...)` is admitted against a STATIC indexed corpus via
+    * `foreachBatch`, which is the idiomatic Structured Streaming shape for
+    * this operator — the gate's semantics are per-ARRIVAL-BATCH by
+    * contract (each micro-batch is "today's ingest", checked against the
+    * index; batch-vs-batch duplicates are the next index build's problem,
+    * exactly the batch operator's asymmetry), and the verdict pipeline
+    * needs joins + aggregates that per-row streaming state cannot express
+    * without rebuilding the corpus index as unbounded keyed state.
+    * Each micro-batch runs [[graft.operators.Dedup.incrementalVerdicts]]
+    * — batch fingerprints/bands BROADCAST against the corpus index, the
+    * corpus side never shuffles — and hands the verdict frame to `sink`
+    * (production: append to the admissions table / route REJECTs).
+    * Exactly-once: foreachBatch re-delivers a batch on failure with the
+    * same batchId; idempotence is the sink's contract, as with every
+    * foreachBatch writer.
+    */
+  def ingestGateStream(docs: DataFrame, corpus: DataFrame)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.operators.Dedup.incrementalVerdicts(
+          batch.select("doc_id", "text"), corpus), batchId)
+      }
+      .start()
 }

@@ -123,4 +123,21 @@ class DedupSpec extends SparkSpec {
     assert(rows(4L)._1 <= rows(8L)._1 && rows(8L)._1 <= rows(16L)._1,
       s"candidate counts not monotone in bands: $rows")
   }
+
+  /** dd_sig_width_sweep's 64-wide row IS dd_lsh_audit's estimate gauge
+    * (same candidates, same full-signature agreement count): mean and max
+    * error must match it exactly; the full signature must also beat the
+    * 8-hash prefix on mean error (the axis the sweep prices).
+    */
+  test("dd_sig_width_sweep reconciles with dd_lsh_audit at width 64") {
+    val sweep = graft.operators.Dedup.ddSigWidthSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(sweep.keySet == Set(8L, 16L, 32L, 64L))
+    val audit = graft.operators.Dedup.ddLshAudit(spark, sf).collect()(0)
+    assert(sweep(64L) == (audit.getAs[Long]("mean_abs_err_ppm"),
+      audit.getAs[Long]("max_abs_err_ppm")),
+      s"width-64 errors ${sweep(64L)} != dd_lsh_audit")
+    assert(sweep(64L)._1 <= sweep(8L)._1,
+      s"full signature no better than 8-hash prefix: $sweep")
+  }
 }

@@ -316,6 +316,42 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.nonEmpty)
   }
 
+  /** The foreachBatch ingest gate must agree with the batch operator:
+    * verdicts are per-doc functions of (doc, corpus), so the union over
+    * micro-batches equals ddIncremental's full-batch run — even with the
+    * new docs split across triggers (the per-arrival-batch contract).
+    */
+  test("streaming ingest gate verdicts equal the batch incremental gate") {
+    val docs = Tables.documents(spark, sf)
+    val isNew = col("doc_id") % graft.operators.Dedup.IncrMod ===
+      (graft.operators.Dedup.IncrMod - 1)
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest-gate")
+    docs.filter(isNew).repartitionByRange(2, col("doc_id"))
+      .write.mode("overwrite").parquet(base.toString)
+
+    val schema = spark.read.parquet(base.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(base.toString)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.ingestGateStream(stream, docs.filter(!isNew)) {
+      (verdicts, batchId) =>
+        val rows = verdicts.collect()
+          .map(r => (r.getLong(0), r.getString(3)))
+        buf.synchronized { buf ++= rows; batches += batchId }
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    assert(batches.distinct.size >= 2,
+      s"expected >= 2 micro-batches, saw ${batches.distinct.size}")
+    val streamed = buf.toSet
+    val batch = graft.operators.Dedup.ddIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._2 != "ADMIT"),
+      "test vacuous: every doc admitted at this sf")
+  }
+
   test("streaming near-dup candidates equal the batch LSH pairs") {
     val base = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
     // 3 doc-id-ranged files → 3 micro-batches: pairs whose members arrive
