@@ -1292,35 +1292,44 @@ object Dedup {
     * dd_minhash_lsh / dd_ngram_jaccard counts by construction), and
     * integer precision ppm.
     *
-    * Scale shape: signatures are map-side kernel work; each config is one
-    * (band, sig) shuffle of 3-long rows with the [[MaxBucket]] skew guard;
-    * the three tagged candidate sets union BEFORE verification, so the
-    * shingle-set join (the expensive stage — set payloads move) runs ONCE
-    * over all configs instead of once per config. Reference anchor: the
-    * banding trade-off documented for [[lshPairs]] (SURVEY §2.D).
+    * Scale shape: ALL 28 band signatures (4+8+16 across the three
+    * configs) fan out of ONE signature projection via a single explode —
+    * one corpus scan, one minhash kernel pass, ONE (g, sig) shuffle with
+    * the [[MaxBucket]] skew guard per config — where `g` is a GLOBAL band
+    * id over the concatenated configs, so the corpus-sized exchange rows
+    * stay as narrow as a single config's (the config tag is re-derived
+    * from g's range after the bucket aggregate, on the candidate-sized
+    * frame). The three tagged candidate sets union BEFORE verification,
+    * so the shingle-set join (the expensive stage — set payloads move)
+    * also runs ONCE over all configs. Reference anchor: the banding
+    * trade-off documented for [[lshPairs]] (SURVEY §2.D).
     */
   private[graft] val SweepBands = Seq(4, 8, 16)
 
   def ddBandSweep(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val sigs = signatures(docs)
-    val candAll = SweepBands.map { nb =>
+    // Global band ids: config nb's bands occupy [offset, offset + nb).
+    val offsets = SweepBands.scanLeft(0)(_ + _)
+    val allStructs = array(SweepBands.zip(offsets).flatMap { case (nb, off) =>
       val rows = NumHashes / nb
       def sig(b: Int): Column = (0 until rows).map(r => col(s"mh${rows * b + r}"))
         .reduce((acc, h) => (acc * 31L + h) % P)
-      val bandStructs = array((0 until nb).map(b =>
-        struct(lit(b).as("band"), sig(b).as("sig"))): _*)
-      sigs
-        .select(col("doc_id"), explode(bandStructs).as("bs"))
-        .select(col("bs.band").as("band"), col("bs.sig").as("sig"), col("doc_id"))
-        .groupBy(col("band"), col("sig"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, MaxBucket))
-        .select(explode(Codes.pairs(col("ids"))).as("pr"))
-        .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
-        .distinct()
-        .select(lit(nb).as("bands"), col("doc_a"), col("doc_b"))
-    }.reduce(_ unionByName _)
+      (0 until nb).map(b => struct(lit(off + b).as("g"), sig(b).as("sig")))
+    }: _*)
+    val bandsOfG = SweepBands.zip(offsets).tail.foldLeft(
+      when(col("g") < SweepBands.head + offsets.head, SweepBands.head)) {
+      case (acc, (nb, off)) => acc.when(col("g") < nb + off, nb)
+    }
+    val candAll = signatures(docs)
+      .select(col("doc_id"), explode(allStructs).as("bs"))
+      .select(col("bs.g").as("g"), col("bs.sig").as("sig"), col("doc_id"))
+      .groupBy(col("g"), col("sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, MaxBucket))
+      .select(col("g"), explode(Codes.pairs(col("ids"))).as("pr"))
+      .select(bandsOfG.as("bands"), col("pr.doc_a").as("doc_a"),
+        col("pr.doc_b").as("doc_b"))
+      .distinct()
     val sets = docs
       .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
       .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))

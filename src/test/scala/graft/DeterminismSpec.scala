@@ -37,7 +37,12 @@ class DeterminismSpec extends SparkSpec {
     // RDD's preserved partitioning
     "dd_incremental",
     // r12 growth: delta-merge full-outer join of two aggregates
-    "ns_du_incremental")
+    "ns_du_incremental",
+    // r13: three-config LSH bucketing + shared verify join — bucket
+    // membership and pair expansion must not depend on the layout
+    "dd_band_sweep",
+    // r13: per-(nprobe, query) rank windows over a tagged explode
+    "sim_probe_sweep")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()
