@@ -82,6 +82,26 @@ class PrefixScanSpec extends SparkSpec {
     assert(result("1") == result("3") && result("3") == result("13"))
   }
 
+  test("correct with exchange reuse disabled (independent range sampling)") {
+    // With spark.sql.exchange.reuse=false the offsets and probe branches
+    // would evaluate the range shuffle independently (different sampled
+    // boundaries → silent baseline mis-alignment); scanState materializes
+    // the sharded frame in that configuration — output must still equal
+    // the window formulation bit-for-bit.
+    val rnd = new Random(23)
+    val rows = (1 to 800).map(k => (rnd.nextInt(4), k, rnd.nextInt(500).toLong))
+    val df = rows.toDF("g", "k", "v").repartition(7)
+    val key = "spark.sql.exchange.reuse"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val got = distributed(df).select("g", "k", "v", "rnk", "cum", "n")
+        .orderBy("g", "k").collect()
+      val exp = naive(df).orderBy("g", "k").collect()
+      assert(got.toSeq == exp.toSeq)
+    } finally spark.conf.set(key, before)
+  }
+
   test("no corpus window partitioned only by the group keys remains") {
     // The rewritten plans' corpus-side windows must include the range-shard
     // column; per-group-only windows may appear solely over the aggregated
