@@ -360,6 +360,101 @@ object Namespace {
   def nsGrowthForecast(spark: SparkSession, dir: String): DataFrame =
     growthForecast(ObjectStoreView.keys(spark, dir))
 
+  // --- ns_quota_exhaustion: capacity-planning ETA per volume --------------
+  /** Quota-exhaustion forecast — the question the capacity planner actually
+    * asks of the Recon utilization trend ([[growthForecast]]'s regression
+    * re-read against the volume quota from the OmVolumeArgs accounting
+    * surface, the [[graft.operators.Entities.nsListVolumes]] binding):
+    * per volume — used vs quota headroom, the OLS bytes/month slope, the
+    * months-to-exhaustion ETA, and an OVER_QUOTA / AT_RISK (≤ 12 months) /
+    * OK verdict. Every comparison driving the verdict is exact-integer
+    * (headroom·D ≤ 12·slopeNum, never the rounded double), so the status
+    * can't flip on a rounding boundary between engines; slope and ETA go
+    * to rounded doubles only at emit (SURVEY §4). Non-growing volumes
+    * (slopeNum ≤ 0) report a NULL ETA. Shape: one corpus scan + one
+    * (volume, month) shuffle; regression and verdict run over the
+    * metadata-sized monthly frame.
+    */
+  def quotaExhaustion(keys: DataFrame): DataFrame = {
+    val monthly = keys
+      .groupBy(col("volume"), date_trunc("month", col("mtime")).as("month"))
+      .agg(sum(col("size")).as("y"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("volume")).orderBy(col("month").asc)
+    val digit = substring(col("volume"), 4, 8).cast("long")
+    monthly
+      .withColumn("x", (row_number().over(w) - 1).cast("bigint"))
+      .groupBy(col("volume"))
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("quota_bytes", (digit + 1) * 50000000000L)
+      .withColumn("headroom_bytes", col("quota_bytes") - col("sy"))
+      .withColumn("d", col("n_months") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("snum", col("n_months") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope_bytes_per_month",
+        round(col("snum").cast("double") / col("d").cast("double"), 6))
+      .withColumn("months_to_exhaustion",
+        when(col("snum") > 0, round(
+          (greatest(col("headroom_bytes"), lit(0L)) * col("d")).cast("double")
+            / col("snum").cast("double"), 6)))
+      .withColumn("status",
+        when(col("headroom_bytes") < 0, "OVER_QUOTA")
+          .when(col("snum") <= 0, "OK")
+          .when(greatest(col("headroom_bytes"), lit(0L)) * col("d") <=
+            col("snum") * 12L, "AT_RISK")
+          .otherwise("OK"))
+      .select(col("volume"), col("n_months"), col("sy").as("used_bytes"),
+        col("quota_bytes"), col("headroom_bytes"),
+        col("slope_bytes_per_month"), col("months_to_exhaustion"),
+        col("status"))
+      .orderBy(col("volume").asc)
+  }
+
+  def nsQuotaExhaustion(spark: SparkSession, dir: String): DataFrame =
+    quotaExhaustion(ObjectStoreView.keys(spark, dir))
+
+  val nsQuotaExhaustionSql: String =
+    s"""WITH keys AS ($ks), monthly AS (
+       |  SELECT volume, date_trunc('month', mtime) AS month,
+       |    CAST(SUM(size) AS BIGINT) AS y
+       |  FROM keys GROUP BY volume, month
+       |), xy AS (
+       |  SELECT volume, y,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY volume ORDER BY month ASC)
+       |      - 1 AS BIGINT) AS x
+       |  FROM monthly
+       |), s AS (
+       |  SELECT volume, COUNT(*) AS n_months,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM xy
+       |  GROUP BY volume
+       |), e AS (
+       |  SELECT volume, n_months, sy,
+       |    (CAST(substring(volume, 4, 8) AS BIGINT) + 1) * 50000000000
+       |      AS quota_bytes,
+       |    n_months * sxx - sx * sx AS d,
+       |    n_months * sxy - sx * sy AS snum
+       |  FROM s
+       |)
+       |SELECT volume, n_months, sy AS used_bytes, quota_bytes,
+       |  quota_bytes - sy AS headroom_bytes,
+       |  round(CAST(snum AS DOUBLE) / CAST(d AS DOUBLE), 6)
+       |    AS slope_bytes_per_month,
+       |  CASE WHEN snum > 0 THEN
+       |    round(CAST(greatest(quota_bytes - sy, 0) * d AS DOUBLE) /
+       |      CAST(snum AS DOUBLE), 6)
+       |  END AS months_to_exhaustion,
+       |  CASE WHEN quota_bytes - sy < 0 THEN 'OVER_QUOTA'
+       |       WHEN snum <= 0 THEN 'OK'
+       |       WHEN greatest(quota_bytes - sy, 0) * d <= snum * 12
+       |         THEN 'AT_RISK'
+       |       ELSE 'OK' END AS status
+       |FROM e ORDER BY volume ASC""".stripMargin
+
   val nsGrowthForecastSql: String =
     s"""WITH keys AS ($ks), monthly AS (
        |  SELECT volume, date_trunc('month', mtime) AS month,
@@ -1252,6 +1347,7 @@ object Namespace {
     "ns_list_v2_page" -> nsListV2Page,
     "ns_growth_trend" -> nsGrowthTrend,
     "ns_growth_forecast" -> nsGrowthForecast,
+    "ns_quota_exhaustion" -> nsQuotaExhaustion,
     "ns_du" -> nsDu,
     "ns_filesize_histogram" -> nsFileSizeHistogram,
     "ns_filesize_histogram_by_bucket" -> nsFileSizeHistogramByBucket,
@@ -1281,6 +1377,7 @@ object Namespace {
     "ns_list_v2_page" -> nsListV2PageSql,
     "ns_growth_trend" -> nsGrowthTrendSql,
     "ns_growth_forecast" -> nsGrowthForecastSql,
+    "ns_quota_exhaustion" -> nsQuotaExhaustionSql,
     "ns_du" -> nsDuSql,
     "ns_filesize_histogram" -> nsFileSizeHistogramSql,
     "ns_filesize_histogram_by_bucket" -> nsFileSizeHistogramByBucketSql,

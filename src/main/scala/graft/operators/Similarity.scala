@@ -960,6 +960,117 @@ object Similarity {
         col("n2"), col("dot"), col("cn2"))
   }
 
+  // --- sim_pq_m_sweep: PQ compression-level distortion curve --------------
+  /** Distortion-vs-code-size curve across PQ subspace counts — the
+    * compression-side twin of [[simProbeSweep]]'s probe-depth curve, and
+    * the last axis of the ANN tuning surface: M ∈ {1, 2, 4, 8} subspaces
+    * of 64/M dims, 16 centroids each, i.e. 4·M bits per stored vector.
+    * Per M: corpus size, mean/min reconstruction cosine in integer ppm
+    * (per-vector recon from Σ_m dot(x_m, c_m) and Σ_m ‖c_m‖², exactly
+    * [[simPqCodes]]' no-materialization identity). More subspaces ⇒
+    * finer reconstruction ⇒ ppm curve rises — what M buys before ADC
+    * search cost grows.
+    *
+    * Scale shape: ALL configs' subvector slices fan out of one corpus
+    * scan via a single struct explode (1+2+4+8 = 15 rows per vector);
+    * the codebook side (≤ 16·15 rows) broadcasts; one
+    * (cfg, vec, m)-keyed rank window; rollups are map-side combinable.
+    */
+  private val PqSweepM = Seq(1, 2, 4, 8)
+
+  def simPqMSweep(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    def slicesFor(qc: Column): Column = array(PqSweepM.flatMap { cm =>
+      val sub = PqM * PqSub / cm
+      (0 until cm).map(m => struct(lit(cm).as("cfg"), lit(m).as("m"),
+        slice(qc, m * sub + 1, sub).as("xs")))
+    }: _*)
+    val cents = nm.filter(col("vec_id").between(10, 9 + PqK))
+      .select(col("vec_id").as("c_id"), explode(slicesFor(col("q"))).as("c0"))
+      .select(col("c0.cfg").as("cfg"), col("c0.m").as("m"), col("c_id"),
+        col("c0.xs").as("cs"))
+      .withColumn("cn2", dotSelf(col("cs")))
+    val sub = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("n2"), explode(slicesFor(col("q"))).as("s0"))
+      .select(col("vec_id"), col("n2"), col("s0.cfg").as("cfg"),
+        col("s0.m").as("m"), col("s0.xs").as("xs"))
+    val w = Window.partitionBy(col("cfg"), col("vec_id"), col("m"))
+      .orderBy(col("score").desc, col("c_id").asc)
+    val best = sub.join(broadcast(cents), Seq("cfg", "m"))
+      .withColumn("dot", pqDot(col("xs"), col("cs")))
+      .withColumn("score", when(col("cn2") === 0, lit(-1.0e18))
+        .otherwise(col("dot").cast("double") / sqrt(col("cn2").cast("double"))))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+    best.groupBy(col("cfg"), col("vec_id"))
+      .agg(max(col("n2")).as("n2"),
+        sum(col("dot")).as("rdot"), sum(col("cn2")).as("rn2"))
+      .withColumn("recon_ppm",
+        when(col("n2") === 0 || col("rn2") === 0, lit(0L))
+          .otherwise(round(col("rdot").cast("double") * 1000000.0 /
+            (sqrt(col("n2").cast("double")) * sqrt(col("rn2").cast("double"))),
+            0).cast("bigint")))
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("recon_ppm")).as("sum_ppm"),
+        min(col("recon_ppm")).as("min_recon_ppm"))
+      .withColumn("mean_recon_ppm", expr("sum_ppm DIV n_vectors"))
+      .select(col("cfg").cast("bigint").as("m_subspaces"),
+        (col("cfg") * 4L).cast("bigint").as("bits_per_vector"),
+        col("n_vectors"), col("mean_recon_ppm"), col("min_recon_ppm"))
+      .orderBy(col("m_subspaces").asc)
+  }
+
+  lazy val simPqMSweepSql: String = {
+    val perCfg = PqSweepM.map { cm =>
+      val sub = PqM * PqSub / cm
+      val sliceOf = (src: String) =>
+        s"$src.q[(u.m*$sub+1):(u.m*$sub+$sub)]"
+      s"""sub_$cm AS (
+         |  SELECT v.vec_id, v.n2, u.m AS m, ${sliceOf("v")} AS xs
+         |  FROM nm v, UNNEST(range($cm)) AS u(m) WHERE v.vec_id >= 10
+         |), cent_$cm AS (
+         |  SELECT c.vec_id AS c_id, u.m AS m, ${sliceOf("c")} AS cs,
+         |    CAST(list_sum(list_transform(${sliceOf("c")}, x -> x * x))
+         |      AS BIGINT) AS cn2
+         |  FROM nm c, UNNEST(range($cm)) AS u(m)
+         |  WHERE c.vec_id BETWEEN 10 AND ${9 + PqK}
+         |), best_$cm AS (
+         |  SELECT * FROM (
+         |    SELECT s.vec_id, s.m, s.n2, c.cn2,
+         |      CAST(list_sum(list_transform(range(1, $sub + 1),
+         |        i -> s.xs[i] * c.cs[i])) AS BIGINT) AS dot,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |        CASE WHEN c.cn2 = 0 THEN -1e18
+         |          ELSE CAST(list_sum(list_transform(range(1, $sub + 1),
+         |            i -> s.xs[i] * c.cs[i])) AS DOUBLE) /
+         |            sqrt(CAST(c.cn2 AS DOUBLE)) END DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM sub_$cm s JOIN cent_$cm c ON s.m = c.m
+         |  ) t WHERE crk = 1
+         |), pv_$cm AS (
+         |  SELECT $cm AS cfg, vec_id,
+         |    CASE WHEN MAX(n2) = 0 OR SUM(cn2) = 0 THEN 0
+         |      ELSE CAST(round(CAST(SUM(dot) AS DOUBLE) * 1000000.0 /
+         |        (sqrt(CAST(MAX(n2) AS DOUBLE)) *
+         |          sqrt(CAST(SUM(cn2) AS DOUBLE))), 0) AS BIGINT)
+         |      END AS recon_ppm
+         |  FROM best_$cm GROUP BY vec_id
+         |)""".stripMargin
+    }.mkString(", ")
+    val pvUnion = PqSweepM.map(cm => s"SELECT * FROM pv_$cm")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ${Dedup.quantizedSql}, $perCfg, pv AS (
+       |  $pvUnion
+       |)
+       |SELECT CAST(cfg AS BIGINT) AS m_subspaces,
+       |  CAST(cfg * 4 AS BIGINT) AS bits_per_vector,
+       |  COUNT(*) AS n_vectors,
+       |  CAST(SUM(recon_ppm) // COUNT(*) AS BIGINT) AS mean_recon_ppm,
+       |  CAST(MIN(recon_ppm) AS BIGINT) AS min_recon_ppm
+       |FROM pv GROUP BY cfg ORDER BY m_subspaces ASC""".stripMargin
+  }
+
   def simPqCodes(spark: SparkSession, dir: String): DataFrame = {
     val nm = Dedup.quantized(spark, dir)
     val mult = element_at(
@@ -1270,6 +1381,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_probe_sweep" -> simProbeSweep,
+    "sim_pq_m_sweep" -> simPqMSweep,
     "sim_knn_ivfpq" -> simKnnIvfPq,
     "sim_cluster_purity" -> simClusterPurity,
     "sim_knn_pq" -> simKnnPq,
@@ -1284,6 +1396,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_probe_sweep" -> simProbeSweepSql,
+    "sim_pq_m_sweep" -> simPqMSweepSql,
     "sim_knn_ivfpq" -> simKnnIvfPqSql,
     "sim_cluster_purity" -> simClusterPuritySql,
     "sim_knn_pq" -> simKnnPqSql,

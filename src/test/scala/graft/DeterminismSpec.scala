@@ -42,7 +42,11 @@ class DeterminismSpec extends SparkSpec {
     // membership and pair expansion must not depend on the layout
     "dd_band_sweep",
     // r13: per-(nprobe, query) rank windows over a tagged explode
-    "sim_probe_sweep")
+    "sim_probe_sweep",
+    // r13: month-rank window feeding exact-integer regression sums
+    "ns_quota_exhaustion",
+    // r13: (cfg, vec, m) rank window over a multi-width slice explode
+    "sim_pq_m_sweep")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()

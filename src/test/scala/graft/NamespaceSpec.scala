@@ -299,4 +299,36 @@ class NamespaceSpec extends SparkSpec {
     assert(inc == full,
       s"incremental diverged from full recompute: ${inc.toSeq.sorted.take(3)} vs ${full.toSeq.sorted.take(3)}")
   }
+
+  /** All three quota verdicts from a constructed monthly series: growing
+    * into a tight headroom (AT_RISK, exact ETA), already over quota
+    * (OVER_QUOTA), shrinking (OK with NULL ETA). The testdata's volumes
+    * all shrink month-over-month, so this is the only coverage of the
+    * AT_RISK integer comparison and the ETA arithmetic.
+    */
+  test("ns_quota_exhaustion verdicts: AT_RISK / OVER_QUOTA / OK with exact ETA") {
+    val s = spark
+    import s.implicits._
+    def month(i: Int) = java.time.LocalDateTime.of(2025, i, 15, 0, 0)
+    // vol0 quota 50e9: 10/14/18 GB months -> used 42e9, headroom 8e9,
+    // slope 4e9/mo -> eta exactly 2.0 months.
+    // vol1 quota 100e9: 60+70 GB -> over quota.
+    // vol2 quota 150e9: 5/3/1 GB declining -> negative slope, NULL eta.
+    val rows =
+      Seq((1, 10L), (2, 14L), (3, 18L)).map { case (m, gb) =>
+        ("vol0", "b", s"k$m", gb * 1000000000L, month(m)) } ++
+      Seq((1, 60L), (2, 70L)).map { case (m, gb) =>
+        ("vol1", "b", s"k$m", gb * 1000000000L, month(m)) } ++
+      Seq((1, 5L), (2, 3L), (3, 1L)).map { case (m, gb) =>
+        ("vol2", "b", s"k$m", gb * 1000000000L, month(m)) }
+    val keys = rows.toDF("volume", "bucket", "key", "size", "mtime")
+    val got = Namespace.quotaExhaustion(keys).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[String]("status"),
+          Option(r.getAs[java.lang.Double]("months_to_exhaustion")))).toMap
+    assert(got("vol0") == ("AT_RISK", Some(2.0)), s"vol0: ${got("vol0")}")
+    // over-quota with positive growth: ETA clamps to 0 (already exhausted)
+    assert(got("vol1") == ("OVER_QUOTA", Some(0.0)), s"vol1: ${got("vol1")}")
+    assert(got("vol2") == ("OK", None), s"vol2: ${got("vol2")}")
+  }
 }

@@ -126,6 +126,23 @@ class ReportOpsSpec extends SparkSpec {
       s"scan cost not strictly growing: $rows")
   }
 
+  /** More PQ subspaces must reconstruct better on average (the curve the
+    * sweep prices), every config covers the whole corpus, and ppm values
+    * stay in [-1e6, 1e6].
+    */
+  test("sim_pq_m_sweep distortion falls monotonically with subspace count") {
+    val rows = Similarity.simPqMSweep(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    val n = rows.head._2._1
+    assert(rows.forall(_._2._1 == n), s"corpus coverage differs: $rows")
+    val means = rows.map(_._2._2)
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      s"mean recon not monotone in M: ${means.mkString(",")}")
+    assert(rows.forall { case (_, (_, mean, mn)) =>
+      mean.abs <= 1000000L && mn.abs <= 1000000L && mn <= mean })
+  }
+
   test("q_histogram_equidepth buckets are equal-depth and value-ordered") {
     val rows = RelationalExt.qHistogramEquidepth(spark, sf)
       .collect().sortBy(_.getAs[Long]("bucket"))
