@@ -73,7 +73,25 @@ object PlanProbe {
   val extraPlans: Map[String, (org.apache.spark.sql.SparkSession, String) =>
       DataFrame] = Map(
     "dd_incremental__pre_ckpt" ->
-      ((s, dir) => graft.operators.Dedup.ddIncrementalRawCand(s, dir)))
+      ((s, dir) => graft.operators.Dedup.ddIncrementalRawCand(s, dir)),
+    // The verified-edge pipeline shared by dd_canonical, dd_components,
+    // dd_cluster_sizes and pipe_curate (identical subtree — probed once).
+    "dd_canonical__pre_ckpt" ->
+      ((s, dir) => graft.operators.Dedup.canonicalEdgesRaw(
+        graft.Tables.documents(s, dir))),
+    // The cosine-verify pipeline behind dd_semantic_clusters.
+    "dd_semantic_clusters__pre_ckpt" ->
+      ((s, dir) => graft.operators.Dedup.semanticEdgesRaw(s, dir)),
+    // The tri-state chain change set behind ns_snapshot_diff_chain.
+    "ns_snapshot_diff_chain__pre_ckpt" ->
+      ((s, dir) => graft.operators.Namespace.snapshotChainChangeSet(s, dir)),
+    // The filtered-lineitem per-supplier aggregate behind q15_top_supplier.
+    "q15_top_supplier__pre_ckpt" ->
+      ((s, dir) => graft.operators.RelationalExt.q15PerSuppRaw(s, dir)),
+    // The parent-pointer dir-table derivation behind ns_fso_paths /
+    // ns_fso_du (resolvePaths checkpoints it before the level loop).
+    "ns_fso_paths__pre_ckpt" ->
+      ((s, dir) => graft.ObjectStoreView.dirTable(s, dir)))
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.json"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"

@@ -237,19 +237,27 @@ object Dedup {
     * joins into broadcasts), and the full corpus is joined exactly once at
     * the end to attach identity labels.
     */
-  private[graft] def canonicalLabels(docs: DataFrame): DataFrame = {
-    val pairs = verifiedPairs(docs).select("doc_a", "doc_b")
-    // Symmetrize via explode, not union — a union of (a,b) and (b,a)
-    // selects would run the whole verify pipeline twice. The edge set is
-    // localCheckpoint'ed: it appears in all 3 propagation rounds, and
-    // exchange reuse alone doesn't stop the MinHash/Jaccard verify
-    // pipeline from re-executing per round (measured 4.6s → edge
-    // materialization cuts the rounds to pure id-join work).
-    val edges = pairs.select(explode(array(
+  /** The symmetrized verified-edge frame of [[canonicalLabels]] BEFORE its
+    * localCheckpoint (the PLANS_r{n} pre-checkpoint probe,
+    * `dd_canonical__pre_ckpt`): the whole MinHash/LSH/Jaccard verify
+    * pipeline lives in this prefix, invisible to the registered query's
+    * physical plan once the checkpoint truncates it.
+    */
+  private[graft] def canonicalEdgesRaw(docs: DataFrame): DataFrame =
+    verifiedPairs(docs).select("doc_a", "doc_b")
+      // Symmetrize via explode, not union — a union of (a,b) and (b,a)
+      // selects would run the whole verify pipeline twice.
+      .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+
+  private[graft] def canonicalLabels(docs: DataFrame): DataFrame = {
+    // The edge set is localCheckpoint'ed: it appears in all 3 propagation
+    // rounds, and exchange reuse alone doesn't stop the MinHash/Jaccard
+    // verify pipeline from re-executing per round (measured 4.6s → edge
+    // materialization cuts the rounds to pure id-join work).
+    val edges = canonicalEdgesRaw(docs).localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to 3) {
@@ -348,12 +356,9 @@ object Dedup {
     * transitive closure computes.
     */
   private[graft] def componentLabels(docs: DataFrame): DataFrame = {
-    val pairs = verifiedPairs(docs).select("doc_a", "doc_b")
-    val edges = pairs.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+    // Same pre-checkpoint edge frame as canonicalLabels — probed once
+    // under dd_canonical__pre_ckpt (identical subtree).
+    val edges = canonicalEdgesRaw(docs).localCheckpoint()
     // Fixpoint iteration over edge-endpoint docs only (isolated docs can
     // never change label — see canonicalLabels); the convergence probe and
     // every round's joins run on the small endpoint frame.
@@ -603,13 +608,20 @@ object Dedup {
     * labels — the rounds scale with the semantic-dup graph, not the
     * embedding count.
     */
-  def ddSemanticClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = ddEmbedCosine(spark, dir).select("vec_a", "vec_b")
-    val edges = pairs.select(explode(array(
+  /** Pre-checkpoint edge frame of [[ddSemanticClusters]] (PLANS probe
+    * `dd_semantic_clusters__pre_ckpt`) — carries the hyperplane-banding +
+    * cosine-verify pipeline the checkpoint truncates away.
+    */
+  private[graft] def semanticEdgesRaw(spark: SparkSession,
+      dir: String): DataFrame =
+    ddEmbedCosine(spark, dir).select("vec_a", "vec_b")
+      .select(explode(array(
         struct(col("vec_a").as("src"), col("vec_b").as("dst")),
         struct(col("vec_b").as("src"), col("vec_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint()
+
+  def ddSemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = semanticEdgesRaw(spark, dir).localCheckpoint()
     var labels = edges.select(col("src").as("vec_id")).distinct()
       .select(col("vec_id"), col("vec_id").as("label"))
     for (_ <- 1 to 3) {

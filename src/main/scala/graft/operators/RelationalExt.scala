@@ -279,18 +279,25 @@ object RelationalExt {
     * cross join — the scalar-subquery plan that scales (never a global
     * window). Membership compares exact decimals; doubles only at output.
     */
-  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
+  /** Pre-checkpoint per-supplier revenue frame of [[q15TopSupplier]]
+    * (PLANS probe `q15_top_supplier__pre_ckpt`) — the filtered lineitem
+    * scan + aggregation the checkpoint truncates away.
+    */
+  private[graft] def q15PerSuppRaw(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("total_rev_d"))
+
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     // Materialized once: maxRev derives from perSupp, so without this Spark
     // executes the filtered lineitem scan + per-supplier aggregation twice.
     // localCheckpoint (not persist) so repeated invocations don't silently
     // share a plan-keyed cache entry; the stored result is one row per
     // supplier — tiny at any scale.
-    val perSupp = l.groupBy(col("l_suppkey"))
-      .agg(sum(revenue).as("total_rev_d"))
-      .localCheckpoint()
+    val perSupp = q15PerSuppRaw(spark, dir).localCheckpoint()
     val maxRev = perSupp.agg(max(col("total_rev_d")).as("max_rev_d"))
     val s = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
     perSupp.crossJoin(broadcast(maxRev))
