@@ -258,6 +258,73 @@ object EventOps {
       .orderBy(col("cohort_week").asc, col("weeks_since").asc)
   }
 
+  // --- ev_cohort_revenue: cohort revenue-retention matrix -----------------
+  /** The money axis of the cohort matrix — [[evRetentionCohorts]] counts
+    * who comes back, this measures what they SPEND: users cohorted by
+    * first-seen week (same cohort definition, so the two matrices align
+    * row-for-row), purchase revenue per (cohort_week, weeks_since) cell
+    * in exact integer cents (the [[evRfm]] decimal-cents idiom — never a
+    * float sum), buyer counts, and revenue retention vs the cohort's
+    * week-0 revenue in integer ppm (NULL when the cohort had no week-0
+    * purchases — absent baseline, not zero). Shape: one purchases scan +
+    * the first-seen aggregate joined on user, one (cohort, week) rollup;
+    * the week-0 baseline window runs over the cohort×weeks matrix
+    * (metadata-sized at any event volume).
+    */
+  def evCohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"),
+        (col("value").cast("decimal(12,2)") * 100).cast("bigint").as("cents"))
+    val byCell = purch.join(firstSeen, "user_id")
+      .withColumn("weeks_since",
+        expr("CAST(datediff(week, cohort_week) DIV 7 AS BIGINT)"))
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("cents")).as("revenue_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_week"))
+    byCell
+      .withColumn("week0_cents",
+        max(when(col("weeks_since") === 0, col("revenue_cents"))).over(w))
+      .withColumn("rev_retention_ppm",
+        when(col("week0_cents").isNotNull,
+          expr("revenue_cents * 1000000 DIV greatest(week0_cents, 1)")))
+      .select("cohort_week", "weeks_since", "n_buyers", "revenue_cents",
+        "rev_retention_ppm")
+      .orderBy(col("cohort_week").asc, col("weeks_since").asc)
+  }
+
+  val evCohortRevenueSql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id
+      |), purch AS (
+      |  SELECT user_id, date_trunc('week', ts) AS week,
+      |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'
+      |), cell AS (
+      |  SELECT f.cohort_week,
+      |    CAST(datediff('day', f.cohort_week, p.week) // 7 AS BIGINT)
+      |      AS weeks_since,
+      |    COUNT(DISTINCT p.user_id) AS n_buyers,
+      |    CAST(SUM(p.cents) AS BIGINT) AS revenue_cents
+      |  FROM purch p JOIN first_seen f USING (user_id)
+      |  GROUP BY 1, 2
+      |), w0 AS (
+      |  SELECT cohort_week, weeks_since, n_buyers, revenue_cents,
+      |    MAX(CASE WHEN weeks_since = 0 THEN revenue_cents END)
+      |      OVER (PARTITION BY cohort_week) AS week0_cents
+      |  FROM cell
+      |)
+      |SELECT cohort_week, weeks_since, n_buyers, revenue_cents,
+      |  CASE WHEN week0_cents IS NOT NULL THEN
+      |    CAST(revenue_cents * 1000000 // greatest(week0_cents, 1) AS BIGINT)
+      |  END AS rev_retention_ppm
+      |FROM w0 ORDER BY cohort_week ASC, weeks_since ASC""".stripMargin
+
   val evRetentionCohortsSql: String =
     """WITH first_seen AS (
       |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
@@ -1370,6 +1437,7 @@ object EventOps {
     "ev_dau_wau" -> evDauWau,
     "ev_heatmap" -> evHeatmap,
     "ev_retention_cohorts" -> evRetentionCohorts,
+    "ev_cohort_revenue" -> evCohortRevenue,
     "ev_tumbling_counts" -> evTumblingCounts,
     "ev_sessionize" -> evSessionize,
     "ev_funnel" -> evFunnel,
@@ -1401,6 +1469,7 @@ object EventOps {
     "ev_dau_wau" -> evDauWauSql,
     "ev_heatmap" -> evHeatmapSql,
     "ev_retention_cohorts" -> evRetentionCohortsSql,
+    "ev_cohort_revenue" -> evCohortRevenueSql,
     "ev_tumbling_counts" -> evTumblingCountsSql,
     "ev_sessionize" -> evSessionizeSql,
     "ev_funnel" -> evFunnelSql,

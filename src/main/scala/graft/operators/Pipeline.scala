@@ -182,6 +182,62 @@ object Pipeline {
        |  CAST(floor(offset_in_shard / ${ChunkTokens.toDouble}) AS BIGINT) AS chunk_id
        |FROM off ORDER BY doc_id ASC""".stripMargin
 
+  // --- pipe_pack_efficiency: packing-quality audit per shard --------------
+  /** Quality audit of [[pipePackPlan]]'s layout — the two costs a packed
+    * context window pays: DOCUMENT STRADDLE (a doc whose tokens cross a
+    * chunk boundary is split across training contexts — per source, how
+    * many and what share in ppm) and TAIL PADDING (the final chunk's
+    * unfilled tokens — waste ppm of the shard's chunk capacity). Derived
+    * entirely from the pack plan's offsets (end chunk =
+    * ⌊(offset + tokens − 1)/512⌋, exact integers), one rollup per source
+    * — at 100 TB this audits a layout for millions of documents with a
+    * |sources|-row output.
+    */
+  def pipePackEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val plan = pipePackPlan(spark, dir)
+    plan
+      .withColumn("end_chunk",
+        floor((col("offset_in_shard") + greatest(col("n_tokens"), lit(1L))
+          - 1L) / ChunkTokens.toDouble).cast("bigint"))
+      .withColumn("straddles",
+        (col("n_tokens") > 0L && col("end_chunk") > col("chunk_id"))
+          .cast("bigint"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (max(col("end_chunk")) + 1L).as("n_chunks"),
+        sum(col("straddles")).as("n_straddling"))
+      .withColumn("straddle_ppm",
+        expr("n_straddling * 1000000 DIV n_docs"))
+      .withColumn("pad_waste_ppm",
+        expr(s"(n_chunks * $ChunkTokens - total_tokens) * 1000000 " +
+          s"DIV greatest(n_chunks * $ChunkTokens, 1)"))
+      .select("source", "n_docs", "total_tokens", "n_chunks",
+        "n_straddling", "straddle_ppm", "pad_waste_ppm")
+      .orderBy(col("source").asc)
+  }
+
+  val pipePackEfficiencySql: String =
+    s"""WITH plan AS ($pipePackPlanSql), e AS (
+       |  SELECT source, n_tokens, chunk_id,
+       |    CAST(floor((offset_in_shard + greatest(n_tokens, 1) - 1)
+       |      / ${ChunkTokens.toDouble}) AS BIGINT) AS end_chunk
+       |  FROM plan
+       |), agg AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(MAX(end_chunk) + 1 AS BIGINT) AS n_chunks,
+       |    CAST(SUM(CASE WHEN n_tokens > 0 AND end_chunk > chunk_id
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+       |  FROM e GROUP BY source
+       |)
+       |SELECT source, n_docs, total_tokens, n_chunks, n_straddling,
+       |  CAST(n_straddling * 1000000 // n_docs AS BIGINT) AS straddle_ppm,
+       |  CAST((n_chunks * $ChunkTokens - total_tokens) * 1000000
+       |    // greatest(n_chunks * $ChunkTokens, 1) AS BIGINT)
+       |    AS pad_waste_ppm
+       |FROM agg ORDER BY source ASC""".stripMargin
+
   // --- pipe_sample: deterministic stratified sampling ---------------------
   /** Language-stratified deterministic sampling: the majority language (en)
     * keeps 10%, every other stratum keeps 50% — the rebalancing step of a
@@ -979,6 +1035,7 @@ object Pipeline {
     "pipe_split" -> pipeSplit,
     "pipe_split_drift" -> pipeSplitDrift,
     "pipe_pack_plan" -> pipePackPlan,
+    "pipe_pack_efficiency" -> pipePackEfficiency,
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
@@ -995,6 +1052,7 @@ object Pipeline {
     "pipe_split" -> pipeSplitSql,
     "pipe_split_drift" -> pipeSplitDriftSql,
     "pipe_pack_plan" -> pipePackPlanSql,
+    "pipe_pack_efficiency" -> pipePackEfficiencySql,
     "pipe_sample" -> pipeSampleSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,
     "pipe_chunk" -> pipeChunkSql,

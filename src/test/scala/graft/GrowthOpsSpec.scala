@@ -299,4 +299,48 @@ class GrowthOpsSpec extends SparkSpec {
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("nb")).toMap
     assert(rep == expect, "bigram totals must match the per-doc token counts")
   }
+
+  /** The revenue matrix must align with the user-count matrix: same cohort
+    * definition, so every revenue cell appears in the retention matrix
+    * (buyers are a subset of actives) with n_buyers ≤ n_active, and each
+    * cohort's week-0 ppm (when present) is exactly 1,000,000.
+    */
+  test("ev_cohort_revenue aligns with ev_retention_cohorts") {
+    val rev = EventOps.evCohortRevenue(spark, sf).collect()
+      .map(r => (r.get(0), r.getLong(1)) ->
+        (r.getLong(2), Option(r.getAs[java.lang.Long]("rev_retention_ppm"))))
+      .toMap
+    val ret = EventOps.evRetentionCohorts(spark, sf).collect()
+      .map(r => (r.get(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rev.nonEmpty)
+    rev.foreach { case (cell, (nBuyers, _)) =>
+      assert(ret.contains(cell), s"revenue cell $cell missing from retention")
+      assert(nBuyers <= ret(cell),
+        s"cell $cell: buyers $nBuyers > actives ${ret(cell)}")
+    }
+    rev.collect { case ((c, 0L), (_, Some(ppm))) => (c, ppm) }
+      .foreach { case (c, ppm) =>
+        assert(ppm == 1000000L, s"cohort $c week-0 ppm $ppm != 1e6") }
+  }
+
+  /** Packing audit re-derived from the plan rows it summarizes: for every
+    * source, the straddle count and chunk count recomputed locally from
+    * the collected pack plan must match the operator's rollup.
+    */
+  test("pipe_pack_efficiency agrees with a local recompute of the pack plan") {
+    val plan = Pipeline.pipePackPlan(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("offset_in_shard"), r.getAs[Long]("chunk_id")))
+    val expect = plan.groupBy(_._1).map { case (src, rows) =>
+      val straddle = rows.count { case (_, nt, off, ck) =>
+        nt > 0 && (off + math.max(nt, 1) - 1) / 512 > ck }
+      val chunks = rows.map { case (_, nt, off, _) =>
+        (off + math.max(nt, 1) - 1) / 512 }.max + 1
+      src -> (straddle.toLong, chunks)
+    }
+    val got = Pipeline.pipePackEfficiency(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_straddling"), r.getAs[Long]("n_chunks"))).toMap
+    assert(got == expect, s"mismatch: ${got.toSeq.sorted.take(3)} vs ${expect.toSeq.sorted.take(3)}")
+  }
 }
