@@ -219,6 +219,58 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM scored
        |WHERE jaccard >= 0.6 ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
+  // --- dd_source_dup_matrix: cross-source duplication matrix --------------
+  /** WHICH sources duplicate WHICH — the mixture-curation question behind
+    * per-source deweighting (a source that mostly mirrors another should
+    * lose epochs, not the original): the Jaccard-verified near-dup pairs
+    * rolled up to an unordered SOURCE×SOURCE matrix (direction normalized
+    * by source name so each unordered pair is one row), with the
+    * within-source flag and each cell's share of all verified pairs in
+    * integer ppm. Shape: the verify pipeline runs once; the rollup and
+    * the share window run over the ≤|sources|² matrix frame —
+    * metadata-sized at any corpus scale.
+    */
+  def ddSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    val cells = verifiedPairs(docs).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("source_b")), "doc_b")
+      .select(least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+    cells
+      .withColumn("total",
+        sum(col("n_pairs")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("within_source", col("source_x") === col("source_y"))
+      .withColumn("pair_share_ppm", expr("n_pairs * 1000000 DIV total"))
+      .select("source_x", "source_y", "within_source", "n_pairs",
+        "pair_share_ppm")
+      .orderBy(col("source_x").asc, col("source_y").asc)
+  }
+
+  val ddSourceDupMatrixSql: String =
+    s"""WITH $scoredSqlCtes, vp AS (
+       |  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.6
+       |), cells AS (
+       |  SELECT least(da.source, db.source) AS source_x,
+       |    greatest(da.source, db.source) AS source_y,
+       |    COUNT(*) AS n_pairs
+       |  FROM vp
+       |  JOIN documents da ON vp.doc_a = da.doc_id
+       |  JOIN documents db ON vp.doc_b = db.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT source_x, source_y, source_x = source_y AS within_source,
+       |  n_pairs,
+       |  CAST(n_pairs * 1000000 // SUM(n_pairs) OVER () AS BIGINT)
+       |    AS pair_share_ppm
+       |FROM cells ORDER BY source_x ASC, source_y ASC""".stripMargin
+
   // --- dd_canonical: cluster canonicalization over verified edges ---------
   /** Canonical doc per near-dup cluster: min-label propagation over the
     * verified-pair graph for a FIXED 3 rounds (both engines run the same
@@ -1412,6 +1464,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_band_sweep" -> ddBandSweep,
     "dd_sig_width_sweep" -> ddSigWidthSweep,
+    "dd_source_dup_matrix" -> ddSourceDupMatrix,
     "dd_incremental" -> ddIncremental,
     "dd_dup_bytes" -> ddDupBytes,
     "dd_exact" -> ddExact,
@@ -1433,6 +1486,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_band_sweep" -> ddBandSweepSql,
     "dd_sig_width_sweep" -> ddSigWidthSweepSql,
+    "dd_source_dup_matrix" -> ddSourceDupMatrixSql,
     "dd_incremental" -> ddIncrementalSql,
     "dd_dup_bytes" -> ddDupBytesSql,
     "dd_exact" -> ddExactSql,

@@ -140,4 +140,23 @@ class DedupSpec extends SparkSpec {
     assert(sweep(64L)._1 <= sweep(8L)._1,
       s"full signature no better than 8-hash prefix: $sweep")
   }
+
+  /** The matrix is a partition of the verified pair set: cell counts sum
+    * to dd_ngram_jaccard's row count and shares to ~1e6 (integer-DIV
+    * truncation only).
+    */
+  test("dd_source_dup_matrix partitions the verified pair set") {
+    val rows = graft.operators.Dedup.ddSourceDupMatrix(spark, sf).collect()
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val nVerified = graft.operators.Dedup.ddNgramJaccard(spark, sf).count()
+    assert(nPairs == nVerified, s"$nPairs cells vs $nVerified verified")
+    val shares = rows.map(_.getAs[Long]("pair_share_ppm")).sum
+    assert(shares <= 1000000L && shares > 1000000L - rows.length,
+      s"shares sum $shares over ${rows.length} cells")
+    rows.foreach { r =>
+      assert((r.getAs[String]("source_x") == r.getAs[String]("source_y"))
+        == r.getAs[Boolean]("within_source"))
+      assert(r.getAs[String]("source_x") <= r.getAs[String]("source_y"))
+    }
+  }
 }
