@@ -364,7 +364,8 @@ object Namespace {
   /** Quota-exhaustion forecast — the question the capacity planner actually
     * asks of the Recon utilization trend ([[growthForecast]]'s regression
     * re-read against the volume quota from the OmVolumeArgs accounting
-    * surface, the [[graft.operators.Entities.nsListVolumes]] binding):
+    * surface — common/.../om/helpers/OmVolumeArgs.java:47 `quotaInBytes` —
+    * via the [[graft.operators.Entities.nsListVolumes]] binding):
     * per volume — used vs quota headroom, the OLS bytes/month slope, the
     * months-to-exhaustion ETA, and an OVER_QUOTA / AT_RISK (≤ 12 months) /
     * OK verdict. Every comparison driving the verdict is exact-integer
