@@ -41,7 +41,25 @@ object PlanDoctor {
 
   private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
     case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
-    case _ => p +: p.children.flatMap(nodes)
+    case _ =>
+      (p +: p.children.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
+  }
+
+  /** True iff every path from `p` to a leaf hits an aggregate BEFORE any
+    * cardinality-expanding node (join, generate/explode, expand, union) —
+    * i.e. the frame feeding an unpartitioned window is provably
+    * group-bounded. A join ABOVE the aggregate can re-expand cardinality,
+    * so it defeats the bound.
+    */
+  private def aggBounded(p: SparkPlan): Boolean = p match {
+    case a: AdaptiveSparkPlanExec => aggBounded(a.inputPlan)
+    case _: BaseAggregateExec => true
+    case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+    case _: org.apache.spark.sql.execution.GenerateExec => false
+    case _: org.apache.spark.sql.execution.ExpandExec => false
+    case _: org.apache.spark.sql.execution.UnionExec => false
+    case other =>
+      other.children.nonEmpty && other.children.forall(aggBounded)
   }
 
   /** One row per finding (severity ERROR | WARN), most severe first. */
@@ -55,8 +73,7 @@ object PlanDoctor {
         findings += Row("ERROR", "CARTESIAN_PRODUCT", c.nodeName,
           "O(left x right) row blow-up; rewrite as an equi/range/broadcast " +
             "join - this never survives a 100 TB input")
-      case w: WindowExec if w.partitionSpec.isEmpty &&
-          w.child.collect { case a: BaseAggregateExec => a }.isEmpty =>
+      case w: WindowExec if w.partitionSpec.isEmpty && !aggBounded(w.child) =>
         findings += Row("ERROR", "UNPARTITIONED_WINDOW", w.nodeName,
           "window with no PARTITION BY over unaggregated input moves ALL " +
             "rows to one task; partition the window or aggregate below it")

@@ -92,9 +92,18 @@ object PlanProbe {
     // ns_fso_du (resolvePaths checkpoints it before the level loop).
     "ns_fso_paths__pre_ckpt" ->
       ((s, dir) => graft.ObjectStoreView.dirTable(s, dir)))
+  /** `runMain graft.PlanProbe <out.json> [sfDir ...]` — one section per sf
+    * directory (default: sf0.001 AND sf0.1, VERDICT r13 #1: static
+    * broadcast-vs-SMJ decisions are size-dependent, so the exchange gate
+    * needs the bench-scale shapes too, not only the tiny-sf ones).
+    * Artifact layout (and the single-sf r≤13 artifacts are the degenerate
+    * one-section case of the same layout):
+    * `{"sections": [{"sf": dir, "queries": {name: counters}}, ...]}`.
+    */
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.json"
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val sfDirs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -103,15 +112,19 @@ object PlanProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val lines = (SparkEntry.queries ++ extraPlans).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cs = PlanShape.countsNoAqe(spark, fn(spark, sfDir))
-      val body = cs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
-      s"""  "$name": {$body}"""
+    val sections = sfDirs.map { sfDir =>
+      val lines = (SparkEntry.queries ++ extraPlans).toSeq.sortBy(_._1)
+        .map { case (name, fn) =>
+          val cs = PlanShape.countsNoAqe(spark, fn(spark, sfDir))
+          val body = cs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+          s"""    "$name": {$body}"""
+        }
+      println(s"probed $sfDir (${lines.size} plans)")
+      lines.mkString(s"""  {"sf": "$sfDir", "queries": {\n""", ",\n", "\n  }}")
     }
-    val json = lines.mkString(s"""{"sf": "$sfDir", "queries": {\n""",
-      ",\n", "\n}}\n")
+    val json = sections.mkString("{\"sections\": [\n", ",\n", "\n]}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
-    println(s"wrote $out (${lines.size} queries)")
+    println(s"wrote $out (${sfDirs.size} sections)")
     spark.stop()
   }
 }

@@ -346,12 +346,14 @@ object Namespace {
         sum(col("x") * col("x")).as("sxx"))
       .withColumn("d", col("n_months") * col("sxx") - col("sx") * col("sx"))
       .withColumn("slope_bytes_per_month",
-        round((col("n_months") * col("sxy") - col("sx") * col("sy"))
-          .cast("double") / col("d").cast("double"), 6))
+        when(col("d") =!= 0,
+          round((col("n_months") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") / col("d").cast("double"), 6)))
       .withColumn("forecast_next_month_bytes",
-        round(((col("sy") * col("sxx") - col("sx") * col("sxy")) +
-          (col("n_months") * col("sxy") - col("sx") * col("sy")) *
-            col("n_months")).cast("double") / col("d").cast("double"), 6))
+        when(col("d") =!= 0,
+          round(((col("sy") * col("sxx") - col("sx") * col("sxy")) +
+            (col("n_months") * col("sxy") - col("sx") * col("sy")) *
+              col("n_months")).cast("double") / col("d").cast("double"), 6)))
       .select("volume", "n_months", "slope_bytes_per_month",
         "forecast_next_month_bytes")
       .orderBy(col("volume").asc)
@@ -372,9 +374,16 @@ object Namespace {
     * (headroom·D ≤ 12·slopeNum, never the rounded double), so the status
     * can't flip on a rounding boundary between engines; slope and ETA go
     * to rounded doubles only at emit (SURVEY §4). Non-growing volumes
-    * (slopeNum ≤ 0) report a NULL ETA. Shape: one corpus scan + one
-    * (volume, month) shuffle; regression and verdict run over the
-    * metadata-sized monthly frame.
+    * (slopeNum ≤ 0) report a NULL ETA; single-month volumes (OLS
+    * denominator D = 0) report a NULL slope in BOTH engines rather than
+    * an engine-dependent 0/0. NOTE the quota derivation is a synthetic
+    * test-data binding: quota_bytes is computed from the digits of the
+    * `vol<N>` volume name (the testdata naming scheme standing in for the
+    * per-volume `quotaInBytes` field) — a volume named otherwise yields
+    * NULL quota/headroom/status. A production caller replaces that one
+    * column with a real quota frame join; everything else is generic.
+    * Shape: one corpus scan + one (volume, month) shuffle; regression and
+    * verdict run over the metadata-sized monthly frame.
     */
   def quotaExhaustion(keys: DataFrame): DataFrame = {
     val monthly = keys
@@ -395,7 +404,8 @@ object Namespace {
       .withColumn("d", col("n_months") * col("sxx") - col("sx") * col("sx"))
       .withColumn("snum", col("n_months") * col("sxy") - col("sx") * col("sy"))
       .withColumn("slope_bytes_per_month",
-        round(col("snum").cast("double") / col("d").cast("double"), 6))
+        when(col("d") =!= 0,
+          round(col("snum").cast("double") / col("d").cast("double"), 6)))
       .withColumn("months_to_exhaustion",
         when(col("snum") > 0, round(
           (greatest(col("headroom_bytes"), lit(0L)) * col("d")).cast("double")
@@ -443,8 +453,9 @@ object Namespace {
        |)
        |SELECT volume, n_months, sy AS used_bytes, quota_bytes,
        |  quota_bytes - sy AS headroom_bytes,
-       |  round(CAST(snum AS DOUBLE) / CAST(d AS DOUBLE), 6)
-       |    AS slope_bytes_per_month,
+       |  CASE WHEN d <> 0 THEN
+       |    round(CAST(snum AS DOUBLE) / CAST(d AS DOUBLE), 6)
+       |  END AS slope_bytes_per_month,
        |  CASE WHEN snum > 0 THEN
        |    round(CAST(greatest(quota_bytes - sy, 0) * d AS DOUBLE) /
        |      CAST(snum AS DOUBLE), 6)
@@ -474,13 +485,15 @@ object Namespace {
        |  FROM xy GROUP BY volume
        |)
        |SELECT volume, n_months,
-       |  round(CAST(n_months * sxy - sx * sy AS DOUBLE) /
-       |    CAST(n_months * sxx - sx * sx AS DOUBLE), 6)
-       |    AS slope_bytes_per_month,
-       |  round(CAST((sy * sxx - sx * sxy) +
-       |      (n_months * sxy - sx * sy) * n_months AS DOUBLE) /
-       |    CAST(n_months * sxx - sx * sx AS DOUBLE), 6)
-       |    AS forecast_next_month_bytes
+       |  CASE WHEN n_months * sxx - sx * sx <> 0 THEN
+       |    round(CAST(n_months * sxy - sx * sy AS DOUBLE) /
+       |      CAST(n_months * sxx - sx * sx AS DOUBLE), 6)
+       |  END AS slope_bytes_per_month,
+       |  CASE WHEN n_months * sxx - sx * sx <> 0 THEN
+       |    round(CAST((sy * sxx - sx * sxy) +
+       |        (n_months * sxy - sx * sy) * n_months AS DOUBLE) /
+       |      CAST(n_months * sxx - sx * sx AS DOUBLE), 6)
+       |  END AS forecast_next_month_bytes
        |FROM s ORDER BY volume ASC""".stripMargin
 
   val nsGrowthTrendSql: String =

@@ -34,6 +34,34 @@ class PlanDoctorSpec extends SparkSpec {
       "group-bounded window over an aggregate must not be flagged")
   }
 
+  test("flags an unpartitioned window when a join above the aggregate re-expands cardinality") {
+    val s = spark
+    import s.implicits._
+    // agg bounds cardinality ... then an explode above it re-expands:
+    // the aggregate no longer bounds the window's direct input.
+    val agged = spark.range(100).toDF("id")
+      .groupBy((col("id") % 7).as("g")).agg(count(lit(1)).as("n"))
+      .withColumn("x", explode(sequence(lit(0L), col("n"))))
+      .withColumn("r", row_number().over(Window.orderBy(col("x"))))
+    assert(codes(agged).contains(("ERROR", "UNPARTITIONED_WINDOW")),
+      "explode between aggregate and window defeats the bound")
+  }
+
+  test("scans plans inside subquery expressions") {
+    val conf = spark.conf
+    val before = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.range(100).toDF("a").createOrReplaceTempView("pd_sub_a")
+      spark.range(100).toDF("b").createOrReplaceTempView("pd_sub_b")
+      val df = spark.sql(
+        """SELECT id FROM range(10)
+          |WHERE id < (SELECT count(*) FROM pd_sub_a JOIN pd_sub_b)""".stripMargin)
+      assert(codes(df).contains(("ERROR", "CARTESIAN_PRODUCT")),
+        "cartesian product hidden in a scalar subquery must be flagged")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("warns on a shuffle carrying string payload columns") {
     val s = spark
     import s.implicits._

@@ -164,7 +164,7 @@ class PlanShapeSpec extends SparkSpec {
     * improvement, regenerate with
     * `sbt "runMain graft.PlanProbe PLANS_r{n}.json"` and commit.
     */
-  test("no query grew a shuffle exchange vs the latest PLANS_r{n} artifact") {
+  test("no query grew a shuffle exchange vs the latest PLANS_r{n} artifact (per sf section)") {
     val arts = Option(new java.io.File(".").listFiles()).get.toSeq
       .filter(_.getName.matches("PLANS_r\\d+\\.json"))
     assume(arts.nonEmpty, "no PLANS_r{n}.json artifact committed yet")
@@ -173,27 +173,45 @@ class PlanShapeSpec extends SparkSpec {
     val entry = ("\"([a-z0-9_]+)\": \\{\"exchanges\": (\\d+), " +
       "\"broadcast_exchanges\": (\\d+), \"broadcast_joins\": (\\d+)").r
     val text = java.nio.file.Files.readString(latest.toPath)
-    val baseline = entry.findAllMatchIn(text)
-      .map(m => m.group(1) -> (m.group(2).toInt, m.group(4).toInt)).toMap
-    assert(baseline.size > 200, s"failed to parse ${latest.getName}")
+    // Dual-scale artifact (VERDICT r13 #1): one section per sf directory,
+    // each gated against live plans built on ITS OWN sf — static
+    // broadcast-vs-SMJ choices are size-dependent, so sf0.001 green does
+    // not imply bench-scale green. The pre-r14 single-section artifacts
+    // parse as the one-section degenerate case of the same split.
+    val sections: Seq[(String, Map[String, (Int, Int)])] =
+      text.split("\"sf\": \"").toSeq.drop(1).map { chunk =>
+        val sfDir = chunk.takeWhile(_ != '"')
+        val baseline = entry.findAllMatchIn(chunk)
+          .map(m => m.group(1) -> (m.group(2).toInt, m.group(4).toInt)).toMap
+        sfDir -> baseline
+      }
+    assert(sections.nonEmpty && sections.forall(_._2.size > 200),
+      s"failed to parse ${latest.getName}: ${sections.map(_._2.size)}")
     // extraPlans: pre-checkpoint subtrees the registered plan can't show
     // (see PlanProbe.extraPlans) — gated under the same baseline keys.
     val gated = SparkEntry.queries ++ PlanProbe.extraPlans
-    val regressions = gated.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) => baseline.get(name).flatMap {
-        case (baseEx, baseBj) =>
-          val live = PlanShape.countsNoAqe(spark, fn(spark, sf)).toMap
-          if (live("exchanges") > baseEx)
-            Some(s"$name: ${live("exchanges")} exchanges vs $baseEx in ${latest.getName}")
-          else {
-            if (live("broadcast_joins") != baseBj)
-              info(s"$name broadcast_joins drifted: ${live("broadcast_joins")} vs $baseBj (not gated)")
-            None
-          }
+    val regressions = sections.flatMap { case (sfDir, baseline) =>
+      if (!new java.io.File(sfDir).isDirectory) {
+        info(s"section $sfDir skipped: directory absent on this host")
+        Nil
+      } else gated.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) => baseline.get(name).flatMap {
+          case (baseEx, baseBj) =>
+            val live = PlanShape.countsNoAqe(spark, fn(spark, sfDir)).toMap
+            if (live("exchanges") > baseEx)
+              Some(s"$name@$sfDir: ${live("exchanges")} exchanges vs $baseEx in ${latest.getName}")
+            else {
+              if (live("broadcast_joins") != baseBj)
+                info(s"$name@$sfDir broadcast_joins drifted: ${live("broadcast_joins")} vs $baseBj (not gated)")
+              None
+            }
+        }
       }
     }
-    (gated.keySet -- baseline.keySet).toSeq.sorted
-      .foreach(n => info(s"$n is new since ${latest.getName} (ungated this round)"))
+    sections.foreach { case (sfDir, baseline) =>
+      (gated.keySet -- baseline.keySet).toSeq.sorted
+        .foreach(n => info(s"$n@$sfDir is new since ${latest.getName} (ungated this round)"))
+    }
     assert(regressions.isEmpty,
       s"shuffle-exchange regressions vs ${latest.getName} — if deliberate, " +
         s"regenerate the artifact:\n${regressions.mkString("\n")}")

@@ -66,7 +66,7 @@ for name in spark_dirs:
                 if not eq.all():
                     eq_all = False
                     break
-            entry["hash_match"] = bool(eq_all and hash_vals(s) == hash_vals(d) or eq_all)
+            entry["hash_match"] = bool(eq_all and hash_vals(s) == hash_vals(d))
         else:
             entry["hash_match"] = False
     except Exception as e:
