@@ -1325,9 +1325,87 @@ object Containers {
        |) t ORDER BY metric ASC""".stripMargin
   }
 
+  // --- ins_scm_container_protocol: SCM container-location RPC counters ---
+  /** ScmProtocolContainerLocationInsight's per-protobuf-message counter
+    * display (insight/.../scm/ScmProtocolContainerLocationInsight.java:53-66
+    * — `addProtocolMessageMetrics` over
+    * StorageContainerLocationProtocolProtos.Type, the container-location
+    * sibling of [[insScmProtocol]]'s block-location point), derived from
+    * durable evidence like the block twin (VERDICT r13 #2):
+    * every container that exists in the container→key map was one
+    * AllocateContainer RPC (interface-admin/.../ScmAdminProtocol.proto:133);
+    * a container whose entire key set sits in the deletedTable is one
+    * DeleteContainer (proto:137 — SCM removes a container only once its
+    * last block is purged); and every successful-or-failed key read in the
+    * audit stream resolved its container's pipeline with one
+    * GetContainerWithPipeline (proto:135 — the read path's locate call).
+    * The processed-request total mirrors the server's RPC counter. The
+    * remaining protocol points (ScmProtocolDatanodeInsight,
+    * ScmProtocolSecurityInsight) have no durable evidence in the data
+    * model — named out of scope in SURVEY §2.A.
+    *
+    * Scale: one container-frame rollup (map-side combinable, 1024-row
+    * result), one audit-stream count — both 1-row aggregates after the
+    * shuffle; the total re-aggregates the 3-row counter frame.
+    */
+  def insScmContainerProtocol(spark: SparkSession, dir: String): DataFrame = {
+    val l = graft.Tables.lineitem(spark, dir)
+    val perContainer = l.select(
+        ((col("l_orderkey") * 7 + col("l_linenumber")) % 1024)
+          .cast("bigint").as("container_id"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("del"))
+      .groupBy(col("container_id"))
+      .agg(min(col("del")).as("all_deleted"))
+    val containerSide = perContainer
+      .agg(count(lit(1)).as("a"),
+        coalesce(sum(col("all_deleted").cast("long")), lit(0L)).as("d"))
+      .select(explode(array(
+        struct(lit("scm_container_location_protocol_AllocateContainer")
+          .as("metric"), col("a").as("value")),
+        struct(lit("scm_container_location_protocol_DeleteContainer")
+          .as("metric"), col("d").as("value")))).as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+    val gets = Audit.auditLog(spark, dir)
+      .filter(col("op") === "READ_KEY")
+      .agg(count(lit(1)).as("value"))
+      .select(
+        lit("scm_container_location_protocol_GetContainerWithPipeline")
+          .as("metric"), col("value"))
+    val counters = containerSide.unionByName(gets)
+    val total = counters.agg(sum(col("value")).as("value"))
+      .select(lit("scm_rpc_processed_requests").as("metric"), col("value"))
+    counters.unionByName(total).orderBy(col("metric").asc)
+  }
+
+  val insScmContainerProtocolSql: String =
+    s"""WITH audit AS (${Audit.auditLogSql}), pc AS (
+       |  SELECT (l_orderkey * 7 + l_linenumber) % 1024 AS container_id,
+       |    MIN(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS all_deleted
+       |  FROM lineitem GROUP BY container_id
+       |), c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS a,
+       |    COALESCE(CAST(SUM(all_deleted) AS BIGINT), 0) AS d
+       |  FROM pc
+       |), g AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS g FROM audit
+       |  WHERE op = 'READ_KEY'
+       |)
+       |SELECT metric, value FROM (
+       |  SELECT 'scm_container_location_protocol_AllocateContainer' AS metric,
+       |    a AS value FROM c
+       |  UNION ALL
+       |  SELECT 'scm_container_location_protocol_DeleteContainer', d FROM c
+       |  UNION ALL
+       |  SELECT 'scm_container_location_protocol_GetContainerWithPipeline',
+       |    g.g FROM g
+       |  UNION ALL
+       |  SELECT 'scm_rpc_processed_requests', c.a + c.d + g.g FROM c, g
+       |) t ORDER BY metric ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ct_scrub_report" -> ctScrubReport,
     "ins_scm_protocol" -> insScmProtocol,
+    "ins_scm_container_protocol" -> insScmContainerProtocol,
     "ct_block_report" -> ctBlockReport,
     "ct_container_blocks" -> ctContainerBlocks,
     "ct_replica_history" -> ctReplicaHistory,
@@ -1355,6 +1433,7 @@ object Containers {
   val oracles: Map[String, String] = Map(
     "ct_scrub_report" -> ctScrubReportSql,
     "ins_scm_protocol" -> insScmProtocolSql,
+    "ins_scm_container_protocol" -> insScmContainerProtocolSql,
     "ct_block_report" -> ctBlockReportSql,
     "ct_container_blocks" -> ctContainerBlocksSql,
     "ct_replica_history" -> ctReplicaHistorySql,

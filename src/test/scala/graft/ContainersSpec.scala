@@ -174,4 +174,42 @@ class ContainersSpec extends SparkSpec {
       assert(rep(n).getAs[Long]("bytes_verified") == 12345L)
     }
   }
+
+  test("scm container-location protocol counters agree with their evidence frames") {
+    val rows = Containers.insScmContainerProtocol(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == Set(
+      "scm_container_location_protocol_AllocateContainer",
+      "scm_container_location_protocol_DeleteContainer",
+      "scm_container_location_protocol_GetContainerWithPipeline",
+      "scm_rpc_processed_requests"))
+    // AllocateContainer = distinct containers in the container→key map.
+    val nContainers = ObjectStoreView.containerKeys(spark, sf)
+      .select("container_id").distinct().count()
+    assert(rows("scm_container_location_protocol_AllocateContainer")
+      == nContainers)
+    // DeleteContainer containers are fully deleted: each counted container
+    // has zero live (non-R) keys — cross-checked against the flag frame.
+    val fullyDeleted = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.lineitem(spark, sf)
+        .groupBy(((col("l_orderkey") * 7 + col("l_linenumber")) % 1024)
+          .as("cid"))
+        .agg(max(when(col("l_returnflag") =!= "R", 1).otherwise(0))
+          .as("any_live"))
+        .filter(col("any_live") === 0).count()
+    }
+    assert(rows("scm_container_location_protocol_DeleteContainer")
+      == fullyDeleted)
+    assert(fullyDeleted > 0,
+      "sf0.001 must exercise a nonzero DeleteContainer count")
+    // GetContainerWithPipeline = READ_KEY audit entries; total = sum.
+    val reads = graft.operators.Audit.auditLog(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("op") === "READ_KEY")
+      .count()
+    assert(rows("scm_container_location_protocol_GetContainerWithPipeline")
+      == reads)
+    assert(rows("scm_rpc_processed_requests") ==
+      nContainers + fullyDeleted + reads)
+  }
 }
