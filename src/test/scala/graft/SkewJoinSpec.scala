@@ -63,6 +63,34 @@ class SkewJoinSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("salting bounds the per-salt (per-task) row count of a constructed hot key") {
+    val s = spark
+    import s.implicits._
+    val salts = 8
+    // One hot key with 8000 rows, 100 cold keys with 1 row each: unsalted,
+    // one reducer takes 8000 rows; salted, the hot key's share per (key,
+    // salt) group — i.e. per task after the (key, _salt) exchange — must
+    // drop to ~1/salts of that.
+    val hot = (1 to 8000).map(i => (0L, i.toLong))
+    val cold = (1 to 100).map(i => (i.toLong, 0L))
+    val left = (hot ++ cold).toDF("k", "v")
+    val right = (0 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val joined = SkewJoin.saltedJoin(left, right, "k", salts)
+    assert(joined.count() == 8100L)
+    // Bound measured on the salted left frame itself (the exchange the
+    // straggler task reads): max rows in any (k, _salt) group.
+    val saltedLeft = left.withColumn("_salt",
+      pmod(hash(col("k"), col("v")), lit(salts)))
+    val groups = saltedLeft.groupBy(col("k"), col("_salt"))
+      .agg(count(lit(1)).as("n")).collect()
+    val hotGroups = groups.filter(_.getLong(0) == 0L)
+    assert(hotGroups.length == salts,
+      s"hot key must spread over all $salts salts, got ${hotGroups.length}")
+    val maxPerSalt = hotGroups.map(_.getAs[Long]("n")).max
+    assert(maxPerSalt <= 2L * 8000L / salts,
+      s"per-salt bound violated: $maxPerSalt rows in one (key, salt) group")
+  }
+
   test("saltedFullOuterJoin matches full_outer across match patterns") {
     val s = spark
     import s.implicits._
