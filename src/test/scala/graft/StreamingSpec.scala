@@ -224,6 +224,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("CDC container-key-mapper maintenance converges to the batch inverse map") {
+    // Same delta construction as the du test: every key PUT once,
+    // size-divisible-by-3 keys deleted later — net = the remainder. The
+    // CDC event carries container_id (the reference reads it from the key
+    // event's OmKeyInfo block locations).
+    val ck = ObjectStoreView.containerKeys(spark, sf)
+    val puts = ck.select(lit("PUT").as("op"), col("container_id"),
+      col("volume"), col("bucket"), col("key"), col("size"))
+    val dels = ck.filter(col("size") % 3 === 0)
+      .select(lit("DELETE").as("op"), col("container_id"),
+        col("volume"), col("bucket"), col("key"), col("size"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-ckm")
+    puts.coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    dels.coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val schema = spark.read.parquet(dir.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val q = StreamOps.containerKeyMapperStream(stream)
+      .writeStream.format("memory").queryName("cdc_ckm_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    // The maintained (container, volume, bucket) frame rolls up to the
+    // batch op's exact per-container report, n_buckets included.
+    val streamed = spark.table("cdc_ckm_test")
+      .filter(col("n_keys") =!= 0)
+      .groupBy(col("container_id"))
+      .agg(sum(col("n_keys")).as("n_keys"),
+        sum(col("total_bytes")).as("total_bytes"),
+        count(lit(1)).as("n_buckets"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = ck.filter(col("size") % 3 =!= 0)
+      .groupBy(col("container_id"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"),
+        countDistinct(col("volume"), col("bucket")).as("n_buckets"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("streaming audit op-mix equals the batch rollup") {
     val q = StreamOps.auditOpMixStream(StreamOps.eventStream(spark, eventsDir))
       .writeStream.format("memory").queryName("audit_mix_test")
