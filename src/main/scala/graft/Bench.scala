@@ -91,6 +91,23 @@ object Bench {
     // makes the total's coverage explicit round-over-round.
     val failed = results.count(_._2 < 0)
 
+    // Anti-pattern sweep in the artifact itself (VERDICT r13 #6): per-query
+    // PlanDoctor ERROR count at the bench sf — scale-killers only
+    // (CartesianProduct, unpartitioned corpus window); the WARN classes
+    // are per-operator allowlisted in PlanShapeSpec and not counted here.
+    // Expected: zero everywhere, so the stdout line carries the total plus
+    // only the nonzero offenders (normally an empty map).
+    val planErrors = names.map { case (n, fn) =>
+      n -> (try PlanDoctor.report(fn(spark, sfDir))
+          .filter(org.apache.spark.sql.functions.col("severity") === "ERROR")
+          .count()
+        catch { case _: Throwable => -1L })
+    }
+    val planErrTotal = planErrors.map(_._2).map(math.max(_, 0L)).sum
+    val planErrBad = planErrors.filter(_._2 != 0L)
+    System.err.println(planErrors.map { case (k, v) => s""""$k":$v""" }
+      .mkString("[bench] plan_errors {", ",", "}"))
+
     // Full-precision detail for humans (stderr keeps stdout single-line).
     System.err.println(results.map { case (k, v) => s""""$k":$v""" }
       .mkString("[bench] detail {", ",", "}"))
@@ -99,8 +116,11 @@ object Bench {
     def line(included: Seq[(String, Double)], omitted: Int): String = {
       val qs = included.sortBy(_._1)
         .map { case (k, v) => s""""$k":${f3(v)}""" }.mkString("{", ",", "}")
+      val pe = planErrBad.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,""" +
         s""""n_queries":${results.size},"failed":$failed,"omitted":$omitted,""" +
+        s""""plan_errors":$planErrTotal,"plan_error_queries":$pe,""" +
         s""""passes":$passes,"sf":"$sfDir"}"""
     }
     var included = results

@@ -45,19 +45,23 @@ object PlanDoctor {
       (p +: p.children.flatMap(nodes)) ++ p.subqueries.flatMap(nodes)
   }
 
-  /** True iff every path from `p` to a leaf hits an aggregate BEFORE any
-    * cardinality-expanding node (join, generate/explode, expand, union) —
-    * i.e. the frame feeding an unpartitioned window is provably
-    * group-bounded. A join ABOVE the aggregate can re-expand cardinality,
-    * so it defeats the bound.
+  /** True iff the frame feeding an unpartitioned window is provably
+    * group-bounded: every leaf path hits an aggregate before reaching the
+    * window. Nodes that can re-introduce corpus cardinality ABOVE an
+    * aggregate are handled per-kind (the r13 false-negative fix): a join
+    * is bounded only if BOTH sides are (joining an aggregate back against
+    * the unaggregated corpus re-expands to corpus size); union/explode/
+    * expand over bounded inputs stay bounded (a constant or per-row
+    * fan-out over a group-bounded frame is metadata-sized, not
+    * corpus-sized). Known lint blind spot, acceptable for a triage pass:
+    * exploding a corpus-sized collect_list would be blessed here — but
+    * that plan already dies at the aggregate itself, not the window.
     */
   private def aggBounded(p: SparkPlan): Boolean = p match {
     case a: AdaptiveSparkPlanExec => aggBounded(a.inputPlan)
     case _: BaseAggregateExec => true
-    case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
-    case _: org.apache.spark.sql.execution.GenerateExec => false
-    case _: org.apache.spark.sql.execution.ExpandExec => false
-    case _: org.apache.spark.sql.execution.UnionExec => false
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      j.children.forall(aggBounded)
     case other =>
       other.children.nonEmpty && other.children.forall(aggBounded)
   }

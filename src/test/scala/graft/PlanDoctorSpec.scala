@@ -35,16 +35,25 @@ class PlanDoctorSpec extends SparkSpec {
   }
 
   test("flags an unpartitioned window when a join above the aggregate re-expands cardinality") {
-    val s = spark
-    import s.implicits._
-    // agg bounds cardinality ... then an explode above it re-expands:
-    // the aggregate no longer bounds the window's direct input.
-    val agged = spark.range(100).toDF("id")
-      .groupBy((col("id") % 7).as("g")).agg(count(lit(1)).as("n"))
-      .withColumn("x", explode(sequence(lit(0L), col("n"))))
-      .withColumn("r", row_number().over(Window.orderBy(col("x"))))
+    // agg bounds cardinality ... then joining back against the
+    // UNAGGREGATED corpus re-expands: the aggregate no longer bounds the
+    // window's direct input.
+    val corpus = spark.range(1000).toDF("id").withColumn("g", col("id") % 7)
+    val agged = corpus
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .join(corpus, "g")
+      .withColumn("r", row_number().over(Window.orderBy(col("id"))))
     assert(codes(agged).contains(("ERROR", "UNPARTITIONED_WINDOW")),
-      "explode between aggregate and window defeats the bound")
+      "corpus join between aggregate and window defeats the bound")
+    // ... while a bounded fan-out over the aggregate (explode of a
+    // group-bounded frame, the pipe_dedup_funnel / ct_balancer_moves
+    // shape) stays unflagged.
+    val bounded = corpus
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .withColumn("x", explode(array(lit(1), lit(2))))
+      .withColumn("r", row_number().over(Window.orderBy(col("x"), col("g"))))
+    assert(!codes(bounded).contains(("ERROR", "UNPARTITIONED_WINDOW")),
+      "bounded explode over an aggregate must not be flagged")
   }
 
   test("scans plans inside subquery expressions") {
