@@ -57,6 +57,78 @@ object PlanShape {
     spark.conf.set(key, "false")
     try counts(build) finally spark.conf.set(key, before)
   }
+
+  /** Every node of a FINAL adaptive plan: AdaptiveSparkPlanExec unwraps to
+    * its post-execution executedPlan and query stages to their physical
+    * plans, so what gets counted is what actually RAN — runtime
+    * broadcast-conversions, stage reuse and skew splits included. The
+    * runtime complement of the static AQE-off gate (VERDICT r13 #1's
+    * residual: AQE re-plans are size-dependent and invisible to any
+    * static artifact).
+    */
+  private def finalNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => finalNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: finalNodes(q.plan)
+    case _ =>
+      (p +: p.children.flatMap(finalNodes)) ++ p.subqueries.flatMap(finalNodes)
+  }
+
+  /** Executes `build`'s plan (noop traversal, AQE as-configured) and
+    * returns the counter map of the FINAL adaptive plan.
+    */
+  def countsAqeFinal(spark: SparkSession,
+      build: => DataFrame): Seq[(String, Int)] = {
+    val df = build
+    val qe = df.queryExecution
+    // Force full execution through the df's OWN QueryExecution (a noop
+    // df.write would plan a separate command QueryExecution and leave
+    // this one's adaptive plan unmaterialized).
+    qe.toRdd.foreachPartition(_ => ())
+    val ns = finalNodes(qe.executedPlan)
+    Seq(
+      "exchanges" -> ns.count(_.isInstanceOf[ShuffleExchangeExec]),
+      "reused_exchanges" -> ns.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+      "broadcast_exchanges" -> ns.count(_.isInstanceOf[BroadcastExchangeExec]),
+      "broadcast_joins" -> ns.count(n => n.isInstanceOf[BroadcastHashJoinExec]
+        || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "sort_merge_joins" -> ns.count(_.isInstanceOf[SortMergeJoinExec]),
+      "shuffled_hash_joins" -> ns.count(_.isInstanceOf[ShuffledHashJoinExec]))
+  }
+}
+
+/** Emits PLANS_AQE_r{n}.json — the RUNTIME plan-shape record: every
+  * registered query executed with AQE ON at the given sf (default: the
+  * bench scale, sf0.1), final adaptive plan counted. Where the static
+  * artifact pins what the planner would do, this pins what execution
+  * actually did — the broadcast→SMJ (and reverse) runtime decisions the
+  * static gate cannot see. `runMain graft.AqePlanProbe <out.json> [sfDir]`.
+  */
+object AqePlanProbe {
+  def main(args: Array[String]): Unit = {
+    val out = if (args.nonEmpty) args(0) else "PLANS_AQE.json"
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cs = PlanShape.countsAqeFinal(spark, fn(spark, sfDir))
+      val body = cs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+      s"""  "$name": {$body}"""
+    }
+    val json = lines.mkString(
+      s"""{"sf": "$sfDir", "aqe": true, "queries": {\n""", ",\n", "\n}}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    println(s"wrote $out (${lines.size} queries, AQE-final)")
+    spark.stop()
+  }
 }
 
 /** Emits PLANS_r{n}.json: `runMain graft.PlanProbe <out.json> [sfDir]`. */

@@ -1389,7 +1389,11 @@ object RelationalExt {
     * orders side replicates `SkewSalts`× — the documented cost model: salt
     * when the LEFT side carries the hot keys and the right fits
     * salts-fold. One shuffle per side on (key, _salt), then a 5-row
-    * priority rollup with map-side partials.
+    * priority rollup with map-side partials. At test scale the planner
+    * (correctly) broadcasts the replicated right side and the salt
+    * columns ride along inert — the salted exchange materializes exactly
+    * when it matters, once the right side exceeds the broadcast threshold
+    * and the join degrades to SMJ on (key, _salt).
     */
   private val SkewSalts = 8
 

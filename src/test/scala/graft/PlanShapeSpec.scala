@@ -216,4 +216,73 @@ class PlanShapeSpec extends SparkSpec {
       s"shuffle-exchange regressions vs ${latest.getName} — if deliberate, " +
         s"regenerate the artifact:\n${regressions.mkString("\n")}")
   }
+
+  /** Runtime-vs-static cross-check (the residual VERDICT r13 #1 gap): the
+    * PLANS_AQE_r{n} artifact records what AQE-enabled EXECUTION actually
+    * did at bench scale (graft.AqePlanProbe — final adaptive plans, query
+    * stages unwrapped). AQE may only improve on the static shape: convert
+    * SMJ→broadcast, coalesce partitions, reuse stages. A query whose
+    * runtime shuffle-exchange count EXCEEDS its static count at the same
+    * sf has a size-dependent re-plan the static gate cannot see — fail.
+    * SMJ↔BHJ flips are reported via info() (they are the expected AQE
+    * wins, not regressions).
+    */
+  test("AQE-final runtime plans never exceed the static shuffle-exchange counts") {
+    val dir = Option(new java.io.File(".").listFiles()).get.toSeq
+    val aqeArts = dir.filter(_.getName.matches("PLANS_AQE_r\\d+\\.json"))
+    assume(aqeArts.nonEmpty, "no PLANS_AQE_r{n}.json artifact committed yet")
+    val aqeLatest = aqeArts.maxBy(f =>
+      f.getName.stripPrefix("PLANS_AQE_r").stripSuffix(".json").toInt)
+    val statArts = dir.filter(_.getName.matches("PLANS_r\\d+\\.json"))
+    val statLatest = statArts.maxBy(f =>
+      f.getName.stripPrefix("PLANS_r").stripSuffix(".json").toInt)
+    val entry = ("\"([a-z0-9_]+)\": \\{\"exchanges\": (\\d+), " +
+      "(?:\"reused_exchanges\": (\\d+), )?\"broadcast_exchanges\": (\\d+), " +
+      "\"broadcast_joins\": (\\d+), \"sort_merge_joins\": (\\d+)").r
+    def parse(text: String): Map[String, (Int, Int, Int)] =
+      entry.findAllMatchIn(text).map(m =>
+        m.group(1) -> (m.group(2).toInt, m.group(5).toInt, m.group(6).toInt)).toMap
+    val aqeText = java.nio.file.Files.readString(aqeLatest.toPath)
+    val aqeSf = aqeText.split("\"sf\": \"")(1).takeWhile(_ != '"')
+    val aqe = parse(aqeText)
+    // Static baseline: the section of the SAME sf in the latest static
+    // artifact (pre-r14 single-section artifacts compare only if sf match).
+    val statSection = java.nio.file.Files.readString(statLatest.toPath)
+      .split("\"sf\": \"").toSeq.drop(1)
+      .find(_.startsWith(aqeSf + "\""))
+    assume(statSection.nonEmpty,
+      s"${statLatest.getName} has no $aqeSf section to compare against")
+    val stat = parse(statSection.get)
+    assert(aqe.size > 200 && stat.size > 200,
+      s"artifact parse failure: aqe=${aqe.size} static=${stat.size}")
+    // Checkpoint-truncated plans get a bounded allowance: under AQE the
+    // eagerly-materialized localCheckpoint RDD loses the static plan's
+    // preserved hash-partitioning guarantee (AQE's coalesced shuffle
+    // reads), so the DELTA-SIZED post-checkpoint frame legitimately
+    // re-shuffles — bounded by the checkpointed frame (delta/edge-sized
+    // by construction, see PlanProbe.extraPlans), never the corpus. The
+    // set is the extraPlans bases plus their documented subtree sharers.
+    val ckptTruncated = Set("dd_incremental", "dd_canonical",
+      "dd_components", "dd_cluster_sizes", "dd_semantic_clusters",
+      "pipe_curate", "pipe_dedup_funnel", "pipe_token_yield",
+      "ns_snapshot_diff_chain", "q15_top_supplier", "ns_fso_paths",
+      "ns_fso_du")
+    val bad = aqe.toSeq.sortBy(_._1).flatMap { case (name, (aEx, aBj, aSmj)) =>
+      stat.get(name).flatMap { case (sEx, sBj, sSmj) =>
+        if (aSmj != sSmj || aBj != sBj)
+          info(s"$name AQE flip at $aqeSf: smj $sSmj→$aSmj, bhj $sBj→$aBj")
+        val allowance = if (ckptTruncated(name)) 3 else 0
+        if (aEx > sEx + allowance)
+          Some(s"$name: runtime $aEx exchanges vs $sEx static at $aqeSf")
+        else {
+          if (aEx > sEx)
+            info(s"$name post-checkpoint re-shuffle under AQE: $aEx vs $sEx " +
+              "static (delta-sized frame, within allowance)")
+          None
+        }
+      }
+    }
+    assert(bad.isEmpty,
+      s"AQE-final plans grew shuffle exchanges vs the static shapes:\n${bad.mkString("\n")}")
+  }
 }

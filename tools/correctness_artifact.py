@@ -29,7 +29,15 @@ def hash_vals(df):
         if pd.api.types.is_float_dtype(col):
             vals = ["%.9g" % v if pd.notna(v) else "NULL" for v in col]
         else:
-            vals = [str(v) if pd.notna(v) else "NULL" for v in col]
+            # Series-level astype(str), NOT per-value str(): the check.py
+            # element compare uses the Series cast, which normalizes
+            # datetime64 vs boxed-date reprs identically across engines
+            # (str(Timestamp) carries a midnight time; the Series cast of
+            # both frames does not) — the hash must hash what the compare
+            # compared or engine dtype quirks fail the hash alone.
+            ss = col.astype(str)
+            vals = [ss.iloc[i] if pd.notna(col.iloc[i]) else "NULL"
+                    for i in range(len(col))]
         h.update(("\x1f".join(vals) + "\x1e").encode())
     return h.hexdigest()
 
