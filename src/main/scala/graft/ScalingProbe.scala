@@ -75,7 +75,15 @@ object ScalingProbe {
         case None => println(s"$name: not registered")
         case Some(fn) =>
           try {
-            run(fn, base) // warm-up for this query's codegen/footers
+            // Warm-up BOTH dirs before measuring: codegen/footers, and —
+            // decisively for the trained-model consumers — the per-dir
+            // centroid/codebook memos. Without the scaled warm-up, the
+            // scaled measurement pays the training job (memo miss on the
+            // fresh dir) that the base measurement already had cached,
+            // and the ratio compares training+query against query alone
+            // (the r14 sim_ivf_balance 270x false alarm).
+            run(fn, base)
+            run(fn, scaled)
             val (tb, sb) = run(fn, base)
             val (ts, ss) = run(fn, scaled)
             val mb = sb / 1e6

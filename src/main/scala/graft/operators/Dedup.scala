@@ -219,6 +219,169 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM scored
        |WHERE jaccard >= 0.6 ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
+  // --- dd_containment: asymmetric overlap over LSH candidates -------------
+  /** Containment-scored candidate pairs — the ASYMMETRIC complement of the
+    * Jaccard gate: c(A→B) = |A∩B| / |A|, the fraction of A's shingles that
+    * also appear in B. A short document quoted wholly inside a longer one
+    * has c(A→B) ≈ 1 while Jaccard ≈ |A|/|B| sits under the near-dup
+    * threshold — exactly the pair the ≥0.6 gate drops and a curation run
+    * still wants flagged (keep the superset, drop the quote). Per pair:
+    * shingle-set sizes, intersection, jaccard and both containments in
+    * exact integer ppm, and a relation class (near_dup when jaccard ≥
+    * 0.6; containment when either direction ≥ 0.9; else overlap — pairs
+    * below 0.5 max-containment are not emitted).
+    *
+    * Recall caveat (inherent, documented): candidates come from the SAME
+    * MinHash-LSH banding as the near-dup family, whose collision
+    * probability tracks JACCARD — a tiny-doc-in-huge-doc pair at j ≈ 0.05
+    * rarely shares a band. This operator scores asymmetry among
+    * near-dup-SCALE candidates (j ≳ 0.3, where the 16×4 banding still
+    * fires); true small-in-big containment search is a suffix/substring
+    * indexing problem, a different operator family.
+    *
+    * Shape: rides the existing candidate machinery unchanged — the one
+    * corpus-sized exchange is the 3-column band projection, pair
+    * expansion stays inside MaxBucket-capped buckets, and the two
+    * shingle-set joins ship only candidate doc_ids' arrays.
+    */
+  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sets = docs
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
+    lshPairs(signatures(docs))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sg_a")).cast("long").as("size_a"),
+        size(col("sg_b")).cast("long").as("size_b"),
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("long")
+          .as("n_inter"))
+      .withColumn("jaccard_ppm",
+        expr("n_inter * 1000000 DIV greatest(size_a + size_b - n_inter, 1)"))
+      .withColumn("cont_a_ppm",
+        expr("n_inter * 1000000 DIV greatest(size_a, 1)"))
+      .withColumn("cont_b_ppm",
+        expr("n_inter * 1000000 DIV greatest(size_b, 1)"))
+      .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 500000L)
+      .withColumn("relation",
+        when(col("jaccard_ppm") >= 600000L, "near_dup")
+          .when(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 900000L,
+            "containment")
+          .otherwise("overlap"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  val ddContainmentSql: String =
+    s"""WITH $signaturesSql, $lshPairsSql, sets AS (
+       |  SELECT doc_id, scs AS sg FROM sc
+       |), pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    CAST(len(sa.sg) AS BIGINT) AS size_a,
+       |    CAST(len(sb.sg) AS BIGINT) AS size_b,
+       |    CAST(len(list_intersect(sa.sg, sb.sg)) AS BIGINT) AS n_inter
+       |  FROM cand c
+       |  JOIN sets sa ON c.doc_a = sa.doc_id
+       |  JOIN sets sb ON c.doc_b = sb.doc_id
+       |), scored AS (
+       |  SELECT doc_a, doc_b, size_a, size_b, n_inter,
+       |    CAST(n_inter * 1000000 // greatest(size_a + size_b - n_inter, 1)
+       |      AS BIGINT) AS jaccard_ppm,
+       |    CAST(n_inter * 1000000 // greatest(size_a, 1) AS BIGINT)
+       |      AS cont_a_ppm,
+       |    CAST(n_inter * 1000000 // greatest(size_b, 1) AS BIGINT)
+       |      AS cont_b_ppm
+       |  FROM pairs
+       |)
+       |SELECT doc_a, doc_b, size_a, size_b, n_inter,
+       |  jaccard_ppm, cont_a_ppm, cont_b_ppm,
+       |  CASE WHEN jaccard_ppm >= 600000 THEN 'near_dup'
+       |       WHEN greatest(cont_a_ppm, cont_b_ppm) >= 900000
+       |         THEN 'containment'
+       |       ELSE 'overlap' END AS relation
+       |FROM scored
+       |WHERE greatest(cont_a_ppm, cont_b_ppm) >= 500000
+       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+
+  // --- dd_rep_selection: cluster-representative policy audit --------------
+  /** Which copy survives dedup — the min-id canonical ([[canonicalLabels]]'
+    * label, the arbitrary-but-deterministic pick `dd_canonical` reports)
+    * versus the BEST representative (most tokens, doc_id tie-break): per
+    * near-dup cluster of ≥ 2 docs, both picks' ids and token counts and
+    * the tokens a keep-the-longest policy would gain. The question a
+    * curation run answers before committing a dedup pass — dropping the
+    * long original and keeping a truncated mirror is a silent data loss
+    * the min-id policy permits.
+    *
+    * Shape: the (doc_id, label, nt) frame inner-joins the ≥2-size label
+    * set FIRST, so the best-pick window runs only over dup-cluster
+    * members (bounded by the near-dup graph, not the corpus); both the
+    * size count and the join exchange hash on the label key (reused).
+    * Canonical tokens need no window — the canonical IS the label, so a
+    * doc_id = label filter picks its row.
+    */
+  def ddRepSelection(spark: SparkSession, dir: String): DataFrame =
+    repSelection(Tables.documents(spark, dir))
+
+  /** The generic core over any documents frame (doc_id, text) —
+    * spec-injected with constructed clusters of known best picks.
+    */
+  private[graft] def repSelection(docs: DataFrame): DataFrame = {
+    val lab = canonicalLabels(docs)
+    val meta = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val j = lab.join(meta, Seq("doc_id"))
+    val dupSizes = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val members = j.join(dupSizes, Seq("label"))
+    val canon = members.filter(col("doc_id") === col("label"))
+      .select(col("label"), col("nt").as("canon_tokens"))
+    val wBest = Window.partitionBy(col("label"))
+      .orderBy(col("nt").desc, col("doc_id").asc)
+    val best = members
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("label"), col("doc_id").as("best_id"),
+        col("nt").as("best_tokens"))
+    dupSizes.join(canon, Seq("label")).join(best, Seq("label"))
+      .select(col("label").as("canonical_id"), col("n_docs"),
+        col("canon_tokens"), col("best_id"), col("best_tokens"),
+        (col("best_tokens") - col("canon_tokens")).as("gained_tokens"))
+      .orderBy(col("canonical_id").asc)
+  }
+
+  // lazy: canonicalCtes is declared later in this object; a strict val
+  // here would interpolate null at object-init time. The oracles map (the
+  // last val) forces it after every CTE builder exists.
+  lazy val ddRepSelectionSql: String =
+    s"""WITH $canonicalCtes, meta AS (
+       |  SELECT doc_id, CAST(len(${Codes.tokensSql("text")}) AS BIGINT) AS nt
+       |  FROM documents
+       |), j AS (
+       |  SELECT l.doc_id, l.label, m.nt FROM lab3 l
+       |  JOIN meta m ON l.doc_id = m.doc_id
+       |), dup_sizes AS (
+       |  SELECT label, COUNT(*) AS n_docs FROM lab3
+       |  GROUP BY label HAVING COUNT(*) >= 2
+       |), members AS (
+       |  SELECT j.* FROM j JOIN dup_sizes s ON j.label = s.label
+       |), canon AS (
+       |  SELECT label, nt AS canon_tokens FROM members WHERE doc_id = label
+       |), best AS (
+       |  SELECT label, doc_id AS best_id, nt AS best_tokens FROM (
+       |    SELECT label, doc_id, nt, ROW_NUMBER() OVER (PARTITION BY label
+       |      ORDER BY nt DESC, doc_id ASC) AS rk FROM members
+       |  ) t WHERE rk = 1
+       |)
+       |SELECT s.label AS canonical_id, s.n_docs, c.canon_tokens,
+       |  b.best_id, b.best_tokens,
+       |  b.best_tokens - c.canon_tokens AS gained_tokens
+       |FROM dup_sizes s
+       |JOIN canon c ON s.label = c.label
+       |JOIN best b ON s.label = b.label
+       |ORDER BY canonical_id ASC""".stripMargin
+
   // --- dd_source_dup_matrix: cross-source duplication matrix --------------
   /** WHICH sources duplicate WHICH — the mixture-curation question behind
     * per-source deweighting (a source that mostly mirrors another should
@@ -1471,6 +1634,8 @@ object Dedup {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_minhash_est" -> ddMinhashEst,
     "dd_ngram_jaccard" -> ddNgramJaccard,
+    "dd_containment" -> ddContainment,
+    "dd_rep_selection" -> ddRepSelection,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cosine" -> ddEmbedCosine,
     "dd_canonical" -> ddCanonical,
@@ -1493,6 +1658,8 @@ object Dedup {
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_est" -> ddMinhashEstSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_containment" -> ddContainmentSql,
+    "dd_rep_selection" -> ddRepSelectionSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "dd_canonical" -> ddCanonicalSql,

@@ -1017,6 +1017,79 @@ object Pipeline {
        |FROM scanned GROUP BY 1 ORDER BY shard_id ASC""".stripMargin
   }
 
+  // --- pipe_dedup_weights: soft-dedup sampling weights per source --------
+  /** Soft dedup — the down-weighting alternative to dropping duplicates
+    * (the D4/SemDeDup-style epoch-sampling recipe: keep every copy of a
+    * duplicated document, sample each with weight 1/cluster-size so the
+    * CONTENT's expected training frequency is copy-count-invariant).
+    * Clusters are the verified NEAR-dup components ([[Dedup.canonicalLabels]]
+    * — the same MinHash-LSH → Jaccard-verify → label-propagation chain
+    * `dd_canonical`/`pipe_curate` use, so "duplicate" means what the rest
+    * of the curation flow means). Per source: docs, the summed per-doc
+    * weight in exact integer ppm (`eff_docs_ppm` — 1e6 DIV cluster-size
+    * per doc, so a 3-copy cluster contributes 3·333333), raw vs effective
+    * tokens (nt DIV c per doc — integer semantics, matching the oracle
+    * exactly), and the dedup token discount in ppm.
+    *
+    * Shape: cluster sizes are a map-side-combined count on the label key
+    * over the (doc_id, label) frame (bounded by the near-dup graph's
+    * endpoint docs plus singletons — the corpus text never ships); the
+    * size joins back on the label exchange (reused), document metadata
+    * (source, token count — 3 narrow columns) joins on doc_id, then a
+    * ≤|sources|-row rollup with map-side partials. All outputs exact
+    * integers — no float crosses the oracle boundary. The DuckDB oracle
+    * recomputes the full chain through the recursive-CTE label fixpoint.
+    */
+  def pipeDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dedupWeights(docs)
+  }
+
+  /** The generic core over any documents frame (doc_id, text, source) —
+    * spec-injected with constructed duplicate clusters, since the testdata
+    * corpus has near-dup pairs but no exact copies.
+    */
+  private[graft] def dedupWeights(docs: DataFrame): DataFrame = {
+    import graft.functions.Codes
+    val lab = Dedup.canonicalLabels(docs)
+    val meta = docs.select(col("doc_id"), col("source"),
+      size(Codes.tokens(col("text"))).cast("long").as("nt"))
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("c"))
+    lab.join(sizes, Seq("label"))
+      .join(meta, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("1000000 DIV c")).as("eff_docs_ppm"),
+        sum(col("nt")).as("n_tokens"),
+        sum(expr("nt DIV c")).as("eff_tokens"))
+      .withColumn("discount_ppm",
+        expr("CAST(1000000 - (eff_tokens * 1000000) DIV greatest(n_tokens, 1) AS BIGINT)"))
+      .orderBy(col("source").asc)
+  }
+
+  val pipeDedupWeightsSql: String = {
+    import graft.functions.Codes
+    s"""WITH ${Dedup.canonicalCtes}, cs AS (
+       |  SELECT label, COUNT(*) AS c FROM lab3 GROUP BY label
+       |), d AS (
+       |  SELECT l.doc_id, d0.source,
+       |    CAST(len(${Codes.tokensSql("d0.text")}) AS BIGINT) AS nt, cs.c
+       |  FROM lab3 l
+       |  JOIN cs ON l.label = cs.label
+       |  JOIN documents d0 ON l.doc_id = d0.doc_id
+       |), rolled AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(1000000 // c) AS BIGINT) AS eff_docs_ppm,
+       |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(nt // c) AS BIGINT) AS eff_tokens
+       |  FROM d GROUP BY source
+       |)
+       |SELECT source, n_docs, eff_docs_ppm, n_tokens, eff_tokens,
+       |  CAST(1000000 - (eff_tokens * 1000000) // greatest(n_tokens, 1)
+       |    AS BIGINT) AS discount_ppm
+       |FROM rolled ORDER BY source ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_shard_manifest" -> pipeShardManifest,
     "pipe_chunk" -> pipeChunk,
@@ -1036,6 +1109,7 @@ object Pipeline {
     "pipe_split_drift" -> pipeSplitDrift,
     "pipe_pack_plan" -> pipePackPlan,
     "pipe_pack_efficiency" -> pipePackEfficiency,
+    "pipe_dedup_weights" -> pipeDedupWeights,
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
@@ -1057,5 +1131,6 @@ object Pipeline {
     "pipe_shard_manifest" -> pipeShardManifestSql,
     "pipe_chunk" -> pipeChunkSql,
     "dd_chunk_exact" -> ddChunkExactSql,
+    "pipe_dedup_weights" -> pipeDedupWeightsSql,
     "pipe_source_epochs" -> pipeSourceEpochsSql)
 }

@@ -1416,6 +1416,55 @@ object RelationalExt {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority ASC""".stripMargin
 
+  // --- q_bloom_semijoin: Bloom runtime pre-filter ahead of a fact join ----
+  /** Revenue per order priority for BUILDING-segment customers, with the
+    * lineitem side pruned by a Bloom runtime filter BEFORE the fact-fact
+    * shuffle (the explicit form of Spark's runtime bloom-filter join,
+    * [[BloomJoin]]): the segment predicate reaches lineitem only through
+    * customer → orders, so the plain plan shuffles every lineitem row and
+    * drops ~80% of them at the join. Here the qualifying order keys build
+    * a 64·[[BloomWords]]-bit word map (one narrow bit_or exchange, ≤
+    * [[BloomWords]] rows), which is broadcast to the lineitem scan as
+    * [[BloomJoin.NumHashes]] bit-test broadcast joins — only the surviving
+    * ~20% (+ ~0.5% false positives) enter the exchange.
+    *
+    * The DuckDB oracle is the PLAIN three-table join: every correctness
+    * run proves the pruned plan is result-identical (false positives are
+    * removed by the final exact join; false negatives are structurally
+    * impossible — build and probe share the position expression).
+    * BloomJoinSpec additionally pins zero false negatives on constructed
+    * keys and the pruning ratio on the real data.
+    */
+  private val BloomWords = 4096
+
+  def qBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val qualCust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val qualOrders = Tables.orders(spark, dir)
+      .join(broadcast(qualCust), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val words = BloomJoin.build(
+      qualOrders.select(col("o_orderkey")), "o_orderkey", BloomWords)
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), revenue.as("rev"))
+    BloomJoin.prune(li, "l_orderkey", words, BloomWords)
+      .join(qualOrders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sumMoney(col("rev")).as("revenue"))
+      .orderBy(col("o_orderpriority").asc)
+  }
+
+  val qBloomSemijoinSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+       |  ${sumMoneySql(revenueSql)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority ASC""".stripMargin
+
   // --- q_integrity_audit: referential-integrity violation report ----------
   /** Foreign-key integrity audit over the fact tables — the data-quality
     * gate an ingest runs before analytics trusts a join (a silently
@@ -1557,6 +1606,7 @@ object RelationalExt {
     "q_integrity_audit" -> qIntegrityAudit,
     "q_join_skew" -> qJoinSkew,
     "q_join_skew_salted" -> qJoinSkewSalted,
+    "q_bloom_semijoin" -> qBloomSemijoin,
     "q_seasonality" -> qSeasonality,
     "q_revenue_topdecile" -> qRevenueTopdecile,
     "q_sample_estimate" -> qSampleEstimate,
@@ -1613,6 +1663,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGapSql,
     "q_join_skew" -> qJoinSkewSql,
     "q_join_skew_salted" -> qJoinSkewSaltedSql,
+    "q_bloom_semijoin" -> qBloomSemijoinSql,
     "q_integrity_audit" -> qIntegrityAuditSql,
     "q_null_profile" -> qNullProfileSql)
 }

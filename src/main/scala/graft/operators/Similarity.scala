@@ -694,6 +694,84 @@ object Similarity {
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
   }
 
+  // --- sim_ivf_balance: IVF cell-population balance audit ------------------
+  /** Cell-population balance of the trained IVF index — the tail-latency
+    * planner every ANN deployment reads before fixing nlist or re-training:
+    * a probe into a cell holding 5× its uniform share scans 5× the vectors,
+    * so the hottest cell's load factor IS the worst-case nprobe=1 latency
+    * multiplier (and the signal that centroids need re-training or the
+    * cell needs splitting). Per cell: assigned vectors, corpus share in
+    * exact integer ppm, and `load_ppm` — population vs the perfectly
+    * uniform N/nlist (1e6 = balanced, 3e6 = a 3× hot cell).
+    *
+    * Shape: one corpus pass against the broadcast 16-row trained centroid
+    * model (the memoized [[trainedCentroids]] — same model the search
+    * queries probe, so the audit describes the index actually served).
+    * Unlike the search queries' window-ranked assignment (which must carry
+    * the vectors onward to the distance stage), the audit only needs the
+    * CELL — so the argmax is a max(struct(cos, -c_id)) AGGREGATION: the
+    * 16 candidate rows per vector collapse map-side before any exchange
+    * (they are co-partition by construction of the broadcast join), the
+    * wire carries (vec_id, 12-byte struct) pairs and no sort happens.
+    * Then a ≤nlist-row count rollup with map-side partials; the 1-row
+    * (total, cells) scalar attaches by broadcast. Neither vectors nor
+    * corpus-sized sorted frames ever ship. The DuckDB oracle recomputes
+    * the full Lloyd training chain.
+    */
+  def simIvfBalance(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"),
+        col("q").as("qv"), col("n2").as("nv"))
+    val centroids = trainedCentroids(spark, dir)
+    // argmax by (cosine DESC, c_id ASC) == lexicographic max of
+    // (cosine, -c_id): identical selection to the oracle's ROW_NUMBER.
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("neighbor_id"), struct(
+        Dedup.cosine(col("qv"), col("qc"), col("nv"), col("nc")).as("cos_c"),
+        (-col("c_id")).as("neg_c")).as("sc"))
+      .groupBy(col("neighbor_id"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("neighbor_id"), (-col("m.neg_c")).as("cell"))
+    val cells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        expr("CAST(n_vecs * 1000000 DIV greatest(n_total, 1) AS BIGINT)")
+          .as("share_ppm"),
+        expr("CAST(n_vecs * n_cells * 1000000 DIV greatest(n_total, 1) AS BIGINT)")
+          .as("load_ppm"))
+      .orderBy(col("n_vecs").desc, col("cell").asc)
+  }
+
+  val simIvfBalanceSql: String = {
+    val assignSql =
+      s"""asgf AS (
+         |  SELECT * FROM (
+         |    SELECT v.vec_id AS neighbor_id, c.c_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ${Dedup.cosineSql("v.q", "c.qc", "v.n2", "c.nc")} DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM nm v CROSS JOIN cent2 c WHERE v.vec_id >= 10
+         |  ) t WHERE crk = 1
+         |)""".stripMargin
+    s"""WITH ${Dedup.quantizedSql}, $trainedCentroidsSqlCtes,
+       |$assignSql, cells AS (
+       |  SELECT cell, COUNT(*) AS n_vecs FROM asgf GROUP BY cell
+       |), tot AS (
+       |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+       |    COUNT(*) AS n_cells FROM cells
+       |)
+       |SELECT cell, n_vecs,
+       |  CAST(n_vecs * 1000000 // greatest(n_total, 1) AS BIGINT)
+       |    AS share_ppm,
+       |  CAST(n_vecs * n_cells * 1000000 // greatest(n_total, 1) AS BIGINT)
+       |    AS load_ppm
+       |FROM cells, tot
+       |ORDER BY n_vecs DESC, cell ASC""".stripMargin
+  }
+
   // --- sim_recall_report: ANN quality measurement -------------------------
   /** Recall audit for the approximate searches: per query vector, how many
     * of each method's returned neighbors are true top-K neighbors (per the
@@ -1388,6 +1466,7 @@ object Similarity {
     "sim_pq_codes" -> simPqCodes,
     "sim_recall_report" -> simRecallReport,
     "sim_knn_ivf_trained" -> simKnnIvfTrained,
+    "sim_ivf_balance" -> simIvfBalance,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_knn_lsh" -> simKnnLsh,
     "sim_range_search" -> simRangeSearch,
@@ -1403,6 +1482,7 @@ object Similarity {
     "sim_pq_codes" -> simPqCodesSql,
     "sim_recall_report" -> simRecallReportSql,
     "sim_knn_ivf_trained" -> simKnnIvfTrainedSql,
+    "sim_ivf_balance" -> simIvfBalanceSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_range_search" -> simRangeSearchSql,

@@ -43,6 +43,113 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("dd_containment flags a quoted-inside pair the jaccard gate drops") {
+    val s = spark
+    import s.implicits._
+    // B = A + 30 extra tokens: every one of A's 38 shingles appears in B
+    // (containment(A→B) = 1.0) but jaccard = 38/68 ≈ 0.56 — below the
+    // near-dup gate's 0.6.
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val b = a + " " + (1 to 30).map(i => s"z$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val sets = docs
+      .select(col("doc_id"),
+        graft.functions.Codes.strCodes(
+          graft.functions.Codes.tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"),
+        graft.functions.Codes.shingleCodes3(col("tcs")).as("sg"))
+    val cand = graft.operators.Dedup
+      .lshPairs(graft.operators.Dedup.signatures(docs))
+    // Precondition: the banding must surface (0,1) as a candidate at this
+    // jaccard level (deterministic given the fixed hash family).
+    assert(cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((0L, 1L)), "LSH must bucket the containment pair")
+    val scored = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sg_a")).cast("long").as("size_a"),
+        size(col("sg_b")).cast("long").as("size_b"),
+        size(array_intersect(col("sg_a"), col("sg_b"))).cast("long").as("n_inter"))
+      .withColumn("jaccard_ppm",
+        expr("n_inter * 1000000 DIV greatest(size_a + size_b - n_inter, 1)"))
+      .withColumn("cont_a_ppm",
+        expr("n_inter * 1000000 DIV greatest(size_a, 1)"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("jaccard_ppm"), r.getAs[Long]("cont_a_ppm")))).toMap
+    val (j, ca) = scored((0L, 1L))
+    assert(ca == 1000000L, s"A is wholly inside B: containment must be 1e6, got $ca")
+    assert(j < 600000L, s"the pair must sit BELOW the near-dup gate, got $j ppm")
+    // And the registered verify gate (jaccard >= 0.6) indeed drops it
+    // while the containment relation classifier keeps it.
+    assert(j >= 500000L || ca >= 500000L)
+  }
+
+  test("dd_containment on the corpus: near_dup rows reconcile with the verify gate") {
+    val cont = graft.operators.Dedup.ddContainment(spark, sf).collect()
+    cont.foreach { r =>
+      val (sa, sb, ni) = (r.getAs[Long]("size_a"), r.getAs[Long]("size_b"),
+        r.getAs[Long]("n_inter"))
+      assert(ni <= math.min(sa, sb), "intersection bounded by both sets")
+      assert(r.getAs[Long]("cont_a_ppm") >= r.getAs[Long]("jaccard_ppm"),
+        "containment is never below jaccard")
+      assert(Set("near_dup", "containment", "overlap")
+        .contains(r.getAs[String]("relation")))
+    }
+    // Every >= 0.6-jaccard verified pair appears here classed near_dup
+    // (0.6 jaccard implies both containments >= 0.6 >= the 0.5 emit floor).
+    val nearHere = cont.filter(_.getAs[String]("relation") == "near_dup")
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val verified = graft.operators.Dedup.ddNgramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(verified.subsetOf(nearHere),
+      s"verified pairs missing from containment: ${(verified -- nearHere).take(3)}")
+  }
+
+  test("dd_rep_selection picks the longest copy on constructed clusters") {
+    val s = spark
+    import s.implicits._
+    // Cluster 1: doc 1 (40 tokens) is the min-id canonical, doc 2 is a
+    // LONGER near-dup (44 tokens) — the best pick must be doc 2 with a
+    // 4-token gain. Doc 9 is an unrelated singleton (no row).
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val longer = base + " " + (1 to 4).map(i => s"e$i").mkString(" ")
+    val other = (100 to 140).map(i => s"u$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, longer), (9L, other))
+      .toDF("doc_id", "text")
+    val lab = graft.operators.Dedup.canonicalLabels(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assume(lab(2L) == 1L, "construction: docs 1,2 must verify as near-dups")
+    val got = graft.operators.Dedup.repSelection(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq((1L, 2L, 40L, 2L, 44L, 4L)),
+      s"expected the 44-token copy as best with a 4-token gain, got $got")
+  }
+
+  test("dd_rep_selection invariants on the corpus") {
+    val rows = graft.operators.Dedup.ddRepSelection(spark, sf).collect()
+    assert(rows.nonEmpty, "the corpus has near-dup clusters")
+    val labels = graft.operators.Dedup.canonicalLabels(
+      Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bySize = labels.groupBy(_._2).map { case (l, m) => l -> m.length }
+    rows.foreach { r =>
+      val (cid, n) = (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_docs"))
+      assert(n >= 2L && bySize(cid).toLong == n,
+        s"cluster $cid size mismatch: $n vs ${bySize(cid)}")
+      assert(r.getAs[Long]("best_tokens") >= r.getAs[Long]("canon_tokens"))
+      assert(r.getAs[Long]("gained_tokens") ==
+        r.getAs[Long]("best_tokens") - r.getAs[Long]("canon_tokens"))
+      // The best pick is a member of its cluster.
+      assert(labels.contains((r.getAs[Long]("best_id"), cid)))
+    }
+    assert(rows.length == bySize.count(_._2 >= 2),
+      "one row per >=2-size cluster")
+  }
+
   test("dd_exact groups identical normalized text") {
     val s = spark
     import s.implicits._

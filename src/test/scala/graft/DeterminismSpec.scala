@@ -46,7 +46,16 @@ class DeterminismSpec extends SparkSpec {
     // r13: month-rank window feeding exact-integer regression sums
     "ns_quota_exhaustion",
     // r13: (cfg, vec, m) rank window over a multi-width slice explode
-    "sim_pq_m_sweep")
+    "sim_pq_m_sweep",
+    // r14: bit_or bitmap build + 3 broadcast bit-test joins — word-map
+    // content and the pruned row set must not depend on the layout
+    "q_bloom_semijoin",
+    // r14: label-propagation cluster sizes folded into integer weights
+    "pipe_dedup_weights",
+    // r14: MaxBucket-capped pair expansion + integer containment division
+    "dd_containment",
+    // r14: per-cluster best-pick window with (tokens, doc_id) tie-break
+    "dd_rep_selection")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()

@@ -343,4 +343,49 @@ class GrowthOpsSpec extends SparkSpec {
         (r.getAs[Long]("n_straddling"), r.getAs[Long]("n_chunks"))).toMap
     assert(got == expect, s"mismatch: ${got.toSeq.sorted.take(3)} vs ${expect.toSeq.sorted.take(3)}")
   }
+
+  /** The testdata corpus has near-dup pairs but no exact copies, so the
+    * weight arithmetic (1e6 DIV c, nt DIV c, the discount) is pinned on
+    * constructed clusters with hand-computed expectations; the real-table
+    * run then checks the conservation laws the construction can't.
+    */
+  test("pipe_dedup_weights: exact weights on constructed duplicate clusters") {
+    val s = spark
+    import s.implicits._
+    val x = (1 to 8).map(i => s"x$i").mkString(" ")  // 8 tokens, 3 copies
+    val y = (1 to 5).map(i => s"y$i").mkString(" ")  // 5 tokens, 2 copies
+    val z = (1 to 4).map(i => s"z$i").mkString(" ")  // 4 tokens, singleton
+    val docs = Seq(
+      (1L, x, "s1"), (2L, x, "s1"), (3L, x, "s2"),
+      (4L, y, "s1"), (5L, y, "s2"), (6L, z, "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Pipeline.dedupWeights(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // s1: X(c=3,nt=8)×2 + Y(c=2,nt=5): eff_docs 2·333333+500000,
+    //     eff_tokens 2+2+2=6, discount 1e6 − 6e6 DIV 21.
+    // s2: X + Y + Z: eff_docs 333333+500000+1000000,
+    //     eff_tokens 2+2+4=8, discount 1e6 − 8e6 DIV 17.
+    val expect = Seq(
+      ("s1", 3L, 1166666L, 21L, 6L, 714286L),
+      ("s2", 3L, 1833333L, 17L, 8L, 529412L))
+    assert(got == expect, s"got $got")
+  }
+
+  test("pipe_dedup_weights conservation laws on the real corpus") {
+    val rows = Pipeline.pipeDedupWeights(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "sources must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("eff_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("eff_docs_ppm") <= r.getAs[Long]("n_docs") * 1000000L)
+      assert(r.getAs[Long]("discount_ppm") >= 0L &&
+        r.getAs[Long]("discount_ppm") <= 1000000L)
+    }
+    // The corpus has verified near-dup clusters, so down-weighting must
+    // bite somewhere: strict global inequality.
+    assert(rows.map(_.getAs[Long]("eff_docs_ppm")).sum < nDocs * 1000000L,
+      "near-dup clusters exist: some doc must weigh < 1.0")
+  }
 }

@@ -52,7 +52,10 @@ class PlanShapeSpec extends SparkSpec {
       "sim_range_audit", "ev_rfm", "q_join_skew", "pipe_source_epochs",
       // sim_probe_sweep rides simKnnIvf's 16-row centroid broadcasts plus
       // a 1-row corpus-total scalar attach — all bounded by construction.
-      "q_integrity_audit", "sim_probe_sweep")
+      "q_integrity_audit", "sim_probe_sweep",
+      // sim_ivf_balance broadcasts the 16-row trained centroid model for
+      // the assignment argmax plus the 1-row (total, cells) scalar.
+      "sim_ivf_balance")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype

@@ -62,6 +62,28 @@ class ReportOpsSpec extends SparkSpec {
     assert(purity.filter(col("n_labels") < 1).isEmpty)
   }
 
+  test("sim_ivf_balance partitions the corpus; load is share x cells") {
+    val bal = Similarity.simIvfBalance(spark, sf).collect()
+    val corpus = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 10).count()
+    assert(bal.map(_.getAs[Long]("n_vecs")).sum == corpus,
+      "cells must partition the corpus vectors")
+    val nCells = bal.length.toLong
+    val shareSum = bal.map(_.getAs[Long]("share_ppm")).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - nCells,
+      s"floored shares must sum to within $nCells ppm of 1e6, got $shareSum")
+    bal.foreach { r =>
+      val (share, load) =
+        (r.getAs[Long]("share_ppm"), r.getAs[Long]("load_ppm"))
+      assert(math.abs(load - share * nCells) < nCells,
+        s"load_ppm must be share x n_cells up to flooring: $load vs $share x $nCells")
+    }
+    // Sorted hottest-first; the hottest cell is at or above uniform load.
+    assert(bal.head.getAs[Long]("load_ppm") >= 1000000L - nCells)
+    assert(bal.map(_.getAs[Long]("n_vecs")).toSeq ==
+      bal.map(_.getAs[Long]("n_vecs")).toSeq.sorted.reverse)
+  }
+
   test("dd_lsh_audit is consistent with the candidate and verify stages") {
     val audit = Dedup.ddLshAudit(spark, sf).collect().head
     val nCand = Dedup.ddMinhashLsh(spark, sf).count()
