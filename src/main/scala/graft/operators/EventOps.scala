@@ -208,6 +208,97 @@ object EventOps {
        |  date_trunc('hour', MAX(ts)) AS last_seen_hour
        |FROM events GROUP BY user_id ORDER BY user_id ASC""".stripMargin
 
+  // --- ev_power_law: activity-concentration report -------------------------
+  /** How concentrated the event stream is in its heaviest users — the
+    * number that sizes both the abuse-review queue and the shuffle-skew
+    * risk of every user-keyed aggregation downstream: for p ∈ {1%, 10%}
+    * (per-mille 10/100), the nearest-rank top-⌈p·U⌉ most-active users'
+    * EXACT share of all events in ppm. Tie-exact: the cutoff activity
+    * level contributes (top_k − users_above) · n_tie events — tied users
+    * are interchangeable at the same level, so the share is well-defined
+    * without choosing among them and therefore layout-invariant.
+    *
+    * Shape: per-user counts (one user-keyed exchange, map-side partials)
+    * fold to the activity HISTOGRAM (users per distinct activity level —
+    * bounded by max-events-per-user, metadata-sized at any corpus scale);
+    * the cumulative window runs over that histogram (unpartitioned but
+    * aggregate-bounded — the lint's blessed case), and the two p-rows and
+    * 1-row totals attach by broadcast. The corpus itself never sorts.
+    */
+  def evPowerLaw(spark: SparkSession, dir: String): DataFrame =
+    powerLaw(events(spark, dir))
+
+  /** The generic core over any frame with a user_id column —
+    * spec-injected with constructed tied/hot distributions.
+    */
+  private[graft] def powerLaw(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    val hist = ev
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("u"))
+    val w = Window.orderBy(col("n").desc)
+    val cum = hist
+      .withColumn("cum_users", sum(col("u")).over(w))
+      .withColumn("cum_events", sum(col("n") * col("u")).over(w))
+    val tot = hist.agg(sum(col("u")).as("n_users"),
+      sum(col("n") * col("u")).as("n_events"))
+    val ps = spark.range(1)
+      .select(explode(array(lit(10L), lit(100L))).as("p_permille"))
+    cum
+      .crossJoin(broadcast(ps.crossJoin(broadcast(tot))
+        .withColumn("top_k",
+          expr("(n_users * p_permille + 999) DIV 1000"))))
+      .filter(col("cum_users") >= col("top_k"))
+      .groupBy(col("p_permille"), col("top_k"),
+        col("n_users"), col("n_events"))
+      .agg(min(struct(col("cum_users"), col("cum_events"),
+        col("n"), col("u"))).as("m"))
+      .select(col("p_permille"), col("top_k").as("n_top_users"),
+        (col("m.cum_events") - col("m.n") * col("m.u")
+          + (col("top_k") - (col("m.cum_users") - col("m.u"))) * col("m.n"))
+          .as("events_covered"),
+        col("n_users"), col("n_events"))
+      .withColumn("share_ppm",
+        expr("events_covered * 1000000 DIV greatest(n_events, 1)"))
+      .orderBy(col("p_permille").asc)
+  }
+
+  val evPowerLawSql: String =
+    s"""WITH per_user AS (
+       |  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+       |), hist AS (
+       |  SELECT n, COUNT(*) AS u FROM per_user GROUP BY n
+       |), cum AS (
+       |  SELECT n, u,
+       |    SUM(u) OVER (ORDER BY n DESC) AS cum_users,
+       |    SUM(n * u) OVER (ORDER BY n DESC) AS cum_events
+       |  FROM hist
+       |), tot AS (
+       |  SELECT CAST(SUM(u) AS BIGINT) AS n_users,
+       |    CAST(SUM(n * u) AS BIGINT) AS n_events FROM hist
+       |), ps AS (
+       |  SELECT unnest([10, 100]) AS p_permille
+       |), cand AS (
+       |  SELECT p.p_permille, t.n_users, t.n_events,
+       |    (t.n_users * p.p_permille + 999) // 1000 AS top_k,
+       |    c.n, c.u, c.cum_users, c.cum_events
+       |  FROM cum c CROSS JOIN ps p CROSS JOIN tot t
+       |  WHERE c.cum_users >= (t.n_users * p.p_permille + 999) // 1000
+       |), picked AS (
+       |  SELECT * FROM (
+       |    SELECT cand.*, ROW_NUMBER() OVER (PARTITION BY p_permille
+       |      ORDER BY cum_users ASC) AS rk FROM cand
+       |  ) t WHERE rk = 1
+       |)
+       |SELECT CAST(p_permille AS BIGINT) AS p_permille,
+       |  CAST(top_k AS BIGINT) AS n_top_users,
+       |  CAST(cum_events - n * u + (top_k - (cum_users - u)) * n AS BIGINT)
+       |    AS events_covered,
+       |  n_users, n_events,
+       |  CAST((cum_events - n * u + (top_k - (cum_users - u)) * n)
+       |    * 1000000 // greatest(n_events, 1) AS BIGINT) AS share_ppm
+       |FROM picked ORDER BY p_permille ASC""".stripMargin
+
   // --- ev_props_stats: JSON prop extraction + agg -------------------------
   def evPropsStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
@@ -1443,6 +1534,7 @@ object EventOps {
     "ev_funnel" -> evFunnel,
     "ev_funnel_time" -> evFunnelTime,
     "ev_user_activity" -> evUserActivity,
+    "ev_power_law" -> evPowerLaw,
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
@@ -1475,5 +1567,6 @@ object EventOps {
     "ev_funnel" -> evFunnelSql,
     "ev_funnel_time" -> evFunnelTimeSql,
     "ev_user_activity" -> evUserActivitySql,
+    "ev_power_law" -> evPowerLawSql,
     "ev_props_stats" -> evPropsStatsSql)
 }

@@ -70,6 +70,54 @@ object Relational {
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  // --- q1_incremental: incremental maintenance of the pricing summary ----
+  /** The Q1 report maintained INCREMENTALLY — the relational face of the
+    * CDC maintained-view family (`ns_du_incremental`, `fileSizeCountStream`
+    * …): yesterday's base partials merge with today's delta partials
+    * instead of rescanning the corpus, the plan a 100 TB daily report
+    * actually runs. Both sides reduce to (flag, status) partial rows
+    * carrying EXACT decimal sums and counts (cast to double only at
+    * output — decimal addition is associative, so merged ≡ full-rescan
+    * bit-for-bit, which is precisely what the plain full-scan oracle
+    * proves on every run); avg columns are re-derived from the MERGED
+    * sums, never averaged across partials (the classic IVM decomposition:
+    * avg is not additive, sum/count are). Deterministic test binding for
+    * the base/delta split: l_orderkey % 10.
+    */
+  def q1Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    def partial(part: DataFrame): DataFrame =
+      part.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(m(col("l_quantity"))).as("p_qty"),
+          sum(m(col("l_extendedprice"))).as("p_base"),
+          sum(m(col("l_extendedprice")) * f(lit(1) - col("l_discount")))
+            .as("p_disc"),
+          sum(m(col("l_extendedprice")) * f(lit(1) - col("l_discount"))
+            * f(lit(1) + col("l_tax"))).as("p_charge"),
+          count(lit(1)).as("p_n"))
+    partial(l.filter(col("l_orderkey") % 10 =!= 0))
+      .unionByName(partial(l.filter(col("l_orderkey") % 10 === 0)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("p_qty")).cast("double").as("sum_qty"),
+        sum(col("p_base")).cast("double").as("sum_base_price"),
+        sum(col("p_disc")).cast("double").as("sum_disc_price"),
+        sum(col("p_charge")).cast("double").as("sum_charge"),
+        sum(col("p_n")).as("count_order"))
+      .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 6))
+      .withColumn("avg_price",
+        round(col("sum_base_price") / col("count_order"), 6))
+      .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "count_order")
+  }
+
+  /** Oracle: the PLAIN full-scan Q1 — the gate itself proves the
+    * incremental merge equals the rescan.
+    */
+  val q1IncrementalSql: String = q1Sql
+
   // --- q3_shipping_priority: join + agg + top-k -------------------------
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit("1995-03-15").cast("timestamp")
@@ -624,6 +672,7 @@ object Relational {
     "q_cumulative_revenue" -> qCumulativeRevenue,
     "q_small_qty_revenue" -> qSmallQtyRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
+    "q1_incremental" -> q1Incremental,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
     "q_market_segment_share" -> qMarketSegmentShare,
@@ -645,6 +694,7 @@ object Relational {
     "q_cumulative_revenue" -> qCumulativeRevenueSql,
     "q_small_qty_revenue" -> qSmallQtyRevenueSql,
     "q1_pricing_summary" -> q1Sql,
+    "q1_incremental" -> q1IncrementalSql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,
     "q_market_segment_share" -> qMarketSegmentShareSql,

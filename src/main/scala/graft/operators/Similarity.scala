@@ -772,6 +772,62 @@ object Similarity {
        |ORDER BY n_vecs DESC, cell ASC""".stripMargin
   }
 
+  // --- sim_dim_stats: per-dimension embedding audit ------------------------
+  /** Per-dimension statistics of the (quantized) embedding corpus — the
+    * whitening/PQ pre-pass audit: a dead dimension (spread ≈ 0) wastes a
+    * PQ subspace slot, a dominant dimension (energy share ≫ 1/dims) says
+    * the space needs rotation before product quantization splits it. Per
+    * dimension: vectors seen, mean in exact integer milli-units of the
+    * quantized scale, min/max/spread, and the dimension's share of total
+    * squared mass in ppm. (Both engines' integer division truncates
+    * toward zero — verified — so negative means stay cross-engine exact.)
+    *
+    * Shape: one posexplode pass (corpus × dims rows of (dim, value) pairs
+    * that COLLAPSE map-side — only `dims` keys exist, so each partition
+    * emits ≤ dims partial rows and the exchange is metadata-sized); the
+    * 1-row total-energy scalar attaches by broadcast. No vector ships
+    * anywhere.
+    */
+  def simDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val dims = nm
+      .select(posexplode(col("q")).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("v"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("v")).as("sum_q"),
+        sum(col("v") * col("v")).as("sumsq_q"),
+        min(col("v")).as("min_q"),
+        max(col("v")).as("max_q"))
+    val tot = dims.agg(sum(col("sumsq_q")).as("total_sq"))
+    dims.crossJoin(broadcast(tot))
+      .select(col("dim"), col("n_vecs"),
+        expr("sum_q * 1000 DIV greatest(n_vecs, 1)").as("mean_milli"),
+        col("min_q"), col("max_q"),
+        (col("max_q") - col("min_q")).as("spread_q"),
+        expr("sumsq_q * 1000000 DIV greatest(total_sq, 1)").as("energy_ppm"))
+      .orderBy(col("dim").asc)
+  }
+
+  val simDimStatsSql: String =
+    s"""WITH ${Dedup.quantizedSql}, ex AS (
+       |  SELECT unnest(q) AS v, unnest(range(1, len(q) + 1)) AS dim FROM nm
+       |), dims AS (
+       |  SELECT dim, COUNT(*) AS n_vecs, CAST(SUM(v) AS BIGINT) AS sum_q,
+       |    CAST(SUM(v * v) AS BIGINT) AS sumsq_q,
+       |    CAST(MIN(v) AS BIGINT) AS min_q, CAST(MAX(v) AS BIGINT) AS max_q
+       |  FROM ex
+       |  GROUP BY dim
+       |), tot AS (
+       |  SELECT CAST(SUM(sumsq_q) AS BIGINT) AS total_sq FROM dims
+       |)
+       |SELECT dim, n_vecs,
+       |  CAST(sum_q * 1000 // greatest(n_vecs, 1) AS BIGINT) AS mean_milli,
+       |  min_q, max_q, max_q - min_q AS spread_q,
+       |  CAST(sumsq_q * 1000000 // greatest(total_sq, 1) AS BIGINT)
+       |    AS energy_ppm
+       |FROM dims, tot ORDER BY dim ASC""".stripMargin
+
   // --- sim_recall_report: ANN quality measurement -------------------------
   /** Recall audit for the approximate searches: per query vector, how many
     * of each method's returned neighbors are true top-K neighbors (per the
@@ -1467,6 +1523,7 @@ object Similarity {
     "sim_recall_report" -> simRecallReport,
     "sim_knn_ivf_trained" -> simKnnIvfTrained,
     "sim_ivf_balance" -> simIvfBalance,
+    "sim_dim_stats" -> simDimStats,
     "sim_topk_bruteforce" -> simTopkBruteforce,
     "sim_knn_lsh" -> simKnnLsh,
     "sim_range_search" -> simRangeSearch,
@@ -1483,6 +1540,7 @@ object Similarity {
     "sim_recall_report" -> simRecallReportSql,
     "sim_knn_ivf_trained" -> simKnnIvfTrainedSql,
     "sim_ivf_balance" -> simIvfBalanceSql,
+    "sim_dim_stats" -> simDimStatsSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_range_search" -> simRangeSearchSql,

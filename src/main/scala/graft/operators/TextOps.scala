@@ -118,6 +118,58 @@ object TextOps {
        |  CAST(length(text) AS BIGINT) AS n_chars_actual
        |FROM documents ORDER BY doc_id ASC""".stripMargin
 
+  // --- tx_fertility: per-language tokenizer fertility profile ------------
+  /** Tokenizer fertility by language — the multilingual-mixture planning
+    * number (how many characters a language "costs" per token decides its
+    * effective context length and its share of the token budget): per
+    * lang, docs, characters, whitespace tokens and alphabetic tokens,
+    * with chars-per-token and tokens-per-doc in exact integer MILLI units
+    * (floored — no float crosses the oracle boundary) and the alpha
+    * fraction of tokens in ppm. One scan, per-lang rollup with map-side
+    * partials — a ≤|langs|-row report at any corpus scale.
+    */
+  def txFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        size(tokens(col("text"))).cast("long").as("nt"),
+        size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .cast("long").as("na"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_tokens"),
+        sum(col("na")).as("n_alpha_tokens"))
+      .withColumn("chars_per_token_milli",
+        expr("n_chars * 1000 DIV greatest(n_tokens, 1)"))
+      .withColumn("tokens_per_doc_milli",
+        expr("n_tokens * 1000 DIV greatest(n_docs, 1)"))
+      .withColumn("alpha_ppm",
+        expr("n_alpha_tokens * 1000000 DIV greatest(n_tokens, 1)"))
+      .orderBy(col("lang").asc)
+
+  val txFertilitySql: String =
+    s"""WITH per AS (
+       |  SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS nt,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+       |      AS na
+       |  FROM documents
+       |), rolled AS (
+       |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(na) AS BIGINT) AS n_alpha_tokens
+       |  FROM per GROUP BY lang
+       |)
+       |SELECT lang, n_docs, n_chars, n_tokens, n_alpha_tokens,
+       |  CAST(n_chars * 1000 // greatest(n_tokens, 1) AS BIGINT)
+       |    AS chars_per_token_milli,
+       |  CAST(n_tokens * 1000 // greatest(n_docs, 1) AS BIGINT)
+       |    AS tokens_per_doc_milli,
+       |  CAST(n_alpha_tokens * 1000000 // greatest(n_tokens, 1) AS BIGINT)
+       |    AS alpha_ppm
+       |FROM rolled ORDER BY lang ASC""".stripMargin
+
   // --- tx_fingerprint: position-weighted polynomial fingerprint ----------
   /** fp1 = Σ_i (code(tok_i) % 2^20) * i  (mod P); fp2 weights the squared
     * code — order-sensitive, so permuted documents fingerprint differently,
@@ -1181,6 +1233,7 @@ object TextOps {
     "tx_langid" -> txLangid,
     "tx_quality" -> txQuality,
     "tx_tokens" -> txTokens,
+    "tx_fertility" -> txFertility,
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
@@ -1205,5 +1258,6 @@ object TextOps {
     "tx_langid" -> txLangidSql,
     "tx_quality" -> txQualitySql,
     "tx_tokens" -> txTokensSql,
+    "tx_fertility" -> txFertilitySql,
     "tx_fingerprint" -> txFingerprintSql)
 }

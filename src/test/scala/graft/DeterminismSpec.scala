@@ -55,7 +55,13 @@ class DeterminismSpec extends SparkSpec {
     // r14: MaxBucket-capped pair expansion + integer containment division
     "dd_containment",
     // r14: per-cluster best-pick window with (tokens, doc_id) tie-break
-    "dd_rep_selection")
+    "dd_rep_selection",
+    // r14: two-level decimal-partial merge — associativity is the claim
+    "q1_incremental",
+    // r14: posexplode + map-side-combined per-dim aggregates
+    "sim_dim_stats",
+    // r14: tie-exact nearest-rank cutoff over the activity histogram
+    "ev_power_law")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()

@@ -388,4 +388,87 @@ class GrowthOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("eff_docs_ppm")).sum < nDocs * 1000000L,
       "near-dup clusters exist: some doc must weigh < 1.0")
   }
+
+  test("q1_incremental merge is bit-identical to the full-rescan Q1") {
+    def key(r: org.apache.spark.sql.Row): String =
+      r.toSeq.map(String.valueOf).mkString(" ")
+    val full = graft.operators.Relational.q1PricingSummary(spark, sf)
+      .collect().map(key).toSet
+    val inc = graft.operators.Relational.q1Incremental(spark, sf)
+      .collect().map(key).toSet
+    assert(inc == full,
+      "merged decimal partials must equal the full rescan exactly")
+  }
+
+  test("tx_fertility partitions the corpus and reconciles with tx_tokens") {
+    val fert = graft.operators.TextOps.txFertility(spark, sf).collect()
+    val toks = graft.operators.TextOps.txTokens(spark, sf).collect()
+    assert(fert.map(_.getAs[Long]("n_docs")).sum == toks.length.toLong,
+      "languages must partition the corpus")
+    assert(fert.map(_.getAs[Long]("n_tokens")).sum ==
+      toks.map(_.getAs[Long]("n_ws_tokens")).sum,
+      "per-lang token totals must reconcile with the per-doc report")
+    fert.foreach { r =>
+      assert(r.getAs[Long]("alpha_ppm") >= 0L)
+      assert(r.getAs[Long]("chars_per_token_milli") >= 1000L,
+        "a whitespace token costs at least its own characters")
+    }
+  }
+
+  test("sim_dim_stats energy shares sum to ~1e6 and reconcile with the norms") {
+    val stats = graft.operators.Similarity.simDimStats(spark, sf).collect()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(stats.forall(_.getAs[Long]("n_vecs") == nVecs),
+      "every dimension sees every vector")
+    val eSum = stats.map(_.getAs[Long]("energy_ppm")).sum
+    assert(eSum <= 1000000L && eSum > 1000000L - stats.length,
+      s"floored energy shares must sum to within dims ppm of 1e6, got $eSum")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("max_q") >= r.getAs[Long]("min_q"))
+      assert(r.getAs[Long]("spread_q") ==
+        r.getAs[Long]("max_q") - r.getAs[Long]("min_q"))
+    }
+    // Cross-check against the per-vector norms the similarity family
+    // carries: total squared mass over dims == sum of n2 over vectors,
+    // recomputed here from the same quantized frame.
+    val nm = graft.operators.Dedup.quantized(spark, sf)
+    val n2Total = nm.agg(sum(col("n2"))).collect().head.getLong(0)
+    val dimMass = nm.select(explode(col("q")).as("v"))
+      .agg(sum(col("v") * col("v"))).collect().head.getLong(0)
+    assert(dimMass == n2Total,
+      "per-dimension squared mass must conserve the per-vector norms")
+  }
+
+  test("ev_power_law: exact shares on a constructed hot-user distribution") {
+    val s = spark
+    import s.implicits._
+    // User 1 fires 91 events, users 2..10 one each: U=10, T=100.
+    // top 1% = ceil(0.01*10) = 1 user -> 91/100; top 10% = 1 user too.
+    val hot = ((1 to 91).map(_ => 1L) ++ (2L to 10L)).toDF("user_id")
+    val gotHot = EventOps.powerLaw(hot).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(gotHot.toSeq == Seq((10L, 1L, 91L, 910000L),
+      (100L, 1L, 91L, 910000L)), s"got ${gotHot.toSeq}")
+    // Fully tied: 10 users x 5 events. top 1% = 1 user -> exactly 5/50.
+    val tied = (1L to 10L).flatMap(u => Seq.fill(5)(u)).toDF("user_id")
+    val gotTied = EventOps.powerLaw(tied).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    assert(gotTied.toSeq == Seq((10L, 1L, 5L, 100000L),
+      (100L, 1L, 5L, 100000L)), s"got ${gotTied.toSeq}")
+  }
+
+  test("ev_power_law invariants on the corpus") {
+    val rows = EventOps.evPowerLaw(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 100L))
+    val total = EventOps.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_events") == total)
+      assert(r.getAs[Long]("events_covered") <= total)
+      // Top-p users cover at least their uniform share.
+      assert(r.getAs[Long]("share_ppm") >= r.getLong(0) * 1000L - 1000L)
+    }
+    // Monotone: the 10% cohort covers at least what the 1% cohort does.
+    assert(rows(1).getAs[Long]("events_covered") >=
+      rows(0).getAs[Long]("events_covered"))
+  }
 }

@@ -54,8 +54,11 @@ class PlanShapeSpec extends SparkSpec {
       // a 1-row corpus-total scalar attach — all bounded by construction.
       "q_integrity_audit", "sim_probe_sweep",
       // sim_ivf_balance broadcasts the 16-row trained centroid model for
-      // the assignment argmax plus the 1-row (total, cells) scalar.
-      "sim_ivf_balance")
+      // the assignment argmax plus the 1-row (total, cells) scalar;
+      // sim_dim_stats attaches the 1-row total-energy scalar;
+      // ev_power_law crosses the metadata-sized activity histogram with
+      // the broadcast 2-row (p, totals) frame.
+      "sim_ivf_balance", "sim_dim_stats", "ev_power_law")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype
