@@ -313,12 +313,15 @@ object Dedup {
     * long original and keeping a truncated mirror is a silent data loss
     * the min-id policy permits.
     *
-    * Shape: the (doc_id, label, nt) frame inner-joins the ≥2-size label
-    * set FIRST, so the best-pick window runs only over dup-cluster
-    * members (bounded by the near-dup graph, not the corpus); both the
-    * size count and the join exchange hash on the label key (reused).
-    * Canonical tokens need no window — the canonical IS the label, so a
-    * doc_id = label filter picks its row.
+    * Shape: ONE label-keyed aggregation over the (doc_id, label, nt)
+    * frame computes all three facts at once, map-side combined — the
+    * cluster size (count), the canonical's tokens (the canonical IS the
+    * label, a member of its own cluster, so a conditional max picks its
+    * row), and the best pick as a lexicographic max(struct(nt, −doc_id))
+    * (identical selection to a (nt DESC, doc_id ASC) rank-1 window,
+    * without the sort or the join-back). No window, no self-joins; the
+    * singleton filter happens after the aggregate on the cluster-sized
+    * frame.
     */
   def ddRepSelection(spark: SparkSession, dir: String): DataFrame =
     repSelection(Tables.documents(spark, dir))
@@ -330,24 +333,17 @@ object Dedup {
     val lab = canonicalLabels(docs)
     val meta = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("nt"))
-    val j = lab.join(meta, Seq("doc_id"))
-    val dupSizes = lab.groupBy(col("label"))
-      .agg(count(lit(1)).as("n_docs"))
+    lab.join(meta, Seq("doc_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(when(col("doc_id") === col("label"), col("nt")))
+          .as("canon_tokens"),
+        max(struct(col("nt"), (-col("doc_id")).as("neg"))).as("b"))
       .filter(col("n_docs") >= 2)
-    val members = j.join(dupSizes, Seq("label"))
-    val canon = members.filter(col("doc_id") === col("label"))
-      .select(col("label"), col("nt").as("canon_tokens"))
-    val wBest = Window.partitionBy(col("label"))
-      .orderBy(col("nt").desc, col("doc_id").asc)
-    val best = members
-      .withColumn("rk", row_number().over(wBest))
-      .filter(col("rk") === 1)
-      .select(col("label"), col("doc_id").as("best_id"),
-        col("nt").as("best_tokens"))
-    dupSizes.join(canon, Seq("label")).join(best, Seq("label"))
       .select(col("label").as("canonical_id"), col("n_docs"),
-        col("canon_tokens"), col("best_id"), col("best_tokens"),
-        (col("best_tokens") - col("canon_tokens")).as("gained_tokens"))
+        col("canon_tokens"), (-col("b.neg")).as("best_id"),
+        col("b.nt").as("best_tokens"),
+        (col("b.nt") - col("canon_tokens")).as("gained_tokens"))
       .orderBy(col("canonical_id").asc)
   }
 
