@@ -40,6 +40,23 @@ object BloomJoin {
   /** Hash functions per key (k). */
   val NumHashes = 3
 
+  /** Word-map size giving ≈16 bits/key (≈0.5% FPR at k=3): the next
+    * power of two covering 16·nKeys bits, clamped to [4096, 2^20] words
+    * (32 KiB – 8 MiB of bitmap). Size from a (possibly approximate)
+    * build-side count — a filter sized below its key count saturates
+    * toward all-ones and prunes NOTHING while still paying the probe
+    * joins; past the cap a shuffled LEFT SEMI join is the right plan.
+    */
+  def sizeWords(nKeys: Long): Int = {
+    val capKeys = (1L << 20) * 4L // 2^22 keys fill the cap at 16 bits/key
+    if (nKeys >= capKeys) 1 << 20 // clamp BEFORE multiplying (no overflow)
+    else {
+      val needWords = (math.max(1L, nKeys) * 16L + 63L) / 64L
+      val floored = math.max(4096L, needWords)
+      java.lang.Long.highestOneBit(floored * 2L - 1L).toInt
+    }
+  }
+
   /** Bit positions of `key` in a 64·`words`-bit Bloom filter: k
     * independent xxhash64 draws (the lane literal makes each draw an
     * independent 64-bit hash), reduced mod the bitmap size. Shared by
@@ -73,6 +90,14 @@ object BloomJoin {
   def prune(df: DataFrame, key: String, wordMap: DataFrame,
       words: Int): DataFrame = {
     require(words > 0, "words must be positive")
+    // The probe stages use _p/_w/_m/_b temporaries; withColumn would
+    // silently REPLACE a caller column of the same name (and the final
+    // drop would delete it), so reject such frames up front.
+    val reserved = (0 until NumHashes)
+      .flatMap(i => Seq(s"_p$i", s"_w$i", s"_m$i", s"_b$i")).toSet
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"prune() reserves column names ${clash.mkString(", ")}; rename them first")
     val pos = positions(col(key), words)
     (0 until NumHashes).foldLeft(df) { (cur, i) =>
       val probe = cur

@@ -244,8 +244,16 @@ object Dedup {
     * expansion stays inside MaxBucket-capped buckets, and the two
     * shingle-set joins ship only candidate doc_ids' arrays.
     */
-  def ddContainment(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def ddContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentScores(Tables.documents(spark, dir))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+
+  /** The generic scoring core over any documents frame (doc_id, text) —
+    * spec-injected with a constructed quoted-inside pair, so the emit
+    * floor and relation classifier are exercised through the SAME code
+    * the registered query runs.
+    */
+  private[graft] def containmentScores(docs: DataFrame): DataFrame = {
     val sets = docs
       .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
       .select(col("doc_id"), shingleCodes3(col("tcs")).as("sg"))
@@ -269,7 +277,6 @@ object Dedup {
           .when(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 900000L,
             "containment")
           .otherwise("overlap"))
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   val ddContainmentSql: String =
@@ -315,13 +322,16 @@ object Dedup {
     *
     * Shape: ONE label-keyed aggregation over the (doc_id, label, nt)
     * frame computes all three facts at once, map-side combined — the
-    * cluster size (count), the canonical's tokens (the canonical IS the
-    * label, a member of its own cluster, so a conditional max picks its
-    * row), and the best pick as a lexicographic max(struct(nt, −doc_id))
-    * (identical selection to a (nt DESC, doc_id ASC) rank-1 window,
-    * without the sort or the join-back). No window, no self-joins; the
-    * singleton filter happens after the aggregate on the cluster-sized
-    * frame.
+    * cluster size (count), the canonical as the cluster's MIN-ID MEMBER
+    * (min(doc_id) + min_by for its tokens — NOT the label value itself:
+    * the bounded 3-round propagation can leave a group whose label is a
+    * doc the rounds moved to a smaller label, so "label is a member of
+    * its own group" does not hold in general; the min member is a member
+    * by construction and equals the label at convergence), and the best
+    * pick as a lexicographic max(struct(nt, −doc_id)) (identical
+    * selection to a (nt DESC, doc_id ASC) rank-1 window, without the
+    * sort or the join-back). No window, no self-joins; the singleton
+    * filter happens after the aggregate on the cluster-sized frame.
     */
   def ddRepSelection(spark: SparkSession, dir: String): DataFrame =
     repSelection(Tables.documents(spark, dir))
@@ -336,11 +346,11 @@ object Dedup {
     lab.join(meta, Seq("doc_id"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_docs"),
-        max(when(col("doc_id") === col("label"), col("nt")))
-          .as("canon_tokens"),
+        min(col("doc_id")).as("canonical_id"),
+        expr("min_by(nt, doc_id)").as("canon_tokens"),
         max(struct(col("nt"), (-col("doc_id")).as("neg"))).as("b"))
       .filter(col("n_docs") >= 2)
-      .select(col("label").as("canonical_id"), col("n_docs"),
+      .select(col("canonical_id"), col("n_docs"),
         col("canon_tokens"), (-col("b.neg")).as("best_id"),
         col("b.nt").as("best_tokens"),
         (col("b.nt") - col("canon_tokens")).as("gained_tokens"))
@@ -357,25 +367,22 @@ object Dedup {
        |), j AS (
        |  SELECT l.doc_id, l.label, m.nt FROM lab3 l
        |  JOIN meta m ON l.doc_id = m.doc_id
-       |), dup_sizes AS (
-       |  SELECT label, COUNT(*) AS n_docs FROM lab3
-       |  GROUP BY label HAVING COUNT(*) >= 2
-       |), members AS (
-       |  SELECT j.* FROM j JOIN dup_sizes s ON j.label = s.label
-       |), canon AS (
-       |  SELECT label, nt AS canon_tokens FROM members WHERE doc_id = label
+       |), grp AS (
+       |  SELECT label, COUNT(*) AS n_docs,
+       |    CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       |    CAST(min_by(nt, doc_id) AS BIGINT) AS canon_tokens
+       |  FROM j GROUP BY label HAVING COUNT(*) >= 2
        |), best AS (
        |  SELECT label, doc_id AS best_id, nt AS best_tokens FROM (
        |    SELECT label, doc_id, nt, ROW_NUMBER() OVER (PARTITION BY label
-       |      ORDER BY nt DESC, doc_id ASC) AS rk FROM members
+       |      ORDER BY nt DESC, doc_id ASC) AS rk FROM j
        |  ) t WHERE rk = 1
        |)
-       |SELECT s.label AS canonical_id, s.n_docs, c.canon_tokens,
+       |SELECT g.canonical_id, g.n_docs, g.canon_tokens,
        |  b.best_id, b.best_tokens,
-       |  b.best_tokens - c.canon_tokens AS gained_tokens
-       |FROM dup_sizes s
-       |JOIN canon c ON s.label = c.label
-       |JOIN best b ON s.label = b.label
+       |  b.best_tokens - g.canon_tokens AS gained_tokens
+       |FROM grp g
+       |JOIN best b ON g.label = b.label
        |ORDER BY canonical_id ASC""".stripMargin
 
   // --- dd_source_dup_matrix: cross-source duplication matrix --------------

@@ -97,8 +97,13 @@ object Relational {
           sum(m(col("l_extendedprice")) * f(lit(1) - col("l_discount"))
             * f(lit(1) + col("l_tax"))).as("p_charge"),
           count(lit(1)).as("p_n"))
-    partial(l.filter(col("l_orderkey") % 10 =!= 0))
-      .unionByName(partial(l.filter(col("l_orderkey") % 10 === 0)))
+    // NULL-safe split: a plain `% 10 =!= 0` / `% 10 === 0` pair both
+    // evaluate NULL on a NULL key and would drop the row from BOTH
+    // partials — the split must PARTITION the filtered table for the
+    // merged ≡ rescan claim to hold.
+    val splitKey = coalesce(col("l_orderkey"), lit(0L)) % 10
+    partial(l.filter(splitKey =!= 0))
+      .unionByName(partial(l.filter(splitKey === 0)))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("p_qty")).cast("double").as("sum_qty"),

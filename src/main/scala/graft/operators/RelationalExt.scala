@@ -1423,10 +1423,11 @@ object RelationalExt {
     * [[BloomJoin]]): the segment predicate reaches lineitem only through
     * customer → orders, so the plain plan shuffles every lineitem row and
     * drops ~80% of them at the join. Here the qualifying order keys build
-    * a 64·[[BloomWords]]-bit word map (one narrow bit_or exchange, ≤
-    * [[BloomWords]] rows), which is broadcast to the lineitem scan as
-    * [[BloomJoin.NumHashes]] bit-test broadcast joins — only the surviving
-    * ~20% (+ ~0.5% false positives) enter the exchange.
+    * a count-sized word map ([[BloomJoin.sizeWords]] words of 64 bits
+    * each; one narrow bit_or exchange), which is broadcast to the
+    * lineitem scan as [[BloomJoin.NumHashes]] bit-test broadcast joins —
+    * only the surviving ~20% (+ ~0.5% false positives) enter the
+    * exchange.
     *
     * The DuckDB oracle is the PLAIN three-table join: every correctness
     * run proves the pruned plan is result-identical (false positives are
@@ -1434,9 +1435,16 @@ object RelationalExt {
     * impossible — build and probe share the position expression).
     * BloomJoinSpec additionally pins zero false negatives on constructed
     * keys and the pruning ratio on the real data.
+    *
+    * The bitmap is SIZED FROM the qualifying-key count
+    * ([[BloomJoin.sizeWords]], ≈16 bits/key) — a fixed size saturates
+    * toward all-ones once the build side outgrows it and the "filter"
+    * prunes nothing while still paying the probe joins. The count is an
+    * eager driver-side action at DataFrame-construction time (the same
+    * documented pattern as the trained-centroid memo): one extra pass
+    * over the (already filtered, dimension-joined) build side — the
+    * price any runtime filter pays to know its own size.
     */
-  private val BloomWords = 4096
-
   def qBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
     val qualCust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
@@ -1444,11 +1452,12 @@ object RelationalExt {
     val qualOrders = Tables.orders(spark, dir)
       .join(broadcast(qualCust), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloomWords = BloomJoin.sizeWords(qualOrders.count())
     val words = BloomJoin.build(
-      qualOrders.select(col("o_orderkey")), "o_orderkey", BloomWords)
+      qualOrders.select(col("o_orderkey")), "o_orderkey", bloomWords)
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), revenue.as("rev"))
-    BloomJoin.prune(li, "l_orderkey", words, BloomWords)
+    BloomJoin.prune(li, "l_orderkey", words, bloomWords)
       .join(qualOrders, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), sumMoney(col("rev")).as("revenue"))

@@ -734,8 +734,12 @@ object Similarity {
       .agg(max(col("sc")).as("m"))
       .select(col("neighbor_id"), (-col("m.neg_c")).as("cell"))
     val cells = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-    val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
-      count(lit(1)).as("n_cells"))
+    // load_ppm's uniform baseline divides by the INDEX's cell count (the
+    // trained model actually served), not the count of non-empty cells —
+    // with empty cells those differ and the hot-cell multiplier would
+    // read low exactly when the index is skewed enough to matter.
+    val tot = cells.agg(sum(col("n_vecs")).as("n_total"))
+      .crossJoin(broadcast(centroids.agg(count(lit(1)).as("n_cells"))))
     cells.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vecs"),
         expr("CAST(n_vecs * 1000000 DIV greatest(n_total, 1) AS BIGINT)")
@@ -761,7 +765,7 @@ object Similarity {
        |  SELECT cell, COUNT(*) AS n_vecs FROM asgf GROUP BY cell
        |), tot AS (
        |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
-       |    COUNT(*) AS n_cells FROM cells
+       |    (SELECT COUNT(*) FROM cent2) AS n_cells FROM cells
        |)
        |SELECT cell, n_vecs,
        |  CAST(n_vecs * 1000000 // greatest(n_total, 1) AS BIGINT)

@@ -24,6 +24,27 @@ class BloomJoinSpec extends SparkSpec {
       "even a 4-bits/key filter must reject some non-members")
   }
 
+  test("sizeWords scales with the key count and clamps at both ends") {
+    assert(BloomJoin.sizeWords(0L) == 4096)
+    assert(BloomJoin.sizeWords(16384L) == 4096)      // exactly 16 bits/key
+    assert(BloomJoin.sizeWords(1000000L) == 262144)  // next pow2 of 250000
+    assert(BloomJoin.sizeWords(Long.MaxValue) == (1 << 20))
+    for (n <- Seq(1L, 100000L, 3000000L)) {
+      val w = BloomJoin.sizeWords(n)
+      assert(w == (1 << 20) || w.toLong * 64L >= 16L * n,
+        s"sizeWords($n)=$w under-provisions below the cap")
+    }
+  }
+
+  test("prune rejects frames whose columns collide with its temporaries") {
+    val words = BloomJoin.build(spark.range(10).toDF("k"), "k", 64)
+    val bad = spark.range(10).toDF("k").withColumn("_w1", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.prune(bad, "k", words, 64)
+    }
+    assert(e.getMessage.contains("_w1"))
+  }
+
   test("a saturated 1-word filter passes members and stays a superset") {
     val words = BloomJoin.build(spark.range(0, 1000).toDF("k"), "k", 1)
     val surv = BloomJoin.prune(spark.range(0, 2000).toDF("k"), "k", words, 1)

@@ -54,37 +54,29 @@ class DedupSpec extends SparkSpec {
     val unrelated = (100 to 140).map(i => s"u$i").mkString(" ")
     val docs = Seq((0L, a), (1L, b), (2L, unrelated))
       .toDF("doc_id", "text")
-    val sets = docs
-      .select(col("doc_id"),
-        graft.functions.Codes.strCodes(
-          graft.functions.Codes.tokens(col("text"))).as("tcs"))
-      .select(col("doc_id"),
-        graft.functions.Codes.shingleCodes3(col("tcs")).as("sg"))
-    val cand = graft.operators.Dedup
-      .lshPairs(graft.operators.Dedup.signatures(docs))
     // Precondition: the banding must surface (0,1) as a candidate at this
     // jaccard level (deterministic given the fixed hash family).
+    val cand = graft.operators.Dedup
+      .lshPairs(graft.operators.Dedup.signatures(docs))
     assert(cand.collect().map(r => (r.getLong(0), r.getLong(1)))
       .contains((0L, 1L)), "LSH must bucket the containment pair")
-    val scored = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sg").as("sg_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sg").as("sg_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(col("sg_a")).cast("long").as("size_a"),
-        size(col("sg_b")).cast("long").as("size_b"),
-        size(array_intersect(col("sg_a"), col("sg_b"))).cast("long").as("n_inter"))
-      .withColumn("jaccard_ppm",
-        expr("n_inter * 1000000 DIV greatest(size_a + size_b - n_inter, 1)"))
-      .withColumn("cont_a_ppm",
-        expr("n_inter * 1000000 DIV greatest(size_a, 1)"))
-      .collect().map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getAs[Long]("jaccard_ppm"), r.getAs[Long]("cont_a_ppm")))).toMap
-    val (j, ca) = scored((0L, 1L))
-    assert(ca == 1000000L, s"A is wholly inside B: containment must be 1e6, got $ca")
-    assert(j < 600000L, s"the pair must sit BELOW the near-dup gate, got $j ppm")
-    // And the registered verify gate (jaccard >= 0.6) indeed drops it
-    // while the containment relation classifier keeps it.
-    assert(j >= 500000L || ca >= 500000L)
+    // Score through the REAL operator core — emit floor and relation
+    // classifier included.
+    val rows = graft.operators.Dedup.containmentScores(docs).collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r)).toMap
+    val r01 = rows.getOrElse((0L, 1L),
+      fail("the quoted-inside pair must survive the 0.5 emit floor"))
+    assert(r01.getAs[Long]("cont_a_ppm") == 1000000L,
+      "A is wholly inside B: containment must be exactly 1e6")
+    assert(r01.getAs[Long]("jaccard_ppm") < 600000L,
+      "the pair must sit BELOW the near-dup gate")
+    assert(r01.getAs[String]("relation") == "containment",
+      s"classifier must call it containment, got ${r01.getAs[String]("relation")}")
+    // The jaccard-gated verify drops the same pair.
+    val verified = graft.operators.Dedup.verifiedPairs(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(!verified.contains((0L, 1L)),
+      "the >=0.6 jaccard gate should drop the quoted-inside pair")
   }
 
   test("dd_containment on the corpus: near_dup rows reconcile with the verify gate") {

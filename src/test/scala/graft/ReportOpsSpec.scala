@@ -68,7 +68,12 @@ class ReportOpsSpec extends SparkSpec {
       .filter(col("vec_id") >= 10).count()
     assert(bal.map(_.getAs[Long]("n_vecs")).sum == corpus,
       "cells must partition the corpus vectors")
-    val nCells = bal.length.toLong
+    // The served index has 16 trained centroids; at this sf every cell
+    // is populated, so the row count equals the load denominator. A
+    // future data change that empties a cell must fail here loudly (the
+    // denominator is the model's cell count, not the non-empty count).
+    assert(bal.length == 16, s"expected all 16 cells populated, got ${bal.length}")
+    val nCells = 16L
     val shareSum = bal.map(_.getAs[Long]("share_ppm")).sum
     assert(shareSum <= 1000000L && shareSum > 1000000L - nCells,
       s"floored shares must sum to within $nCells ppm of 1e6, got $shareSum")
