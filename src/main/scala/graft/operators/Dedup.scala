@@ -1627,7 +1627,55 @@ object Dedup {
        |FROM scored GROUP BY bands ORDER BY bands ASC""".stripMargin
   }
 
+  // --- dd_edit_distance: Levenshtein verify over prefix-bucket pairs -----
+  /** Edit-distance verification of candidate near-duplicates: documents
+    * sharing a 12-char lowercase prefix pair up, and each pair is scored by
+    * Levenshtein distance over a bounded 60-char window (O(60²) per pair —
+    * the standard cost cap that keeps the verify stage linear in the pair
+    * count rather than quadratic in document length). sim_ppm is the exact
+    * integer (maxlen − dist)·10⁶ // maxlen, so both engines hash
+    * identically. Complements the minhash/simhash families with the one
+    * character-level metric they can't express (reference test suites pin
+    * dedup verify stages on exactly this metric).
+    *
+    * Scale: the self-join is key-partitioned on the prefix bucket; pair
+    * count is Σ c·(c−1)/2 over bucket sizes — bounded by near-dup density,
+    * not corpus size. A pathological hot bucket would AQE-split; the
+    * 60-char window caps per-pair CPU.
+    */
+  def ddEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"),
+      lower(substring(col("text"), 1, 60)).as("w"),
+      lower(substring(col("text"), 1, 12)).as("bkt"))
+    val a = d.select(col("doc_id").as("doc_a"), col("w").as("wa"), col("bkt"))
+    val b = d.select(col("doc_id").as("doc_b"), col("w").as("wb"), col("bkt"))
+    a.join(b, Seq("bkt"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("lev_dist", levenshtein(col("wa"), col("wb")).cast("bigint"))
+      .withColumn("max_len",
+        greatest(length(col("wa")), length(col("wb"))).cast("bigint"))
+      .withColumn("sim_ppm",
+        floor((col("max_len") - col("lev_dist")) * lit(1000000L)
+          / col("max_len")).cast("bigint"))
+      .select(col("doc_a"), col("doc_b"), col("lev_dist"), col("sim_ppm"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
+
+  val ddEditDistanceSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lower(substr(text, 1, 60)) AS w,
+      |    lower(substr(text, 1, 12)) AS bkt
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev_dist,
+      |  CAST((greatest(length(a.w), length(b.w)) - levenshtein(a.w, b.w))
+      |    * 1000000 // greatest(length(a.w), length(b.w)) AS BIGINT) AS sim_ppm
+      |FROM d a JOIN d b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+      |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_edit_distance" -> ddEditDistance,
     "dd_band_sweep" -> ddBandSweep,
     "dd_sig_width_sweep" -> ddSigWidthSweep,
     "dd_source_dup_matrix" -> ddSourceDupMatrix,
@@ -1652,6 +1700,7 @@ object Dedup {
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
+    "dd_edit_distance" -> ddEditDistanceSql,
     "dd_band_sweep" -> ddBandSweepSql,
     "dd_sig_width_sweep" -> ddSigWidthSweepSql,
     "dd_source_dup_matrix" -> ddSourceDupMatrixSql,

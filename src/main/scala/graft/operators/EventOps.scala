@@ -1504,7 +1504,146 @@ object EventOps {
       |FROM dau d JOIN mau m ON d.month = m.month
       |ORDER BY d.day ASC""".stripMargin
 
+  // --- ev_concurrency: sweep-line max concurrent sessions per day --------
+  /** Peak concurrent sessions per UTC day via the classic sweep line:
+    * each session (from [[evSessionize]]'s 30-min-gap rule) is clipped to
+    * per-day segments, each segment emits (+1 at start, -1 at end), and a
+    * running sum ordered by (instant, +1-before--1) peaks at the day's max
+    * concurrency (touching sessions count as concurrent). The reference's
+    * insight UI charts exactly this "active operations" load line
+    * (recon/.../api/handlers metrics endpoints).
+    *
+    * Scale: clipping to days makes the sweep window PARTITIONED BY day —
+    * no global sort, and a session spanning k days costs k segment rows
+    * (k ≤ 2 under a 30-min gap rule). Both engines' cumulative-sum windows
+    * default to RANGE frames, so tied instants share one cumulative value
+    * — the max over start rows is therefore order-stable across engines.
+    */
+  def evConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val sess = evSessionize(spark, dir)
+      .select(
+        (unix_micros(col("session_start")) / lit(1000000L)).cast("bigint").as("s"),
+        (unix_micros(col("session_end")) / lit(1000000L)).cast("bigint").as("e"))
+    val segs = sess
+      .withColumn("k", explode(sequence(
+        floor(col("s") / 86400L).cast("bigint"),
+        floor(col("e") / 86400L).cast("bigint"))))
+      .withColumn("seg_s", greatest(col("s"), col("k") * 86400L))
+      .withColumn("seg_e", least(col("e"), (col("k") + 1L) * 86400L - 1L))
+    val deltas = segs.select(col("k"), col("seg_s").as("t"), lit(1L).as("delta"))
+      .unionAll(segs.select(col("k"), col("seg_e").as("t"), lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("k")).orderBy(col("t").asc, col("delta").desc)
+    deltas
+      .withColumn("cum", sum(col("delta")).over(w))
+      .filter(col("delta") === 1L)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("cum")).as("max_concurrent"))
+      .select(
+        to_date(timestamp_seconds(col("k") * 86400L)).as("day"),
+        col("n_sessions"), col("max_concurrent"))
+      .orderBy(col("day").asc)
+  }
+
+  val evConcurrencySql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM marked
+      |), sess AS (
+      |  SELECT epoch_us(date_trunc('second', MIN(ts))) // 1000000 AS s,
+      |    epoch_us(date_trunc('second', MAX(ts))) // 1000000 AS e
+      |  FROM numbered GROUP BY user_id, session_seq
+      |), segs AS (
+      |  SELECT u.k AS k,
+      |    greatest(s, u.k * 86400) AS seg_s,
+      |    least(e, (u.k + 1) * 86400 - 1) AS seg_e
+      |  FROM sess, UNNEST(generate_series(s // 86400, e // 86400)) AS u(k)
+      |), deltas AS (
+      |  SELECT k, seg_s AS t, CAST(1 AS BIGINT) AS delta FROM segs
+      |  UNION ALL
+      |  SELECT k, seg_e AS t, CAST(-1 AS BIGINT) AS delta FROM segs
+      |), swept AS (
+      |  SELECT k, delta,
+      |    SUM(delta) OVER (PARTITION BY k ORDER BY t ASC, delta DESC) AS cum
+      |  FROM deltas
+      |)
+      |SELECT CAST(to_timestamp(k * 86400) AS DATE) AS day,
+      |  COUNT(*) AS n_sessions, CAST(MAX(cum) AS BIGINT) AS max_concurrent
+      |FROM swept WHERE delta = 1
+      |GROUP BY k ORDER BY day ASC""".stripMargin
+
+  // --- ev_burstiness: exact-integer inter-arrival dispersion --------------
+  /** Classifies each user's event stream as bursty / poisson-ish / regular
+    * by the squared coefficient of variation of inter-arrival gaps,
+    * computed ENTIRELY in integer arithmetic so both engines agree bit-for-
+    * bit: with n gaps, S = Σgap_s, Q = Σgap_s², population cv² =
+    * (n·Q − S²)/S², so `bursty` ⟺ n·Q > 3·S² and `regular` ⟺ 2·n·Q < 3·S²
+    * — no float division anywhere. The products run in DECIMAL(38,0) /
+    * HUGEINT so a heavy user at large SF can't wrap BIGINT (Spark wraps
+    * silently, DuckDB errors — either way a cross-engine divergence).
+    * Burstiness is the standard load-model split for capacity planning on
+    * the reference's audit stream.
+    *
+    * Scale: one user-keyed window (lag) riding the same hash partitioning
+    * as the per-user aggregate, then a tiny 3-row report — no global sort
+    * until the final 3-row ORDER BY.
+    */
+  def evBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap_s",
+        ((unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(1000000L))
+          .cast("bigint"))
+    val perUser = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("s"),
+        sum(col("gap_s") * col("gap_s")).as("q"))
+      .filter(col("n") >= 2 && col("s") > 0)
+      .withColumn("nq", col("n").cast("decimal(38,0)") * col("q").cast("decimal(38,0)"))
+      .withColumn("s2", col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))
+      .withColumn("burst_class",
+        when(col("nq") > lit(3L).cast("decimal(38,0)") * col("s2"), "bursty")
+          .when(lit(2L).cast("decimal(38,0)") * col("nq") <
+            lit(3L).cast("decimal(38,0)") * col("s2"), "regular")
+          .otherwise("poisson-ish"))
+    perUser.groupBy(col("burst_class"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_gaps"),
+        sum(col("s")).as("sum_gap_s"))
+      .orderBy(col("burst_class").asc)
+  }
+
+  val evBurstinessSql: String =
+    """WITH gaps AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000 AS gap_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |), per_user AS (
+      |  SELECT user_id, COUNT(*) AS n, SUM(gap_s) AS s, SUM(gap_s * gap_s) AS q
+      |  FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id
+      |), classed AS (
+      |  SELECT n, s,
+      |    CASE WHEN CAST(n AS HUGEINT) * q > 3 * CAST(s AS HUGEINT) * s THEN 'bursty'
+      |         WHEN 2 * CAST(n AS HUGEINT) * q < 3 * CAST(s AS HUGEINT) * s THEN 'regular'
+      |         ELSE 'poisson-ish' END AS burst_class
+      |  FROM per_user WHERE n >= 2 AND s > 0
+      |)
+      |SELECT burst_class, COUNT(*) AS n_users,
+      |  CAST(SUM(n) AS BIGINT) AS n_gaps, CAST(SUM(s) AS BIGINT) AS sum_gap_s
+      |FROM classed GROUP BY burst_class ORDER BY burst_class ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_concurrency" -> evConcurrency,
+    "ev_burstiness" -> evBurstiness,
     "ev_ab_test" -> evAbTest,
     "ev_stickiness" -> evStickiness,
     "ev_conversion_lag" -> evConversionLag,
@@ -1538,6 +1677,8 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_concurrency" -> evConcurrencySql,
+    "ev_burstiness" -> evBurstinessSql,
     "ev_ab_test" -> evAbTestSql,
     "ev_stickiness" -> evStickinessSql,
     "ev_conversion_lag" -> evConversionLagSql,

@@ -1350,7 +1350,64 @@ object Namespace {
        |    - ${1000000L / ScanTasks} AS BIGINT) AS skew_ppm
        |FROM t ORDER BY task_id ASC""".stripMargin
 
+  // --- ns_lifecycle_policy: age-tier transition plan ----------------------
+  /** Storage-lifecycle transition plan: per volume × target tier, the keys
+    * and bytes an age-based policy (≤30d hot, ≤90d warm, ≤365d cold, else
+    * archive) would place there, with monthly cost and savings-vs-all-hot
+    * in exact integer cost units (bytes × tier weight — hot 100 / warm 40 /
+    * cold 10 / archive 2 per byte-month). The reference's OM key lifecycle
+    * (open-key expiry, trash retention) motivates the same age-banded
+    * sweep; this is its capacity-planning twin. As-of date fixed at
+    * 1999-01-01 like [[nsKeyAge]] (the synthetic corpus's epoch).
+    *
+    * Scale: one keys scan into a (volume × 4)-key aggregate with partial
+    * combine; no joins, no windows.
+    */
+  def nsLifecyclePolicy(spark: SparkSession, dir: String): DataFrame = {
+    val tiered = ObjectStoreView.keys(spark, dir)
+      .withColumn("age_days",
+        datediff(lit("1999-01-01").cast("date"), col("mtime").cast("date")))
+      .withColumn("tier",
+        when(col("age_days") <= 30, "1-hot")
+          .when(col("age_days") <= 90, "2-warm")
+          .when(col("age_days") <= 365, "3-cold")
+          .otherwise("4-archive"))
+      .withColumn("weight",
+        when(col("age_days") <= 30, 100L)
+          .when(col("age_days") <= 90, 40L)
+          .when(col("age_days") <= 365, 10L)
+          .otherwise(2L))
+    tiered.groupBy(col("volume"), col("tier"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("tier_bytes"),
+        sum(col("size") * col("weight")).as("monthly_cost"),
+        sum(col("size") * (lit(100L) - col("weight"))).as("monthly_savings"))
+      .orderBy(col("volume").asc, col("tier").asc)
+  }
+
+  val nsLifecyclePolicySql: String =
+    s"""WITH keys AS ($ks), tiered AS (
+       |  SELECT volume, size,
+       |    CASE WHEN age_days <= 30 THEN '1-hot'
+       |         WHEN age_days <= 90 THEN '2-warm'
+       |         WHEN age_days <= 365 THEN '3-cold'
+       |         ELSE '4-archive' END AS tier,
+       |    CASE WHEN age_days <= 30 THEN 100
+       |         WHEN age_days <= 90 THEN 40
+       |         WHEN age_days <= 365 THEN 10
+       |         ELSE 2 END AS weight
+       |  FROM (SELECT volume, size,
+       |    datediff('day', CAST(mtime AS DATE), DATE '1999-01-01') AS age_days
+       |    FROM keys) t
+       |)
+       |SELECT volume, tier, COUNT(*) AS n_keys,
+       |  CAST(SUM(size) AS BIGINT) AS tier_bytes,
+       |  CAST(SUM(size * weight) AS BIGINT) AS monthly_cost,
+       |  CAST(SUM(size * (100 - weight)) AS BIGINT) AS monthly_savings
+       |FROM tiered GROUP BY volume, tier
+       |ORDER BY volume ASC, tier ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_lifecycle_policy" -> nsLifecyclePolicy,
     "ns_small_files" -> nsSmallFiles,
     "ns_scan_plan" -> nsScanPlan,
     "ns_compaction_plan" -> nsCompactionPlan,
@@ -1381,6 +1438,7 @@ object Namespace {
     "ns_liststatus" -> nsListStatus)
 
   val oracles: Map[String, String] = Map(
+    "ns_lifecycle_policy" -> nsLifecyclePolicySql,
     "ns_small_files" -> nsSmallFilesSql,
     "ns_scan_plan" -> nsScanPlanSql,
     "ns_compaction_plan" -> nsCompactionPlanSql,

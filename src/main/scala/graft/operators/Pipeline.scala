@@ -1090,7 +1090,109 @@ object Pipeline {
        |FROM rolled ORDER BY source ASC""".stripMargin
   }
 
+  // --- pipe_length_buckets: pow-2 sequence-length bucketing ---------------
+  /** Length-bucketed batch planning: every document lands in the smallest
+    * power-of-two token-length bucket of a FIXED ladder (8…1024 — a CASE
+    * ladder, not ceil(log2), so no float edge at exact powers of two), and
+    * each bucket reports its padding waste in exact ppm if batches pad to
+    * the bucket max. This is the pre-packing histogram a trainer uses to
+    * choose bucket boundaries before [[pipePackPlan]] assigns rows.
+    *
+    * Scale: one tokenize scan + one tiny (≤9-key) aggregate with map-side
+    * partial combine — no joins, no windows.
+    */
+  def pipeLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val ladder = Seq(8L, 16L, 32L, 64L, 128L, 256L, 512L)
+    val d = Tables.documents(spark, dir)
+      .withColumn("n_tokens",
+        size(graft.functions.Codes.tokens(col("text"))).cast("bigint"))
+      .withColumn("bucket_max",
+        ladder.foldRight(lit(1024L): org.apache.spark.sql.Column) { (b, acc) =>
+          when(col("n_tokens") <= b, b).otherwise(acc)
+        })
+    d.groupBy(col("bucket_max"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_max"))
+      .withColumn("waste_ppm", expr(
+        "CAST(((padded_tokens - sum_tokens) * 1000000) div padded_tokens AS BIGINT)"))
+      .orderBy(col("bucket_max").asc)
+  }
+
+  val pipeLengthBucketsSql: String = {
+    val ladder = Seq(8, 16, 32, 64, 128, 256, 512)
+    val cases = ladder.map(b => s"WHEN n_tokens <= $b THEN $b").mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(len(${graft.functions.Codes.tokensSql("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), bucketed AS (
+       |  SELECT CASE $cases ELSE 1024 END AS bucket_max, n_tokens FROM d
+       |), agg AS (
+       |  SELECT CAST(bucket_max AS BIGINT) AS bucket_max, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |  FROM bucketed GROUP BY bucket_max
+       |)
+       |SELECT bucket_max, n_docs, sum_tokens,
+       |  n_docs * bucket_max AS padded_tokens,
+       |  CAST(((n_docs * bucket_max - sum_tokens) * 1000000)
+       |    // (n_docs * bucket_max) AS BIGINT) AS waste_ppm
+       |FROM agg ORDER BY bucket_max ASC""".stripMargin
+  }
+
+  // --- pipe_filter_ablation: CUBE over curation filter flags --------------
+  /** Filter-ablation matrix: document and char counts under EVERY subset of
+    * three curation filters (English-only, length ≥ 200 chars, exact-unique
+    * by fingerprint) via one CUBE — the "what does each filter cost me"
+    * table a data-mixture owner reads before committing a config. Flags are
+    * precomputed 'y'/'n' strings so the CUBE's subtotal NULLs coalesce to
+    * 'all' identically in both engines.
+    *
+    * Scale: the canonical flag rides the fingerprint hash partitioning
+    * (no full-text shuffle key); CUBE expands each row 8× into the same
+    * map-side partial aggregate — no extra shuffle beyond the final 27-row
+    * report.
+    */
+  def pipeFilterAblation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canon = Dedup.fingerprints(docs)
+      .withColumn("grp_min",
+        min(col("doc_id")).over(Window.partitionBy(col("h1"), col("h2"))))
+      .select(col("doc_id"), (col("doc_id") === col("grp_min")).as("is_canon"))
+    val flags = docs.join(canon, "doc_id").select(
+      when(col("lang") === "en", "y").otherwise("n").as("f_en"),
+      when(col("n_chars") >= 200, "y").otherwise("n").as("f_long"),
+      when(col("is_canon"), "y").otherwise("n").as("f_unique"),
+      col("n_chars"))
+    flags.cube(col("f_en"), col("f_long"), col("f_unique"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(
+        coalesce(col("f_en"), lit("all")).as("f_en"),
+        coalesce(col("f_long"), lit("all")).as("f_long"),
+        coalesce(col("f_unique"), lit("all")).as("f_unique"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("f_en").asc, col("f_long").asc, col("f_unique").asc)
+  }
+
+  val pipeFilterAblationSql: String =
+    s"""WITH ${Dedup.fingerprintsSql}, canon AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY h1, h2)
+       |      THEN 'y' ELSE 'n' END AS f_unique
+       |  FROM fp
+       |), flags AS (
+       |  SELECT CASE WHEN d.lang = 'en' THEN 'y' ELSE 'n' END AS f_en,
+       |    CASE WHEN d.n_chars >= 200 THEN 'y' ELSE 'n' END AS f_long,
+       |    c.f_unique, d.n_chars
+       |  FROM documents d JOIN canon c ON d.doc_id = c.doc_id
+       |)
+       |SELECT coalesce(f_en, 'all') AS f_en, coalesce(f_long, 'all') AS f_long,
+       |  coalesce(f_unique, 'all') AS f_unique,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+       |FROM flags GROUP BY CUBE(f_en, f_long, f_unique)
+       |ORDER BY f_en ASC, f_long ASC, f_unique ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_length_buckets" -> pipeLengthBuckets,
+    "pipe_filter_ablation" -> pipeFilterAblation,
     "pipe_shard_manifest" -> pipeShardManifest,
     "pipe_chunk" -> pipeChunk,
     "dd_chunk_exact" -> ddChunkExact,
@@ -1113,6 +1215,8 @@ object Pipeline {
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
+    "pipe_length_buckets" -> pipeLengthBucketsSql,
+    "pipe_filter_ablation" -> pipeFilterAblationSql,
     "pipe_dedup_funnel" -> pipeDedupFunnelSql,
     "pipe_token_budget" -> pipeTokenBudgetSql,
     "pipe_quality_calibration" -> pipeQualityCalibrationSql,

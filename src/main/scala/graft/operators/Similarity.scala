@@ -99,6 +99,53 @@ object Similarity {
        |SELECT query_id, neighbor_id, rk, cos_sim FROM ranked
        |WHERE rk <= $K ORDER BY query_id ASC, rk ASC""".stripMargin
 
+  // --- sim_mips_topk: exact maximum-inner-product top-k -------------------
+  /** Top-k by raw inner product (MIPS) — the retrieval objective when
+    * embedding norms carry signal (e.g. recommendation scores), distinct
+    * from cosine's norm-invariant ranking. The quantized integer dot
+    * product makes both the score and the ranking exact, so the oracle
+    * hashes bit-for-bit with no rounding anywhere.
+    *
+    * Scale: same shape as [[simTopkBruteforce]] — the 10-row query side
+    * broadcasts, the corpus streams through one codegen'd dot-product
+    * projection, and the per-query top-k window rides the broadcast's
+    * partition-local sort (no corpus-wide shuffle).
+    */
+  def simMipsTopk(spark: SparkSession, dir: String): DataFrame = {
+    val nm = Dedup.quantized(spark, dir)
+    val queries = nm.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val corpus = nm.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("q").as("qc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("neighbor_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("dot", org.apache.spark.sql.GraftBridge.column(
+        graft.functions.DotLongExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("qq")),
+          org.apache.spark.sql.GraftBridge.expression(col("qc")))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rk").cast("bigint").as("rk"), col("dot"))
+      .orderBy(col("query_id").asc, col("rk").asc)
+  }
+
+  val simMipsTopkSql: String =
+    s"""WITH ${Dedup.quantizedSql}, scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+       |      i -> a.q[i] * b.q[i])) AS BIGINT) AS dot
+       |  FROM nm a JOIN nm b ON a.vec_id < 10 AND b.vec_id >= 10
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id, dot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY dot DESC, neighbor_id ASC) AS BIGINT) AS rk
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rk, dot FROM ranked
+       |WHERE rk <= $K ORDER BY query_id ASC, rk ASC""".stripMargin
+
   // --- sim_knn_lsh: hyperplane-bucketed approximate search ----------------
   /** Multi-probe: each query probes its exact bucket plus the 8 buckets at
     * Hamming distance 1 (one sign bit flipped) — the standard recall fix
@@ -1529,6 +1576,7 @@ object Similarity {
     "sim_ivf_balance" -> simIvfBalance,
     "sim_dim_stats" -> simDimStats,
     "sim_topk_bruteforce" -> simTopkBruteforce,
+    "sim_mips_topk" -> simMipsTopk,
     "sim_knn_lsh" -> simKnnLsh,
     "sim_range_search" -> simRangeSearch,
     "sim_range_audit" -> simRangeAudit,
@@ -1546,6 +1594,7 @@ object Similarity {
     "sim_ivf_balance" -> simIvfBalanceSql,
     "sim_dim_stats" -> simDimStatsSql,
     "sim_topk_bruteforce" -> simTopkBruteforceSql,
+    "sim_mips_topk" -> simMipsTopkSql,
     "sim_knn_lsh" -> simKnnLshSql,
     "sim_range_search" -> simRangeSearchSql,
     "sim_range_audit" -> simRangeAuditSql,

@@ -1211,7 +1211,62 @@ object TextOps {
        |  top_prefix, top_prefix_succ
        |FROM agg ORDER BY source ASC""".stripMargin
 
+  // --- tx_unigram_logprob: corpus unigram-LM surprisal ---------------------
+  /** Per-(lang, source) mean unigram surprisal under the corpus's own
+    * unigram language model — the cheap perplexity proxy used to rank
+    * training-data slices before any neural scoring. Per-token surprisal
+    * ln(total/count) is quantized ONCE to integer micro-nats, then all
+    * aggregation (sum, floor-divide by token count) is exact integer
+    * arithmetic — summation order can't perturb the result across engines.
+    *
+    * Scale: tokenize is per-doc map work; the vocab is one token-keyed
+    * aggregate (map-side partial combine shrinks it before the shuffle);
+    * the corpus-total join is a 1-row broadcast; the token→surprisal join
+    * shuffles on the token key where AQE splits the heavy-hitter stopword
+    * partitions. Final report is |lang|·|source| rows.
+    */
+  def txUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val unats = vocab.crossJoin(broadcast(total))
+      .withColumn("unats",
+        round(log(col("total").cast("double") / col("cnt")) * 1000000)
+          .cast("bigint"))
+      .select(col("tok"), col("unats"))
+    toks.join(unats, Seq("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("vocab_size"),
+        sum(col("unats")).as("sum_unats"))
+      .withColumn("mean_surprisal_unats",
+        floor(col("sum_unats") / col("n_tokens")).cast("bigint"))
+      .select("lang", "source", "n_tokens", "vocab_size", "mean_surprisal_unats")
+      .orderBy(col("lang").asc, col("source").asc)
+  }
+
+  val txUnigramLogprobSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, source, unnest(${tokensSql("text")}) AS tok FROM documents
+       |), vocab AS (
+       |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+       |), tot AS (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab
+       |), u AS (
+       |  SELECT tok,
+       |    CAST(round(ln(CAST(total AS DOUBLE) / cnt) * 1000000) AS BIGINT) AS unats
+       |  FROM vocab, tot
+       |)
+       |SELECT t.lang, t.source, COUNT(*) AS n_tokens,
+       |  CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS vocab_size,
+       |  CAST(SUM(u.unats) // COUNT(*) AS BIGINT) AS mean_surprisal_unats
+       |FROM toks t JOIN u ON t.tok = u.tok
+       |GROUP BY t.lang, t.source
+       |ORDER BY t.lang ASC, t.source ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_unigram_logprob" -> txUnigramLogprob,
     "tx_zipf" -> txZipf,
     "tx_bigram_stats" -> txBigramStats,
     "tx_novelty" -> txNovelty,
@@ -1237,6 +1292,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_unigram_logprob" -> txUnigramLogprobSql,
     "tx_zipf" -> txZipfSql,
     "tx_bigram_stats" -> txBigramStatsSql,
     "tx_lang_confusion" -> txLangConfusionSql,

@@ -471,4 +471,122 @@ class GrowthOpsSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("events_covered") >=
       rows(0).getAs[Long]("events_covered"))
   }
+
+  test("ev_concurrency bounds peak load by the day's session count") {
+    val rows = EventOps.evConcurrency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val peak = r.getAs[Long]("max_concurrent")
+      assert(peak >= 1L && peak <= r.getAs[Long]("n_sessions"),
+        s"peak $peak outside [1, n_sessions] on ${r.get(0)}")
+    }
+    // Day-clipped segments can only ADD rows vs the raw session count.
+    val nSessions = EventOps.evSessionize(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_sessions")).sum >= nSessions)
+  }
+
+  test("ev_burstiness partitions the multi-event user base") {
+    val rows = EventOps.evBurstiness(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("burst_class")).toSet
+      .subsetOf(Set("bursty", "poisson-ish", "regular")))
+    // Every user with >= 2 gaps summing to >= 1 whole second is classified
+    // exactly once (same gap definition as the operator).
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val eligible = EventOps.events(spark, sf)
+      .withColumn("gap_s",
+        ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)))
+          / lit(1000000L)).cast("bigint"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("s"))
+      .filter(col("n") >= 2 && col("s") > 0)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == eligible,
+      "classes must partition the eligible user base")
+  }
+
+  test("dd_edit_distance pairs are canonical and ppm-bounded") {
+    val rows = graft.operators.Dedup.ddEditDistance(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val ppm = r.getAs[Long]("sim_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+      assert(r.getAs[Long]("lev_dist") >= 0L)
+      // Identical 60-char windows must score exactly 1e6.
+      assert((r.getAs[Long]("lev_dist") == 0L) == (ppm == 1000000L))
+    }
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "pair list must be a set")
+  }
+
+  test("tx_unigram_logprob conserves the corpus token count") {
+    val rows = graft.operators.TextOps.txUnigramLogprob(spark, sf).collect()
+    val total = graft.operators.TextOps.txTokens(spark, sf)
+      .agg(sum(col("n_ws_tokens"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total,
+      "every token scores in exactly one (lang, source) slice")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vocab_size") <= r.getAs[Long]("n_tokens"))
+      // Surprisal of a corpus-drawn token is >= 0 nats by definition.
+      assert(r.getAs[Long]("mean_surprisal_unats") >= 0L)
+    }
+  }
+
+  test("pipe_length_buckets tiles the corpus; waste is a proper fraction") {
+    val rows = Pipeline.pipeLengthBuckets(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("sum_tokens") <= r.getAs[Long]("padded_tokens"))
+      val w = r.getAs[Long]("waste_ppm")
+      assert(w >= 0L && w < 1000000L)
+    }
+    // Buckets come from the fixed ladder only.
+    assert(rows.map(_.getAs[Long]("bucket_max")).forall(
+      Set(8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)))
+  }
+
+  test("pipe_filter_ablation marginals fold to the grand total") {
+    val rows = Pipeline.pipeFilterAblation(spark, sf).collect()
+    def cell(a: String, b: String, c: String): Option[Long] = rows.find { r =>
+      r.getAs[String]("f_en") == a && r.getAs[String]("f_long") == b &&
+        r.getAs[String]("f_unique") == c
+    }.map(_.getAs[Long]("n_docs"))
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(cell("all", "all", "all").contains(nDocs))
+    // One-flag marginals partition the total.
+    assert(cell("y", "all", "all").getOrElse(0L) +
+      cell("n", "all", "all").getOrElse(0L) == nDocs)
+    assert(cell("all", "y", "all").getOrElse(0L) +
+      cell("all", "n", "all").getOrElse(0L) == nDocs)
+    assert(cell("all", "all", "y").getOrElse(0L) +
+      cell("all", "all", "n").getOrElse(0L) == nDocs)
+  }
+
+  test("sim_mips_topk ranks by non-increasing exact dot product") {
+    val rows = graft.operators.Similarity.simMipsTopk(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to sorted.length).toSeq)
+      val dots = sorted.map(_.getAs[Long]("dot")).toSeq
+      assert(dots == dots.sortBy(-_), "dot must be non-increasing in rank")
+    }
+  }
+
+  test("ns_lifecycle_policy conserves bytes and its cost identity") {
+    val rows = graft.operators.Namespace.nsLifecyclePolicy(spark, sf).collect()
+    val totalBytes = graft.ObjectStoreView.keys(spark, sf)
+      .agg(sum(col("size"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("tier_bytes")).sum == totalBytes,
+      "tiers must partition the namespace bytes")
+    rows.foreach { r =>
+      // weight + (100 - weight) = 100 exactly, per byte.
+      assert(r.getAs[Long]("monthly_cost") + r.getAs[Long]("monthly_savings")
+        == 100L * r.getAs[Long]("tier_bytes"))
+    }
+  }
 }
