@@ -1674,8 +1674,46 @@ object Dedup {
       |FROM d a JOIN d b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
 
+  // --- dd_candidate_graph: LSH candidate-graph degree histogram ----------
+  /** Degree distribution of the MinHash-LSH candidate graph — the shape
+    * audit that tells a dedup operator whether the banding is healthy
+    * (mass at degree 0–2) or collapsing into hub clusters (a heavy tail
+    * means a hot shingle pattern is flooding the verify stage). Degree-0
+    * docs are counted explicitly via a left join from the corpus, so the
+    * histogram partitions the whole corpus.
+    *
+    * Scale: rides the existing banded candidate machinery (MaxBucket caps
+    * bucket blowups); the degree aggregate shuffles (doc_id, long) pairs
+    * with map-side combine; the histogram is a ≤max-degree-row report.
+    */
+  def ddCandidateGraph(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cand = lshPairs(signatures(docs))
+    val deg = cand.select(col("doc_a").as("doc_id"))
+      .unionAll(cand.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    docs.select(col("doc_id")).join(deg, Seq("doc_id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("degree").asc)
+  }
+
+  val ddCandidateGraphSql: String =
+    s"""WITH $signaturesSql, $lshPairsSql, deg AS (
+       |  SELECT doc_id, COUNT(*) AS degree FROM (
+       |    SELECT doc_a AS doc_id FROM cand
+       |    UNION ALL
+       |    SELECT doc_b AS doc_id FROM cand
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT coalesce(g.degree, 0) AS degree, COUNT(*) AS n_docs
+       |FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id
+       |GROUP BY coalesce(g.degree, 0)
+       |ORDER BY degree ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_edit_distance" -> ddEditDistance,
+    "dd_candidate_graph" -> ddCandidateGraph,
     "dd_band_sweep" -> ddBandSweep,
     "dd_sig_width_sweep" -> ddSigWidthSweep,
     "dd_source_dup_matrix" -> ddSourceDupMatrix,
@@ -1701,6 +1739,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd_edit_distance" -> ddEditDistanceSql,
+    "dd_candidate_graph" -> ddCandidateGraphSql,
     "dd_band_sweep" -> ddBandSweepSql,
     "dd_sig_width_sweep" -> ddSigWidthSweepSql,
     "dd_source_dup_matrix" -> ddSourceDupMatrixSql,

@@ -1641,9 +1641,107 @@ object EventOps {
       |  CAST(SUM(n) AS BIGINT) AS n_gaps, CAST(SUM(s) AS BIGINT) AS sum_gap_s
       |FROM classed GROUP BY burst_class ORDER BY burst_class ASC""".stripMargin
 
+  // --- ev_cumulative_users: running distinct-user count -------------------
+  /** Cumulative distinct users per day via the first-seen trick: a running
+    * COUNT(DISTINCT) is a scale trap (it would re-scan all history per
+    * day), but each user enters the distinct set exactly once — on their
+    * first event — so per-day NEW users aggregate distributively and one
+    * running sum over the metadata-sized daily frame yields the exact
+    * cumulative distinct count.
+    *
+    * Scale: one user-keyed aggregate (map-side partial min), a day rollup,
+    * and a window over |days| rows — the unpartitioned window sits above
+    * the aggregate, so it never sees corpus-sized input.
+    */
+  def evCumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = events(spark, dir)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      .select(to_date(col("first_ts")).as("day"))
+    val daily = firstSeen.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    val w = Window.partitionBy(lit(1)).orderBy(col("day").asc)
+    daily
+      .withColumn("cumulative_users", sum(col("n_new_users")).over(w))
+      .orderBy(col("day").asc)
+  }
+
+  val evCumulativeUsersSql: String =
+    """WITH first_seen AS (
+      |  SELECT user_id, CAST(MIN(ts) AS DATE) AS day FROM events GROUP BY user_id
+      |), daily AS (
+      |  SELECT day, COUNT(*) AS n_new_users FROM first_seen GROUP BY day
+      |)
+      |SELECT day, n_new_users,
+      |  CAST(SUM(n_new_users) OVER (ORDER BY day ASC) AS BIGINT) AS cumulative_users
+      |FROM daily ORDER BY day ASC""".stripMargin
+
+  // --- ev_anomaly_robust: median/MAD outlier detection ---------------------
+  /** Robust anomaly detection over daily per-type volumes: exact
+    * nearest-rank median and median-absolute-deviation (MAD), flagging
+    * days where |count − median| > 3·MAD. Unlike [[evAnomaly]]'s trailing
+    * mean/stddev z-score, the median/MAD pair doesn't let one huge spike
+    * inflate its own detection threshold — and every statistic here is an
+    * integer (counts, nearest-rank selections, absolute differences), so
+    * both engines agree exactly with no variance arithmetic at all.
+    *
+    * Scale: the day×type frame is metadata-sized after the first
+    * aggregate; both ranking windows partition by event_type over that
+    * frame. MAD = 0 (over half the days identical) flags ANY deviation —
+    * the standard robust-statistics degeneracy, kept deliberately.
+    */
+  def evAnomalyRobust(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    def nearestRankPick(df: DataFrame, valueCol: String, out: String) = {
+      val w = byType.orderBy(col(valueCol).asc, col("day").asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(byType))
+        .filter(col("rn") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col(valueCol).as(out))
+    }
+    val med = nearestRankPick(counts, "c", "med")
+    val dev = counts.join(med, "event_type")
+      .withColumn("dev", abs(col("c") - col("med")))
+    val mad = nearestRankPick(dev, "dev", "mad")
+    dev.join(mad, "event_type")
+      .withColumn("anomaly_flag", col("dev") > lit(3L) * col("mad"))
+      .select("event_type", "day", "c", "med", "mad", "anomaly_flag")
+      .orderBy(col("event_type").asc, col("day").asc)
+  }
+
+  val evAnomalyRobustSql: String =
+    """WITH counts AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY event_type, day
+      |), ranked AS (
+      |  SELECT event_type, day, c,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c ASC, day ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM counts
+      |), med AS (
+      |  SELECT event_type, c AS med FROM ranked WHERE rn = (n + 1) // 2
+      |), dev AS (
+      |  SELECT counts.event_type, day, c, med, abs(c - med) AS dev
+      |  FROM counts JOIN med ON counts.event_type = med.event_type
+      |), ranked2 AS (
+      |  SELECT event_type, day, dev,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev ASC, day ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev
+      |), mad AS (
+      |  SELECT event_type, dev AS mad FROM ranked2 WHERE rn = (n + 1) // 2
+      |)
+      |SELECT dev.event_type, day, c, med, mad.mad, dev > 3 * mad AS anomaly_flag
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |ORDER BY dev.event_type ASC, day ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_concurrency" -> evConcurrency,
     "ev_burstiness" -> evBurstiness,
+    "ev_cumulative_users" -> evCumulativeUsers,
+    "ev_anomaly_robust" -> evAnomalyRobust,
     "ev_ab_test" -> evAbTest,
     "ev_stickiness" -> evStickiness,
     "ev_conversion_lag" -> evConversionLag,
@@ -1679,6 +1777,8 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "ev_concurrency" -> evConcurrencySql,
     "ev_burstiness" -> evBurstinessSql,
+    "ev_cumulative_users" -> evCumulativeUsersSql,
+    "ev_anomaly_robust" -> evAnomalyRobustSql,
     "ev_ab_test" -> evAbTestSql,
     "ev_stickiness" -> evStickinessSql,
     "ev_conversion_lag" -> evConversionLagSql,

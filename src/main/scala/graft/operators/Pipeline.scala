@@ -1190,7 +1190,53 @@ object Pipeline {
        |FROM flags GROUP BY CUBE(f_en, f_long, f_unique)
        |ORDER BY f_en ASC, f_long ASC, f_unique ASC""".stripMargin
 
+  // --- pipe_stratified_sample: per-language hash-ranked quota sample ------
+  /** Deterministic stratified sample manifest: the 20 docs per language
+    * with the smallest content hash (an order-free "random" that every
+    * re-run and every engine reproduces bit-for-bit — the eval-holdout
+    * discipline for a corpus that re-shards between runs). Hash seed 131
+    * is independent of pipe_sample's seed-31 Bernoulli bucketing, so the
+    * two samples don't correlate.
+    *
+    * Scale: the per-group quota runs on [[GraftTopK.topKPerGroup]] —
+    * bounded per-partition heaps and a survivors-only exchange (≤ quota
+    * rows per language per task reach the shuffle), not a corpus-wide
+    * window sort; the rank column is then a window over the ≤20·|langs|
+    * survivor frame.
+    */
+  def pipeStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val Quota = 20
+    val hashed = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"), col("n_chars"),
+      graft.functions.Codes.foldCode(lower(trim(col("text"))), 131L,
+        graft.functions.Codes.P2).as("h"))
+    val top = GraftTopK.topKPerGroup(hashed, Seq("lang"),
+      Seq(("h", false), ("doc_id", false)), Quota)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    top.withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .select("lang", "sample_rank", "doc_id", "n_chars")
+      .orderBy(col("lang").asc, col("sample_rank").asc)
+  }
+
+  val pipeStratifiedSampleSql: String = {
+    val h = graft.functions.Codes.foldCodeSql("lower(trim(text))", 131L,
+      graft.functions.Codes.P2)
+    s"""WITH hashed AS (
+       |  SELECT doc_id, lang, n_chars, $h AS h FROM documents
+       |), ranked AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS sample_rank
+       |  FROM hashed
+       |)
+       |SELECT lang, sample_rank, doc_id, n_chars FROM ranked
+       |WHERE sample_rank <= 20
+       |ORDER BY lang ASC, sample_rank ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_stratified_sample" -> pipeStratifiedSample,
     "pipe_length_buckets" -> pipeLengthBuckets,
     "pipe_filter_ablation" -> pipeFilterAblation,
     "pipe_shard_manifest" -> pipeShardManifest,
@@ -1215,6 +1261,7 @@ object Pipeline {
     "pipe_sample" -> pipeSample)
 
   val oracles: Map[String, String] = Map(
+    "pipe_stratified_sample" -> pipeStratifiedSampleSql,
     "pipe_length_buckets" -> pipeLengthBucketsSql,
     "pipe_filter_ablation" -> pipeFilterAblationSql,
     "pipe_dedup_funnel" -> pipeDedupFunnelSql,

@@ -577,6 +577,68 @@ class GrowthOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev_cumulative_users ends at the distinct-user count, monotone") {
+    val rows = EventOps.evCumulativeUsers(spark, sf).collect()
+    val distinctUsers = EventOps.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new_users")).sum == distinctUsers,
+      "every user is new exactly once")
+    assert(rows.last.getAs[Long]("cumulative_users") == distinctUsers)
+    val cums = rows.map(_.getAs[Long]("cumulative_users")).toSeq
+    assert(cums == cums.sorted, "cumulative count must be monotone")
+  }
+
+  test("ev_anomaly_robust: flag is exactly the med/MAD rule; medians exact") {
+    val rows = EventOps.evAnomalyRobust(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, med, mad) = (r.getAs[Long]("c"), r.getAs[Long]("med"),
+        r.getAs[Long]("mad"))
+      assert(mad >= 0L)
+      assert(r.getAs[Boolean]("anomaly_flag") == (math.abs(c - med) > 3 * mad))
+    }
+    // Per type: med is the exact nearest-rank median of the daily counts.
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val cs = rs.map(_.getAs[Long]("c")).sorted
+      val expectMed = cs((cs.length + 1) / 2 - 1)
+      assert(rs.map(_.getAs[Long]("med")).distinct.toSeq == Seq(expectMed))
+    }
+  }
+
+  test("dd_candidate_graph partitions the corpus; edges count twice") {
+    val hist = graft.operators.Dedup.ddCandidateGraph(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "histogram must partition the corpus incl. degree-0 docs")
+    val nPairs = graft.operators.Dedup.ddMinhashLsh(spark, sf).count()
+    val degreeMass = hist.map(r =>
+      r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    assert(degreeMass == 2 * nPairs, "handshake lemma over the candidate graph")
+  }
+
+  test("pipe_stratified_sample matches the plain-window recompute") {
+    val got = Pipeline.pipeStratifiedSample(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("sample_rank"),
+        r.getAs[Long]("doc_id")))
+    // Contiguous ranks from 1 per language, quota respected.
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.length <= 20)
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // The custom TopKPerGroup operator must agree with the window form.
+    val hashed = graft.Tables.documents(spark, sf).select(
+      col("doc_id"), col("lang"),
+      graft.functions.Codes.foldCode(lower(trim(col("text"))), 131L,
+        graft.functions.Codes.P2).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("h").asc, col("doc_id").asc)
+    val expect = hashed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Int]("rk").toLong, r.getAs[Long]("doc_id"))).toSet
+    assert(got.toSet == expect)
+  }
+
   test("ns_lifecycle_policy conserves bytes and its cost identity") {
     val rows = graft.operators.Namespace.nsLifecyclePolicy(spark, sf).collect()
     val totalBytes = graft.ObjectStoreView.keys(spark, sf)

@@ -58,7 +58,11 @@ class PlanShapeSpec extends SparkSpec {
       // sim_dim_stats attaches the 1-row total-energy scalar;
       // ev_power_law crosses the metadata-sized activity histogram with
       // the broadcast 2-row (p, totals) frame.
-      "sim_ivf_balance", "sim_dim_stats", "ev_power_law")
+      "sim_ivf_balance", "sim_dim_stats", "ev_power_law",
+      // sim_mips_topk broadcasts the same bounded 10-row query set as
+      // sim_topk_bruteforce against the corpus scan; tx_unigram_logprob
+      // attaches the 1-row corpus-total scalar to the vocab aggregate.
+      "sim_mips_topk", "tx_unigram_logprob")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype
