@@ -1643,8 +1643,14 @@ object Dedup {
     * not corpus size. A pathological hot bucket would AQE-split; the
     * 60-char window caps per-pair CPU.
     */
-  def ddEditDistance(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"),
+  def ddEditDistance(spark: SparkSession, dir: String): DataFrame =
+    editPairs(Tables.documents(spark, dir))
+
+  /** The bucket-pair + windowed-Levenshtein core over any frame with
+    * `(doc_id, text)` (exposed for constructed-input specs).
+    */
+  private[graft] def editPairs(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
       lower(substring(col("text"), 1, 60)).as("w"),
       lower(substring(col("text"), 1, 12)).as("bkt"))
     val a = d.select(col("doc_id").as("doc_a"), col("w").as("wa"), col("bkt"))

@@ -1519,8 +1519,15 @@ object EventOps {
     * default to RANGE frames, so tied instants share one cumulative value
     * — the max over start rows is therefore order-stable across engines.
     */
-  def evConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val sess = evSessionize(spark, dir)
+  def evConcurrency(spark: SparkSession, dir: String): DataFrame =
+    concurrencyFromSessions(evSessionize(spark, dir))
+
+  /** The sweep-line core over any frame with second-aligned
+    * `session_start`/`session_end` timestamps (exposed for constructed-
+    * input specs; [[evConcurrency]] feeds it the 30-min-gap sessions).
+    */
+  private[graft] def concurrencyFromSessions(sessions: DataFrame): DataFrame = {
+    val sess = sessions
       .select(
         (unix_micros(col("session_start")) / lit(1000000L)).cast("bigint").as("s"),
         (unix_micros(col("session_end")) / lit(1000000L)).cast("bigint").as("e"))
@@ -1659,7 +1666,9 @@ object EventOps {
       .select(to_date(col("first_ts")).as("day"))
     val daily = firstSeen.groupBy(col("day"))
       .agg(count(lit(1)).as("n_new_users"))
-    val w = Window.partitionBy(lit(1)).orderBy(col("day").asc)
+    // Bare ordered window: the input is the |days|-row aggregate, and a
+    // partitionBy(lit(1)) would add a constant-key exchange for nothing.
+    val w = Window.orderBy(col("day").asc)
     daily
       .withColumn("cumulative_users", sum(col("n_new_users")).over(w))
       .orderBy(col("day").asc)
@@ -1737,11 +1746,67 @@ object EventOps {
       |FROM dev JOIN mad ON dev.event_type = mad.event_type
       |ORDER BY dev.event_type ASC, day ASC""".stripMargin
 
+  // --- ev_audience_overlap: pairwise event-type audience Jaccard ----------
+  /** Audience overlap between event types: for every unordered type pair,
+    * the users doing BOTH, each type's audience, and the exact Jaccard in
+    * integer ppm — the "are these the same people" table behind funnel
+    * design and A/B arm independence checks. Set overlap, not sequence
+    * ([[evTransitions]] is the sequential view of the same log).
+    *
+    * Scale: the distinct (user, type) frame is bounded by users × |types|;
+    * the pair join is keyed on user_id and each user contributes at most
+    * C(|types|, 2) rows; audience sizes are a ≤|types|-row broadcast.
+    */
+  def evAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ut = events(spark, dir).select(col("user_id"), col("event_type"))
+      .distinct()
+    val sizes = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("audience"))
+    val both = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("audience", "audience_a")), "type_a")
+      .join(broadcast(sizes.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("audience", "audience_b")), "type_b")
+      .withColumn("jaccard_ppm", expr(
+        "CAST(n_both * 1000000 div (audience_a + audience_b - n_both) AS BIGINT)"))
+      .select("type_a", "type_b", "audience_a", "audience_b", "n_both",
+        "jaccard_ppm")
+      .orderBy(col("type_a").asc, col("type_b").asc)
+  }
+
+  val evAudienceOverlapSql: String =
+    """WITH ut AS (
+      |  SELECT DISTINCT user_id, event_type FROM events
+      |), sizes AS (
+      |  SELECT event_type, COUNT(*) AS audience FROM ut GROUP BY event_type
+      |), both_t AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |    COUNT(*) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY type_a, type_b
+      |)
+      |SELECT type_a, type_b, sa.audience AS audience_a,
+      |  sb.audience AS audience_b, n_both,
+      |  CAST(n_both * 1000000 // (sa.audience + sb.audience - n_both)
+      |    AS BIGINT) AS jaccard_ppm
+      |FROM both_t
+      |JOIN sizes sa ON both_t.type_a = sa.event_type
+      |JOIN sizes sb ON both_t.type_b = sb.event_type
+      |ORDER BY type_a ASC, type_b ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_concurrency" -> evConcurrency,
     "ev_burstiness" -> evBurstiness,
     "ev_cumulative_users" -> evCumulativeUsers,
     "ev_anomaly_robust" -> evAnomalyRobust,
+    "ev_audience_overlap" -> evAudienceOverlap,
     "ev_ab_test" -> evAbTest,
     "ev_stickiness" -> evStickiness,
     "ev_conversion_lag" -> evConversionLag,
@@ -1779,6 +1844,7 @@ object EventOps {
     "ev_burstiness" -> evBurstinessSql,
     "ev_cumulative_users" -> evCumulativeUsersSql,
     "ev_anomaly_robust" -> evAnomalyRobustSql,
+    "ev_audience_overlap" -> evAudienceOverlapSql,
     "ev_ab_test" -> evAbTestSql,
     "ev_stickiness" -> evStickinessSql,
     "ev_conversion_lag" -> evConversionLagSql,

@@ -1372,15 +1372,22 @@ object Namespace {
           .when(col("age_days") <= 90, "2-warm")
           .when(col("age_days") <= 365, "3-cold")
           .otherwise("4-archive"))
+      // Weight is a pure function of tier (ONE age ladder — a boundary
+      // edit can't desync cost from tier).
       .withColumn("weight",
-        when(col("age_days") <= 30, 100L)
-          .when(col("age_days") <= 90, 40L)
-          .when(col("age_days") <= 365, 10L)
+        when(col("tier") === "1-hot", 100L)
+          .when(col("tier") === "2-warm", 40L)
+          .when(col("tier") === "3-cold", 10L)
           .otherwise(2L))
+    // DECIMAL(38,0) accumulation, BIGINT report — same overflow discipline
+    // as nsChargeback (Spark's LongType sum wraps silently where DuckDB's
+    // HUGEINT sum is exact; either way the gate would diverge).
     tiered.groupBy(col("volume"), col("tier"))
       .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("tier_bytes"),
-        sum(col("size") * col("weight")).as("monthly_cost"),
-        sum(col("size") * (lit(100L) - col("weight"))).as("monthly_savings"))
+        sum((col("size") * col("weight")).cast("decimal(38,0)"))
+          .cast("bigint").as("monthly_cost"),
+        sum((col("size") * (lit(100L) - col("weight"))).cast("decimal(38,0)"))
+          .cast("bigint").as("monthly_savings"))
       .orderBy(col("volume").asc, col("tier").asc)
   }
 
@@ -1390,23 +1397,64 @@ object Namespace {
        |    CASE WHEN age_days <= 30 THEN '1-hot'
        |         WHEN age_days <= 90 THEN '2-warm'
        |         WHEN age_days <= 365 THEN '3-cold'
-       |         ELSE '4-archive' END AS tier,
-       |    CASE WHEN age_days <= 30 THEN 100
-       |         WHEN age_days <= 90 THEN 40
-       |         WHEN age_days <= 365 THEN 10
-       |         ELSE 2 END AS weight
+       |         ELSE '4-archive' END AS tier
        |  FROM (SELECT volume, size,
        |    datediff('day', CAST(mtime AS DATE), DATE '1999-01-01') AS age_days
        |    FROM keys) t
+       |), weighted AS (
+       |  SELECT volume, size, tier,
+       |    CASE tier WHEN '1-hot' THEN 100 WHEN '2-warm' THEN 40
+       |         WHEN '3-cold' THEN 10 ELSE 2 END AS weight
+       |  FROM tiered
        |)
        |SELECT volume, tier, COUNT(*) AS n_keys,
        |  CAST(SUM(size) AS BIGINT) AS tier_bytes,
-       |  CAST(SUM(size * weight) AS BIGINT) AS monthly_cost,
-       |  CAST(SUM(size * (100 - weight)) AS BIGINT) AS monthly_savings
-       |FROM tiered GROUP BY volume, tier
+       |  CAST(SUM(CAST(size AS HUGEINT) * weight) AS BIGINT) AS monthly_cost,
+       |  CAST(SUM(CAST(size AS HUGEINT) * (100 - weight)) AS BIGINT) AS monthly_savings
+       |FROM weighted GROUP BY volume, tier
        |ORDER BY volume ASC, tier ASC""".stripMargin
 
+  // --- ns_chargeback: per-volume byte-day showback -------------------------
+  /** Tenant chargeback: per volume, the storage bill as exact integer
+    * byte-days (size × key age at the as-of date) and cost micro-units at
+    * a flat 7 µu per byte-day — the showback table every multi-tenant
+    * store publishes monthly. Complements [[nsLifecyclePolicy]] (what the
+    * bill WOULD be after tiering) and ns_du (point-in-time bytes, no time
+    * axis). Sums run in DECIMAL(38,0)/HUGEINT — byte-days overflow BIGINT
+    * long before a 100 TB tenant does anything unusual.
+    *
+    * Scale: one keys scan into a |volumes|-key partial-combine aggregate.
+    */
+  def nsChargeback(spark: SparkSession, dir: String): DataFrame =
+    ObjectStoreView.keys(spark, dir)
+      .withColumn("age_days",
+        datediff(lit("1999-01-01").cast("date"), col("mtime").cast("date"))
+          .cast("long"))
+      .groupBy(col("volume"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"),
+        sum((col("size") * col("age_days")).cast("decimal(38,0)"))
+          .as("byte_days"))
+      .withColumn("cost_micros", col("byte_days") * lit(7L))
+      // Accumulate wide, REPORT as BIGINT: the two engines' decimal→pandas
+      // conversions differ (driver compare), and the report values fit.
+      .select(col("volume"), col("n_keys"), col("total_bytes"),
+        col("byte_days").cast("bigint").as("byte_days"),
+        col("cost_micros").cast("bigint").as("cost_micros"))
+      .orderBy(col("volume").asc)
+
+  val nsChargebackSql: String =
+    s"""WITH keys AS ($ks), aged AS (
+       |  SELECT volume, size,
+       |    datediff('day', CAST(mtime AS DATE), DATE '1999-01-01') AS age_days
+       |  FROM keys
+       |)
+       |SELECT volume, COUNT(*) AS n_keys, CAST(SUM(size) AS BIGINT) AS total_bytes,
+       |  CAST(SUM(CAST(size AS HUGEINT) * age_days) AS BIGINT) AS byte_days,
+       |  CAST(SUM(CAST(size AS HUGEINT) * age_days) * 7 AS BIGINT) AS cost_micros
+       |FROM aged GROUP BY volume ORDER BY volume ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_chargeback" -> nsChargeback,
     "ns_lifecycle_policy" -> nsLifecyclePolicy,
     "ns_small_files" -> nsSmallFiles,
     "ns_scan_plan" -> nsScanPlan,
@@ -1438,6 +1486,7 @@ object Namespace {
     "ns_liststatus" -> nsListStatus)
 
   val oracles: Map[String, String] = Map(
+    "ns_chargeback" -> nsChargebackSql,
     "ns_lifecycle_policy" -> nsLifecyclePolicySql,
     "ns_small_files" -> nsSmallFilesSql,
     "ns_scan_plan" -> nsScanPlanSql,

@@ -1095,47 +1095,55 @@ object Pipeline {
     * power-of-two token-length bucket of a FIXED ladder (8…1024 — a CASE
     * ladder, not ceil(log2), so no float edge at exact powers of two), and
     * each bucket reports its padding waste in exact ppm if batches pad to
-    * the bucket max. This is the pre-packing histogram a trainer uses to
-    * choose bucket boundaries before [[pipePackPlan]] assigns rows.
+    * the bucket max. Documents LONGER than the top rung go to an explicit
+    * `bucket_max = -1` overflow class with NULL padding columns — an
+    * over-length doc is chunked ([[pipeChunk]]), never padded, and folding
+    * it into the top bucket would report padded < actual (negative waste).
+    * This is the pre-packing histogram a trainer uses to choose bucket
+    * boundaries before [[pipePackPlan]] assigns rows.
     *
     * Scale: one tokenize scan + one tiny (≤9-key) aggregate with map-side
     * partial combine — no joins, no windows.
     */
   def pipeLengthBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val ladder = Seq(8L, 16L, 32L, 64L, 128L, 256L, 512L)
+    val ladder = Seq(8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)
     val d = Tables.documents(spark, dir)
       .withColumn("n_tokens",
         size(graft.functions.Codes.tokens(col("text"))).cast("bigint"))
       .withColumn("bucket_max",
-        ladder.foldRight(lit(1024L): org.apache.spark.sql.Column) { (b, acc) =>
+        ladder.foldRight(lit(-1L): org.apache.spark.sql.Column) { (b, acc) =>
           when(col("n_tokens") <= b, b).otherwise(acc)
         })
     d.groupBy(col("bucket_max"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .withColumn("padded_tokens", col("n_docs") * col("bucket_max"))
+      .withColumn("padded_tokens",
+        when(col("bucket_max") > 0, col("n_docs") * col("bucket_max")))
       .withColumn("waste_ppm", expr(
         "CAST(((padded_tokens - sum_tokens) * 1000000) div padded_tokens AS BIGINT)"))
       .orderBy(col("bucket_max").asc)
   }
 
   val pipeLengthBucketsSql: String = {
-    val ladder = Seq(8, 16, 32, 64, 128, 256, 512)
+    val ladder = Seq(8, 16, 32, 64, 128, 256, 512, 1024)
     val cases = ladder.map(b => s"WHEN n_tokens <= $b THEN $b").mkString(" ")
     s"""WITH d AS (
        |  SELECT CAST(len(${graft.functions.Codes.tokensSql("text")}) AS BIGINT) AS n_tokens
        |  FROM documents
        |), bucketed AS (
-       |  SELECT CASE $cases ELSE 1024 END AS bucket_max, n_tokens FROM d
+       |  SELECT CASE $cases ELSE -1 END AS bucket_max, n_tokens FROM d
        |), agg AS (
        |  SELECT CAST(bucket_max AS BIGINT) AS bucket_max, COUNT(*) AS n_docs,
        |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
        |  FROM bucketed GROUP BY bucket_max
+       |), padded AS (
+       |  SELECT bucket_max, n_docs, sum_tokens,
+       |    CASE WHEN bucket_max > 0 THEN n_docs * bucket_max END AS padded_tokens
+       |  FROM agg
        |)
-       |SELECT bucket_max, n_docs, sum_tokens,
-       |  n_docs * bucket_max AS padded_tokens,
-       |  CAST(((n_docs * bucket_max - sum_tokens) * 1000000)
-       |    // (n_docs * bucket_max) AS BIGINT) AS waste_ppm
-       |FROM agg ORDER BY bucket_max ASC""".stripMargin
+       |SELECT bucket_max, n_docs, sum_tokens, padded_tokens,
+       |  CAST(((padded_tokens - sum_tokens) * 1000000)
+       |    // padded_tokens AS BIGINT) AS waste_ppm
+       |FROM padded ORDER BY bucket_max ASC""".stripMargin
   }
 
   // --- pipe_filter_ablation: CUBE over curation filter flags --------------

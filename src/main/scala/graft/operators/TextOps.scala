@@ -1216,8 +1216,15 @@ object TextOps {
     * unigram language model — the cheap perplexity proxy used to rank
     * training-data slices before any neural scoring. Per-token surprisal
     * ln(total/count) is quantized ONCE to integer micro-nats, then all
-    * aggregation (sum, floor-divide by token count) is exact integer
-    * arithmetic — summation order can't perturb the result across engines.
+    * aggregation (DECIMAL(38,0)/HUGEINT sum, integral divide by token
+    * count) is exact integer arithmetic — summation order can't perturb
+    * the result across engines. The one transcendental dependency: JVM
+    * Math.log and DuckDB's libm ln are each within ~1 ulp but not
+    * correctly rounded, so a ratio whose ln·10⁶ sits within ~10⁻⁸ of a
+    * .5 rounding boundary COULD quantize differently per engine;
+    * GrowthOpsSpec's margin tripwire asserts every corpus ratio clears
+    * the boundary by ≥ 10⁻⁴ (four orders of magnitude of headroom), so
+    * data drift surfaces as a spec failure, not a gate flake.
     *
     * Scale: tokenize is per-doc map work; the vocab is one token-keyed
     * aggregate (map-side partial combine shrinks it before the shuffle);
@@ -1239,9 +1246,12 @@ object TextOps {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).as("vocab_size"),
-        sum(col("unats")).as("sum_unats"))
+        // DECIMAL(38,0) sum + integral divide: the DuckDB side sums in
+        // HUGEINT and floor-divides exactly, so the Spark side must not
+        // wrap a LongType sum or round through a double quotient.
+        sum(col("unats").cast("decimal(38,0)")).as("sum_unats"))
       .withColumn("mean_surprisal_unats",
-        floor(col("sum_unats") / col("n_tokens")).cast("bigint"))
+        expr("CAST((sum_unats div n_tokens) AS BIGINT)"))
       .select("lang", "source", "n_tokens", "vocab_size", "mean_surprisal_unats")
       .orderBy(col("lang").asc, col("source").asc)
   }

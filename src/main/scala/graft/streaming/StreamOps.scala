@@ -86,6 +86,21 @@ object StreamOps {
         col("denom"), expr(HllRegAgg.estimateSql).as("dau_est"))
   }
 
+  /** Per-user first-seen timestamps — the streaming twin of
+    * [[graft.operators.EventOps.evCumulativeUsers]]'s first-seen trick.
+    * One stateful min aggregate keyed by user_id (complete mode): state is
+    * one timestamp per user — the same cardinality the batch groupBy
+    * holds — and min is order-independent, so the result doesn't depend on
+    * arrival order the way a dropDuplicates-based dedup would (which keeps
+    * the first PROCESSED row, not the event-time minimum). The per-day
+    * new-user rollup and running sum are a downstream batch over this
+    * compact frame (|users| rows, metadata-sized next to the event log).
+    */
+  def firstSeenStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+
   /** Streaming pending-deletion accounting — the trash-emptier / lifecycle
     * twin of the batch `ns_trash_pending` rollup: deleted-key records
     * stream in and per-day per-bucket pending counts/bytes aggregate under

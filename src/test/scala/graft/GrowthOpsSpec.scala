@@ -485,6 +485,41 @@ class GrowthOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_sessions")).sum >= nSessions)
   }
 
+  test("ev_concurrency: hand-computed sweep line incl. a midnight-spanning session") {
+    import spark.implicits._
+    // s1 spans midnight; s2 overlaps s1 on day1; s3 TOUCHES s1's end at
+    // 00:30 on day2 (touching counts as concurrent); s4 is isolated.
+    val sessions = Seq(
+      ("1998-01-01 23:00:00", "1998-01-02 00:30:00"),
+      ("1998-01-01 23:30:00", "1998-01-01 23:45:00"),
+      ("1998-01-02 00:30:00", "1998-01-02 01:00:00"),
+      ("1998-01-02 02:00:00", "1998-01-02 02:10:00"))
+      .toDF("ss", "se")
+      .select(to_timestamp(col("ss")).as("session_start"),
+        to_timestamp(col("se")).as("session_end"))
+    val got = EventOps.concurrencyFromSessions(sessions).collect()
+      .map(r => (r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("n_sessions"), r.getAs[Long]("max_concurrent"))).toSeq
+    assert(got == Seq(("1998-01-01", 2L, 2L), ("1998-01-02", 3L, 2L)),
+      s"got $got")
+  }
+
+  test("dd_edit_distance: hand-computed distances on constructed near-dups") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again xx"
+    val twoSubs = base.updated(20, 'X').updated(40, 'Y') // same 12-prefix
+    val otherPrefix = "a completely different opening line that buckets alone"
+    val docs = Seq((1L, base), (2L, twoSubs), (3L, otherPrefix))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.editPairs(docs).collect()
+    assert(got.length == 1, s"only the shared-prefix pair should emit")
+    val r = got.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == (1L, 2L))
+    assert(r.getAs[Long]("lev_dist") == 2L)
+    // Window is min(len, 60) = 60 chars; (60 - 2) * 1e6 // 60 = 966666.
+    assert(r.getAs[Long]("sim_ppm") == 966666L)
+  }
+
   test("ev_burstiness partitions the multi-event user base") {
     val rows = EventOps.evBurstiness(spark, sf).collect()
     assert(rows.map(_.getAs[String]("burst_class")).toSet
@@ -533,18 +568,48 @@ class GrowthOpsSpec extends SparkSpec {
     }
   }
 
+  test("tx_unigram_logprob: every surprisal clears its rounding boundary") {
+    // ln is the operator's one transcendental: JVM Math.log and DuckDB's
+    // libm ln agree only to ~1 ulp (~1e-8 after the 1e6 scale). Assert
+    // every distinct corpus ratio's ln(total/cnt)*1e6 sits >= 1e-4 from
+    // the nearest .5 quantization boundary, so the cross-engine micro-nat
+    // integers are identical with four orders of magnitude to spare.
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(graft.functions.Codes.tokens(col("text"))).as("tok"))
+    val counts = toks.groupBy("tok").count().collect().map(_.getLong(1))
+    val total = counts.sum.toDouble
+    val worst = counts.map { c =>
+      val v = math.log(total / c) * 1e6
+      math.abs(v - math.floor(v) - 0.5)
+    }.min
+    assert(worst >= 1e-4,
+      f"a vocab ratio sits $worst%.2e from its rounding boundary — " +
+        "cross-engine ln quantization is no longer safely decided")
+  }
+
   test("pipe_length_buckets tiles the corpus; waste is a proper fraction") {
     val rows = Pipeline.pipeLengthBuckets(spark, sf).collect()
     val nDocs = graft.Tables.documents(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
     rows.foreach { r =>
-      assert(r.getAs[Long]("sum_tokens") <= r.getAs[Long]("padded_tokens"))
-      val w = r.getAs[Long]("waste_ppm")
-      assert(w >= 0L && w < 1000000L)
+      if (r.getAs[Long]("bucket_max") > 0) {
+        assert(r.getAs[Long]("sum_tokens") <= r.getAs[Long]("padded_tokens"))
+        val w = r.getAs[Long]("waste_ppm")
+        assert(w >= 0L && w < 1000000L)
+      } else {
+        // Overflow class: padding is undefined — chunked, never padded.
+        assert(r.isNullAt(r.fieldIndex("padded_tokens")))
+        assert(r.isNullAt(r.fieldIndex("waste_ppm")))
+      }
     }
-    // Buckets come from the fixed ladder only.
+    // Buckets come from the fixed ladder (or the explicit overflow class).
     assert(rows.map(_.getAs[Long]("bucket_max")).forall(
-      Set(8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)))
+      Set(-1L, 8L, 16L, 32L, 64L, 128L, 256L, 512L, 1024L)))
+    // The overflow class is exactly the docs beyond the top rung.
+    val nOver = graft.Tables.documents(spark, sf)
+      .filter(size(graft.functions.Codes.tokens(col("text"))) > 1024).count()
+    assert(rows.filter(_.getAs[Long]("bucket_max") == -1L)
+      .map(_.getAs[Long]("n_docs")).sum == nOver)
   }
 
   test("pipe_filter_ablation marginals fold to the grand total") {
@@ -637,6 +702,45 @@ class GrowthOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("lang"),
         r.getAs[Int]("rk").toLong, r.getAs[Long]("doc_id"))).toSet
     assert(got.toSet == expect)
+  }
+
+  test("ev_audience_overlap bounds and exact audiences") {
+    val rows = EventOps.evAudienceOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val audiences = EventOps.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("type_a"), r.getAs[String]("type_b"))
+      assert(a < b, "pairs must be canonical (type_a < type_b)")
+      assert(r.getAs[Long]("audience_a") == audiences(a))
+      assert(r.getAs[Long]("audience_b") == audiences(b))
+      val nBoth = r.getAs[Long]("n_both")
+      assert(nBoth <= math.min(audiences(a), audiences(b)))
+      val ppm = r.getAs[Long]("jaccard_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
+  test("ns_chargeback conserves bytes; cost is exactly 7x byte-days") {
+    val rows = graft.operators.Namespace.nsChargeback(spark, sf).collect()
+    val keys = graft.ObjectStoreView.keys(spark, sf)
+    val totalBytes = keys.agg(sum(col("size"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("total_bytes")).sum == totalBytes)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cost_micros") == 7L * r.getAs[Long]("byte_days"))
+      // Every key is at least 0 days old, so byte-days >= 0 and is bounded
+      // below by bytes x the volume's minimum age (>= 0).
+      assert(r.getAs[Long]("byte_days") >= 0L)
+    }
+    // Spot-exact: recompute one volume's byte-days directly.
+    val v0 = keys.filter(col("volume") === "vol0")
+      .withColumn("age", datediff(lit("1999-01-01").cast("date"),
+        col("mtime").cast("date")).cast("long"))
+      .agg(sum(col("size") * col("age"))).collect().head.getLong(0)
+    assert(rows.find(_.getAs[String]("volume") == "vol0")
+      .get.getAs[Long]("byte_days") == v0)
   }
 
   test("ns_lifecycle_policy conserves bytes and its cost identity") {

@@ -73,6 +73,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming first-seen frame reproduces the batch cumulative-user curve") {
+    val stream = StreamOps.eventStream(spark, eventsDir)
+    val q = StreamOps.firstSeenStream(stream)
+      .writeStream
+      .format("memory")
+      .queryName("first_seen_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // Roll the compact first-seen frame up to the daily new-user curve.
+    val streamed = spark.table("first_seen_test")
+      .groupBy(to_date(col("first_ts")).as("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+      .collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+      .toSet
+    val batch = EventOps.evCumulativeUsers(spark, sf)
+      .collect()
+      .map(r => (r.getAs[java.sql.Date]("day"), r.getAs[Long]("n_new_users")))
+      .toSet
+    assert(streamed == batch)
+  }
+
   test("streaming HLL DAU sketch equals the batch sketch per day") {
     val stream = StreamOps.eventStream(spark, eventsDir)
     val q = StreamOps.dauSketchStream(stream)
