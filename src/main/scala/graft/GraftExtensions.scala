@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLongExpr, EqCountExpr, FoldCodeExpr, MinHash64Expr, SimHash16Expr, StrCodesExpr}
+import graft.functions.{DotLongExpr, EqCountExpr, FoldCodeExpr, MinHash64Expr, Shingle3SetExpr, SimHash16Expr, StrCodesExpr, WinnowMinsExpr, WinnowShingles3Expr}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -72,6 +72,24 @@ object GraftFunctions {
         "graft_eq_count(a, b) - count of agreeing positions of two " +
           "equal-length long arrays (signature agreement)"),
       (exprs: Seq[Expression]) => EqCountExpr(exprs.head, exprs(1))),
+    (FunctionIdentifier("graft_winnow_mins"),
+      info("graft_winnow_mins",
+        "graft_winnow_mins(codes, w) - distinct sliding-window minima of " +
+          "a long array (winnowing fingerprints, Schleimer et al. 2003)"),
+      (exprs: Seq[Expression]) => WinnowMinsExpr(exprs.head,
+        longLit(exprs(1), "w").toInt)),
+    (FunctionIdentifier("graft_shingle3_set"),
+      info("graft_shingle3_set",
+        "graft_shingle3_set(token_codes) - distinct word-3-gram codes of " +
+          "a token-code array in one pass"),
+      (exprs: Seq[Expression]) => Shingle3SetExpr(exprs.head)),
+    (FunctionIdentifier("graft_winnow_shingles3"),
+      info("graft_winnow_shingles3",
+        "graft_winnow_shingles3(token_codes, w) - winnowed 3-gram " +
+          "fingerprints of a token-code array (stream + window-minima " +
+          "fused in one pass)"),
+      (exprs: Seq[Expression]) => WinnowShingles3Expr(exprs.head,
+        longLit(exprs(1), "w").toInt)),
     (FunctionIdentifier("graft_hll_registers"),
       info("graft_hll_registers",
         "graft_hll_registers(key) - 1024 HyperLogLog max-rank registers " +

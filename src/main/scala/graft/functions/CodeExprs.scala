@@ -146,6 +146,89 @@ object CodeKernels {
     acc
   }
 
+  /** Distinct sliding-window minima (winnowing fingerprints, window w) of
+    * a long array in ONE monotonic-deque pass — kernel twin of the
+    * declarative `transform(sequence(1, n-w+1), j -> array_min(slice(psc,
+    * j, w)))` form, which in the interpreted higher-order evaluator
+    * re-slices the array per window (an allocation + copy per window,
+    * measured at ~90 s for the sf0.01 corpus vs <1 s here). Arrays
+    * shorter than w yield their single global minimum (the declarative
+    * form's clamped one-window case); empty arrays yield an empty result
+    * (callers filter them out, matching the oracle's WHERE len(psc) > 0).
+    * Output order is first-window-occurrence; every consumer treats the
+    * result as a SET (explode/unnest), so order never reaches a gate.
+    */
+  def winnowMins(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val ww = math.min(w, n)
+    val idx = new Array[Int](n) // deque of candidate indices, values increasing
+    var head = 0
+    var tail = 0
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(idx(tail - 1)) >= v) tail -= 1
+      idx(tail) = i
+      tail += 1
+      if (idx(head) <= i - ww) head += 1
+      if (i >= ww - 1) seen.add(arr.getLong(idx(head)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Positional (non-distinct) word-3-gram code stream of a token-code
+    * array — the shared core of [[shingle3Set]] and [[winnowShingles3]].
+    * Same arithmetic as Codes.shingleCodes3 minus the distinct: token
+    * codes are < P = 2^31, ×8191 keeps every step < 2^44.
+    */
+  private def shingle3Stream(tcs: ArrayData): Array[Long] = {
+    val n = tcs.numElements()
+    if (n < 3) return Array.empty[Long]
+    val out = new Array[Long](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = ((tcs.getLong(i) * 8191L + tcs.getLong(i + 1)) % P
+        * 8191L + tcs.getLong(i + 2)) % P
+      i += 1
+    }
+    out
+  }
+
+  /** Distinct word-3-gram codes in one compiled pass — kernel twin of
+    * Codes.shingleCodes3 (first-occurrence order, like array_distinct;
+    * every consumer treats the result as a set).
+    */
+  def shingle3Set(tcs: ArrayData): ArrayData = {
+    val stream = shingle3Stream(tcs)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < stream.length) { seen.add(stream(i)); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Winnowed fingerprints of the positional 3-gram stream in one
+    * compiled pass: [[shingle3Stream]] then [[winnowMins]]. Taking the
+    * TOKEN-CODE array (not the shingle stream) as input is deliberate —
+    * a declarative `transform`-built stream between two kernels invites
+    * the optimizer to inline its lambda into downstream consumers, where
+    * the interpreted evaluator re-runs the producer per element (the
+    * O(tokens²) txContamination trap, measured at 15+ s on the sf0.1
+    * corpus vs ~0.5 s here).
+    */
+  def winnowShingles3(tcs: ArrayData, w: Int): ArrayData =
+    winnowMins(new GenericArrayData(shingle3Stream(tcs)), w)
+
   /** Full-string left fold (acc·mult + cp) % p — kernel twin of
     * Codes.foldCode (empty string → 0).
     */
@@ -305,6 +388,52 @@ case class PartitionRunningSumExpr(child: Expression)
   override protected def withNewChildInternal(
       newChild: Expression): PartitionRunningSumExpr = copy(child = newChild)
   override def prettyName: String = "graft_partition_running_sum"
+}
+
+/** array<long> shingle stream → array<long> distinct sliding-window minima
+  * (winnowing fingerprints; see [[CodeKernels.winnowMins]]).
+  */
+case class WinnowMinsExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "winnow window must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CodeKernels.winnowMins(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CodeKernels.winnowMins($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowMinsExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_mins"
+}
+
+/** array<long> token codes → array<long> distinct word-3-gram codes in one
+  * compiled pass (see [[CodeKernels.shingle3Set]]).
+  */
+case class Shingle3SetExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CodeKernels.shingle3Set(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CodeKernels.shingle3Set($c)")
+  override protected def withNewChildInternal(newChild: Expression): Shingle3SetExpr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_shingle3_set"
+}
+
+/** array<long> token codes → array<long> winnowed 3-gram fingerprints (see
+  * [[CodeKernels.winnowShingles3]]).
+  */
+case class WinnowShingles3Expr(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "winnow window must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    CodeKernels.winnowShingles3(input.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CodeKernels.winnowShingles3($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowShingles3Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_winnow_shingles3"
 }
 
 /** string → long full-string polynomial fold fingerprint. */

@@ -150,6 +150,34 @@ object Codes {
     org.apache.spark.sql.GraftBridge.column(
       MinHash64Expr(org.apache.spark.sql.GraftBridge.expression(scs)))
 
+  /** Distinct sliding-window minima (winnowing fingerprints, window w) of
+    * a long-code array in one compiled O(n) monotonic-deque pass
+    * ([[WinnowMinsExpr]]) — the declarative
+    * `transform(sequence, j -> array_min(slice(psc, j, w)))` form
+    * re-slices the array per window in the interpreted evaluator. The
+    * oracle twin is the list-comprehension over `psc[j:j+w-1]` windows.
+    */
+  def winnowMins(psc: Column, w: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      WinnowMinsExpr(org.apache.spark.sql.GraftBridge.expression(psc), w))
+
+  /** Distinct word-3-gram codes straight from the token-code array in one
+    * compiled pass ([[Shingle3SetExpr]]) — value-identical to
+    * [[shingleCodes3]].
+    */
+  def shingle3SetFast(tcs: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      Shingle3SetExpr(org.apache.spark.sql.GraftBridge.expression(tcs)))
+
+  /** Winnowed 3-gram fingerprints straight from the token-code array in
+    * one compiled pass ([[WinnowShingles3Expr]]) — shingle stream +
+    * [[winnowMins]] fused so no interpreted lambda sits between kernels
+    * for the optimizer to inline quadratically.
+    */
+  def winnowShingles3(tcs: Column, w: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      WinnowShingles3Expr(org.apache.spark.sql.GraftBridge.expression(tcs), w))
+
   /** 16-bit simhash of a token-hash array in one compiled traversal
     * ([[SimHash16Expr]]) — replaces 16 interpreted
     * `aggregate(transform(...))` passes, one per bit.

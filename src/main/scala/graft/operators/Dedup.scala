@@ -1650,9 +1650,15 @@ object Dedup {
     * `(doc_id, text)` (exposed for constructed-input specs).
     */
   private[graft] def editPairs(docs: DataFrame): DataFrame = {
+    // Empty texts are excluded BEFORE the join: they would all share the
+    // '' bucket (quadratic pair blowup) and max_len = 0 divides — where
+    // Spark's double `/` yields NaN→0 but DuckDB's integer `//` yields
+    // NULL, a silent gate divergence. With the filter, max_len > 0 always
+    // and integer `div` matches the oracle's `//` exactly.
     val d = docs.select(col("doc_id"),
       lower(substring(col("text"), 1, 60)).as("w"),
       lower(substring(col("text"), 1, 12)).as("bkt"))
+      .filter(length(col("w")) > 0)
     val a = d.select(col("doc_id").as("doc_a"), col("w").as("wa"), col("bkt"))
     val b = d.select(col("doc_id").as("doc_b"), col("w").as("wb"), col("bkt"))
     a.join(b, Seq("bkt"))
@@ -1661,8 +1667,7 @@ object Dedup {
       .withColumn("max_len",
         greatest(length(col("wa")), length(col("wb"))).cast("bigint"))
       .withColumn("sim_ppm",
-        floor((col("max_len") - col("lev_dist")) * lit(1000000L)
-          / col("max_len")).cast("bigint"))
+        expr("(max_len - lev_dist) * 1000000 div max_len").cast("bigint"))
       .select(col("doc_a"), col("doc_b"), col("lev_dist"), col("sim_ppm"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
@@ -1671,7 +1676,7 @@ object Dedup {
     """WITH d AS (
       |  SELECT doc_id, lower(substr(text, 1, 60)) AS w,
       |    lower(substr(text, 1, 12)) AS bkt
-      |  FROM documents
+      |  FROM documents WHERE length(text) > 0
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev_dist,
@@ -1717,7 +1722,184 @@ object Dedup {
        |GROUP BY coalesce(g.degree, 0)
        |ORDER BY degree ASC""".stripMargin
 
+  // --- dd_substring_containment: winnowed-fingerprint containment --------
+  /** Winnow window: every run of [[WinnowW]] consecutive shingle codes
+    * contributes its minimum to the doc's fingerprint set.
+    */
+  private[graft] val WinnowW = 8
+
+  /** Per-doc winnow frame: distinct shingle set `sg` (the verify-stage
+    * currency) and winnowed fingerprint set `fps` (the blocking currency),
+    * the latter via the compiled [[Codes.winnowMins]] monotonic-deque
+    * kernel — the declarative slice-per-window form re-copies the array
+    * per window in the interpreted evaluator (measured ~90 s at sf0.01 vs
+    * <1 s compiled). Docs under 3 tokens have no shingles and are
+    * excluded on both sides.
+    */
+  private[graft] def winnowBase(docs: DataFrame): DataFrame =
+    docs
+      // Shingle-nonempty guard AT THE SCAN (< 3 tokens ⟺ zero shingles),
+      // exactly like [[signatures]] — and COMPILED KERNELS end-to-end:
+      // sg and fps both come straight off the token-code array. An
+      // intermediate `transform`-built shingle stream looked harmless
+      // (each projection stage an attribute) but the optimizer inlines
+      // it into downstream Generate/Filter consumers, where the
+      // interpreted evaluator re-runs element_at's inlined producer PER
+      // ELEMENT — the O(tokens²) txContamination trap (measured 15+ s at
+      // sf0.1 for a 54k-row index vs ~0.5 s with the fused kernels).
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), strCodes(tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"),
+        Codes.shingle3SetFast(col("tcs")).as("sg"),
+        Codes.winnowShingles3(col("tcs"), WinnowW).as("fps"))
+
+  /** The shared DuckDB CTE chain: toks → tc → ps → base(doc_id, sg, fps).
+    * DuckDB list slices are 1-based and end-inclusive, so `psc[j:j+7]` is
+    * the same 8-element (clamped) window as Spark's `slice(psc, j, 8)`.
+    */
+  private val winnowBaseSqlCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS ts FROM documents
+       |), tc AS (
+       |  SELECT doc_id, ${strCodesSql("ts")} AS tcs FROM toks
+       |), ps AS (
+       |  SELECT doc_id,
+       |    [ ((tcs[i] * 8191 + tcs[i+1]) % $P * 8191 + tcs[i+2]) % $P
+       |      for i in range(1, greatest(len(tcs) - 1, 1)) ] AS psc
+       |  FROM tc
+       |), base AS (
+       |  SELECT doc_id, list_distinct(psc) AS sg,
+       |    list_distinct([ list_min(psc[j:j+${WinnowW - 1}])
+       |      for j in range(1, greatest(len(psc) - ${WinnowW - 1}, 1) + 1) ]) AS fps
+       |  FROM ps WHERE len(psc) > 0
+       |)""".stripMargin
+
+  /** TRUE small-in-big containment detection — the blocking family
+    * [[ddContainment]] documents itself as structurally missing
+    * (VERDICT r14 "what's missing" #2): its LSH candidates track JACCARD,
+    * so a short document quoted verbatim inside a long one
+    * (j ≈ |A|/|B| ≈ 0.05) never shares a band. This operator blocks on
+    * WINNOWED fingerprints of the positional shingle stream instead
+    * (Schleimer, Wilkerson & Aiken, "Winnowing: Local Algorithms for
+    * Document Fingerprinting", SIGMOD 2003 — see PAPERS.md): each
+    * [[WinnowW]]-window of consecutive word-3-gram codes contributes its
+    * minimum, and docs meet when they share a fingerprint. Recall is
+    * STRUCTURAL, not probabilistic: a contained run of
+    * ≥ WinnowW + 2 tokens (= WinnowW consecutive shingles) pins one
+    * fully-aligned window in both docs, whose minimum is selected on both
+    * sides — so a verbatim-contained small doc of ≥ 10 tokens ALWAYS
+    * meets its container, regardless of how small j is. Candidates are
+    * verified by EXACT shingle-set containment in integer ppm; pairs emit
+    * only with strong containment (≥ 0.9) and genuine size asymmetry
+    * (2·|A| ≤ |B| ⟹ j ≤ ½ — disjoint from the near-dup gate by
+    * construction).
+    *
+    * Scale: the fingerprint index is ~2/(W+1) of the shingle stream
+    * (winnow density), shuffled as (fp, doc_id, sz) longs — never text;
+    * posting lists above [[MaxBucket]] docs are dropped as
+    * stop-fingerprints (mirrored in the oracle), capping bucket expansion
+    * exactly like the LSH family; the verify join ships shingle arrays
+    * for candidate docs only. No all-pairs product anywhere.
+    */
+  def ddSubstringContainment(spark: SparkSession, dir: String): DataFrame =
+    substringContainment(Tables.documents(spark, dir))
+
+  /** The full block → verify core over any (doc_id, text) frame —
+    * spec-injected with a constructed quoted-inside pair at j ≈ 0.05 that
+    * [[containmentScores]]' LSH blocking provably drops.
+    */
+  private[graft] def substringContainment(docs: DataFrame): DataFrame = {
+    val base = winnowBase(docs)
+    val idx = base.select(col("doc_id"), size(col("sg")).cast("long").as("sz"),
+      explode(col("fps")).as("fp"))
+    // In-bucket (small, big) expansion: 2·sz_a ≤ sz_b implies sz_a < sz_b,
+    // so a doc can never pair with itself and every pair is emitted in
+    // exactly one orientation.
+    val cand = idx.groupBy(col("fp"))
+      .agg(collect_list(struct(col("doc_id"), col("sz"))).as("ds"))
+      .filter(size(col("ds")) <= MaxBucket)
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.sz") * 2 <= col("b.sz"))
+      .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"),
+        col("a.sz").as("size_small"), col("b.sz").as("size_big"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_small"), col("sg").as("sg_s")),
+        "doc_small")
+      .join(base.select(col("doc_id").as("doc_big"), col("sg").as("sg_b")),
+        "doc_big")
+      .withColumn("n_inter",
+        size(array_intersect(col("sg_s"), col("sg_b"))).cast("long"))
+      .withColumn("cont_ppm",
+        expr("n_inter * 1000000 DIV greatest(size_small, 1)"))
+      .withColumn("jaccard_ppm",
+        expr("n_inter * 1000000 DIV greatest(size_small + size_big - n_inter, 1)"))
+      .filter(col("cont_ppm") >= 900000L)
+      .select(col("doc_small"), col("doc_big"), col("size_small"),
+        col("size_big"), col("n_inter"), col("cont_ppm"), col("jaccard_ppm"))
+      .orderBy(col("doc_small").asc, col("doc_big").asc)
+  }
+
+  val ddSubstringContainmentSql: String =
+    s"""WITH $winnowBaseSqlCtes, idx AS (
+       |  SELECT doc_id, CAST(len(sg) AS BIGINT) AS sz, unnest(fps) AS fp
+       |  FROM base
+       |), ok_fp AS (
+       |  SELECT fp FROM idx GROUP BY fp HAVING COUNT(*) <= $MaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_big,
+       |    a.sz AS size_small, b.sz AS size_big
+       |  FROM idx a JOIN idx b ON a.fp = b.fp JOIN ok_fp o ON a.fp = o.fp
+       |  WHERE a.sz * 2 <= b.sz
+       |), scored AS (
+       |  SELECT c.doc_small, c.doc_big, c.size_small, c.size_big,
+       |    CAST(len(list_intersect(s.sg, g.sg)) AS BIGINT) AS n_inter
+       |  FROM cand c JOIN base s ON c.doc_small = s.doc_id
+       |  JOIN base g ON c.doc_big = g.doc_id
+       |)
+       |SELECT doc_small, doc_big, size_small, size_big, n_inter,
+       |  CAST(n_inter * 1000000 // greatest(size_small, 1) AS BIGINT)
+       |    AS cont_ppm,
+       |  CAST(n_inter * 1000000 // greatest(size_small + size_big - n_inter, 1)
+       |    AS BIGINT) AS jaccard_ppm
+       |FROM scored
+       |WHERE n_inter * 1000000 // greatest(size_small, 1) >= 900000
+       |ORDER BY doc_small ASC, doc_big ASC""".stripMargin
+
+  // --- dd_winnow_stats: fingerprint-index health audit --------------------
+  /** Posting-list-size histogram of the winnowed fingerprint index — the
+    * shape audit that tells [[ddSubstringContainment]] whether its
+    * blocking is healthy (mass at posting size 1–2) or a hot template
+    * fingerprint is flooding the candidate stage; postings past
+    * [[MaxBucket]] are flagged `capped` — exactly the rows the candidate
+    * join drops as stop-fingerprints. Twin of [[ddCandidateGraph]] for
+    * the containment family.
+    *
+    * Scale: two map-side-combined aggregations over (fp, long) pairs; the
+    * histogram is a ≤max-posting-row report.
+    */
+  def ddWinnowStats(spark: SparkSession, dir: String): DataFrame =
+    winnowBase(Tables.documents(spark, dir))
+      .select(explode(col("fps")).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("posting_size"))
+      .groupBy(col("posting_size"))
+      .agg(count(lit(1)).as("n_fingerprints"))
+      .withColumn("capped", col("posting_size") > MaxBucket)
+      .orderBy(col("posting_size").asc)
+
+  val ddWinnowStatsSql: String =
+    s"""WITH $winnowBaseSqlCtes, pl AS (
+       |  SELECT fp, COUNT(*) AS posting_size
+       |  FROM (SELECT doc_id, unnest(fps) AS fp FROM base) GROUP BY fp
+       |)
+       |SELECT posting_size, COUNT(*) AS n_fingerprints,
+       |  posting_size > $MaxBucket AS capped
+       |FROM pl GROUP BY posting_size ORDER BY posting_size ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_substring_containment" -> ddSubstringContainment,
+    "dd_winnow_stats" -> ddWinnowStats,
     "dd_edit_distance" -> ddEditDistance,
     "dd_candidate_graph" -> ddCandidateGraph,
     "dd_band_sweep" -> ddBandSweep,
@@ -1744,6 +1926,8 @@ object Dedup {
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
+    "dd_substring_containment" -> ddSubstringContainmentSql,
+    "dd_winnow_stats" -> ddWinnowStatsSql,
     "dd_edit_distance" -> ddEditDistanceSql,
     "dd_candidate_graph" -> ddCandidateGraphSql,
     "dd_band_sweep" -> ddBandSweepSql,

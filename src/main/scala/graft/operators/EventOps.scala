@@ -1527,14 +1527,18 @@ object EventOps {
     * input specs; [[evConcurrency]] feeds it the 30-min-gap sessions).
     */
   private[graft] def concurrencyFromSessions(sessions: DataFrame): DataFrame = {
+    // Integral `div` end-to-end (repo discipline): exact where long `/`
+    // long detours through DOUBLE past 2^53. Spark `div` truncates toward
+    // zero while DuckDB `//` floors — identical on the non-negative
+    // epoch-seconds here; sessions are second-truncated so `/ 1000000`
+    // happened to be exact, but the discipline should not rely on that.
     val sess = sessions
       .select(
-        (unix_micros(col("session_start")) / lit(1000000L)).cast("bigint").as("s"),
-        (unix_micros(col("session_end")) / lit(1000000L)).cast("bigint").as("e"))
+        expr("unix_micros(session_start) div 1000000").as("s"),
+        expr("unix_micros(session_end) div 1000000").as("e"))
     val segs = sess
       .withColumn("k", explode(sequence(
-        floor(col("s") / 86400L).cast("bigint"),
-        floor(col("e") / 86400L).cast("bigint"))))
+        expr("s div 86400"), expr("e div 86400"))))
       .withColumn("seg_s", greatest(col("s"), col("k") * 86400L))
       .withColumn("seg_e", least(col("e"), (col("k") + 1L) * 86400L - 1L))
     val deltas = segs.select(col("k"), col("seg_s").as("t"), lit(1L).as("delta"))
@@ -1608,12 +1612,17 @@ object EventOps {
     val gaps = events(spark, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .filter(col("prev_ts").isNotNull)
+      // Integer floor-div end-to-end (`div`, not long `/` long which is
+      // DOUBLE + truncating cast): truncate != floor for pre-1970
+      // timestamps, and the double path loses exactness past 2^53 µs.
       .withColumn("gap_s",
-        ((unix_micros(col("ts")) - unix_micros(col("prev_ts"))) / lit(1000000L))
-          .cast("bigint"))
+        expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000"))
+    // q accumulates in DECIMAL(38,0) to mirror the oracle's HUGEINT sum;
+    // the per-row product gap² stays BIGINT on both sides, safe under the
+    // span² bound (a 30-year gap² ≈ 9e17 < 2^63).
     val perUser = gaps.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("gap_s")).as("s"),
-        sum(col("gap_s") * col("gap_s")).as("q"))
+        sum((col("gap_s") * col("gap_s")).cast("decimal(38,0)")).as("q"))
       .filter(col("n") >= 2 && col("s") > 0)
       .withColumn("nq", col("n").cast("decimal(38,0)") * col("q").cast("decimal(38,0)"))
       .withColumn("s2", col("s").cast("decimal(38,0)") * col("s").cast("decimal(38,0)"))

@@ -1382,11 +1382,15 @@ object Namespace {
     // DECIMAL(38,0) accumulation, BIGINT report — same overflow discipline
     // as nsChargeback (Spark's LongType sum wraps silently where DuckDB's
     // HUGEINT sum is exact; either way the gate would diverge).
+    // size is cast wide BEFORE the multiply (matching the oracle's
+    // CAST(size AS HUGEINT) * weight): a long*long product wraps silently
+    // on the Spark side only, so the PRODUCT — not just the sum — must be
+    // decimal(38,0).
     tiered.groupBy(col("volume"), col("tier"))
       .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("tier_bytes"),
-        sum((col("size") * col("weight")).cast("decimal(38,0)"))
+        sum(col("size").cast("decimal(38,0)") * col("weight"))
           .cast("bigint").as("monthly_cost"),
-        sum((col("size") * (lit(100L) - col("weight"))).cast("decimal(38,0)"))
+        sum(col("size").cast("decimal(38,0)") * (lit(100L) - col("weight")))
           .cast("bigint").as("monthly_savings"))
       .orderBy(col("volume").asc, col("tier").asc)
   }
@@ -1431,8 +1435,11 @@ object Namespace {
         datediff(lit("1999-01-01").cast("date"), col("mtime").cast("date"))
           .cast("long"))
       .groupBy(col("volume"))
+      // Wide product, not just wide sum: the oracle multiplies in HUGEINT
+      // (CAST(size AS HUGEINT) * age_days), so a key with
+      // size*age_days > 2^63 must not wrap on the Spark side.
       .agg(count(lit(1)).as("n_keys"), sum(col("size")).as("total_bytes"),
-        sum((col("size") * col("age_days")).cast("decimal(38,0)"))
+        sum(col("size").cast("decimal(38,0)") * col("age_days"))
           .as("byte_days"))
       .withColumn("cost_micros", col("byte_days") * lit(7L))
       // Accumulate wide, REPORT as BIGINT: the two engines' decimal→pandas

@@ -6,9 +6,13 @@ package graft
   */
 class QuerySmokeSpec extends SparkSpec {
 
-  // Queries whose result can legitimately be empty at sf0.001.
+  // Queries whose result can legitimately be empty at sf0.001
+  // (dd_substring_containment: the synthetic corpus has no verbatim
+  // quoted-inside pairs — WinnowSpec proves the detection path on
+  // constructed ones).
   private val mayBeEmpty = Set("dd_embed_cosine", "ns_expired_open_keys",
-    "q_cust_no_orders", "dd_ngram_jaccard", "dd_minhash_lsh")
+    "q_cust_no_orders", "dd_ngram_jaccard", "dd_minhash_lsh",
+    "dd_substring_containment")
 
   test("every query key has an oracle or is a documented rows-only check") {
     val rowsOnly = Set("q_approx_distinct")

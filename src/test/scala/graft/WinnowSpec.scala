@@ -1,0 +1,153 @@
+package graft
+
+import graft.functions.{CodeKernels, Codes}
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** The substring-containment family (VERDICT r14 "what's missing" #2): the
+  * winnow kernels must equal their declarative (oracle-defining) forms,
+  * the winnowing recall guarantee must hold on constructed
+  * quoted-inside-pairs that the LSH containment operator provably drops,
+  * and the index audit must tie out against the index it audits.
+  */
+class WinnowSpec extends SparkSpec {
+
+  private def winnowDeclarative(arr: Seq[Long], w: Int): Seq[Long] = {
+    if (arr.isEmpty) Seq.empty
+    else {
+      val ww = math.min(w, arr.length)
+      (0 to arr.length - ww).map(j => arr.slice(j, j + ww).min).distinct
+    }
+  }
+
+  test("winnowMins kernel equals the declarative sliding-window minima") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq(
+      Seq.empty[Long], Seq(7L), Seq(3L, 3L, 3L), (1L to 7L).toSeq,
+      (1L to 8L).toSeq, (1L to 9L).reverse.toSeq) ++
+      (1 to 20).map(n => Seq.fill(rnd.nextInt(40) + 1)(
+        math.floorMod(rnd.nextLong(), 1000L)))
+    cases.foreach { arr =>
+      val got = CodeKernels
+        .winnowMins(new GenericArrayData(arr.toArray), 8).toLongArray().toSeq
+      assert(got.sorted == winnowDeclarative(arr, 8).sorted,
+        s"winnow mismatch on $arr")
+      assert(got.distinct == got, "winnow output must be a set")
+    }
+  }
+
+  test("shingle3Set / winnowShingles3 kernels equal the declarative chain") {
+    // Declarative twins straight from the oracle definitions, on the real
+    // corpus: shingleCodes3 (distinct) and window-minima over the
+    // positional stream.
+    val docs = Tables.documents(spark, sf).limit(50)
+      .filter(size(Codes.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), Codes.strCodes(Codes.tokens(col("text"))).as("tcs"))
+      .select(col("doc_id"), col("tcs"),
+        Codes.shingleCodes3(col("tcs")).as("sg_decl"),
+        Codes.shingle3SetFast(col("tcs")).as("sg_kern"),
+        Codes.winnowShingles3(col("tcs"), Dedup.WinnowW).as("fps_kern"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val tcs = r.getSeq[Long](1)
+      assert(r.getSeq[Long](2).sorted == r.getSeq[Long](3).sorted,
+        s"shingle set mismatch on doc ${r.getLong(0)}")
+      val stream = (0 until tcs.length - 2).map(i =>
+        ((tcs(i) * 8191L + tcs(i + 1)) % Codes.P * 8191L + tcs(i + 2)) % Codes.P)
+      assert(r.getSeq[Long](4).sorted ==
+        winnowDeclarative(stream, Dedup.WinnowW).sorted,
+        s"winnow fingerprint mismatch on doc ${r.getLong(0)}")
+    }
+  }
+
+  // A 12-token quote (10 shingles ≥ WinnowW) buried verbatim in a ~300-token
+  // host: jaccard ≈ 10/308 ≈ 0.03 — far below anything the 16×4 LSH banding
+  // fires on.
+  private def quotedPair(seed: Int): (String, String) = {
+    val rnd = new scala.util.Random(seed)
+    val small = (1 to 12).map(i => s"quote${seed}x$i").mkString(" ")
+    val filler = (1 to 300).map(_ => s"w${rnd.nextInt(5000)}")
+    val (pre, post) = filler.splitAt(150)
+    (small, (pre :+ small).++(post).mkString(" "))
+  }
+
+  test("substring containment catches the j≈0.05 quoted pair the LSH " +
+      "containment operator structurally drops") {
+    import spark.implicits._
+    val (small, big) = quotedPair(1)
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    // The LSH-blocked operator: candidates track jaccard, so the pair
+    // never surfaces (this is dd_containment's own documented caveat).
+    val lsh = Dedup.containmentScores(docs).collect()
+    assert(!lsh.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L),
+      "LSH blocking should drop the low-jaccard contained pair")
+    // The winnow-blocked operator: structural recall at ≥ 10 tokens.
+    val got = Dedup.substringContainment(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("doc_small") == 1L && r.getAs[Long]("doc_big") == 2L)
+    assert(r.getAs[Long]("cont_ppm") == 1000000L,
+      "verbatim containment must score exactly 1e6 ppm")
+    assert(r.getAs[Long]("jaccard_ppm") < 100000L,
+      "the pair must sit far below the near-dup gate")
+  }
+
+  test("winnowing recall guarantee holds across constructed hosts") {
+    import spark.implicits._
+    // Recall is structural (any shared run of ≥ WinnowW+2 tokens shares a
+    // fingerprint), so every seed must find its pair — no flake budget.
+    (2 to 6).foreach { seed =>
+      val (small, big) = quotedPair(seed)
+      val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+      val got = Dedup.substringContainment(docs).collect()
+      assert(got.exists(r => r.getAs[Long]("doc_small") == 1L &&
+        r.getAs[Long]("doc_big") == 2L && r.getAs[Long]("cont_ppm") == 1000000L),
+        s"guaranteed containment missed at seed $seed")
+    }
+  }
+
+  test("substring containment: no self pairs, canonical asymmetry, ppm bounds") {
+    val rows = Dedup.ddSubstringContainment(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_small") != r.getAs[Long]("doc_big"))
+      assert(r.getAs[Long]("size_small") * 2 <= r.getAs[Long]("size_big"))
+      val cont = r.getAs[Long]("cont_ppm")
+      assert(cont >= 900000L && cont <= 1000000L)
+      assert(r.getAs[Long]("jaccard_ppm") <= cont)
+      assert(r.getAs[Long]("n_inter") <= r.getAs[Long]("size_small"))
+    }
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "pair list must be a set")
+  }
+
+  test("dd_winnow_stats ties out against the index it audits") {
+    val hist = Dedup.ddWinnowStats(spark, sf).collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      assert(r.getAs[Long]("posting_size") >= 1L)
+      assert(r.getAs[Long]("n_fingerprints") >= 1L)
+      assert(r.getAs[Boolean]("capped") ==
+        (r.getAs[Long]("posting_size") > 100L))
+    }
+    // Σ posting_size · n_fingerprints = total (doc, fp) index rows.
+    val mass = hist.map(r =>
+      r.getAs[Long]("posting_size") * r.getAs[Long]("n_fingerprints")).sum
+    val idxRows = Dedup.winnowBase(Tables.documents(spark, sf))
+      .select(explode(col("fps"))).count()
+    assert(mass == idxRows, s"histogram mass $mass != index rows $idxRows")
+  }
+
+  test("short and empty docs are excluded without degenerate pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, ""), (3L, "one two"), (4L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringContainment(docs).count() == 0L)
+    // ADVICE r14 #1 regression: empty texts must not pair in editPairs
+    // either (shared '' bucket + 0-length window max_len division).
+    assert(Dedup.editPairs(docs).collect().forall(r =>
+      r.getAs[Long]("doc_a") >= 3L))
+  }
+}
