@@ -312,7 +312,66 @@ object Audit {
        |      AS BIGINT) FROM typed
        |) t ORDER BY metric ASC""".stripMargin
 
+  // --- ns_prefix_hotspot: per-prefix request-rate planning -----------------
+  /** The S3 partition-rate planning report: per (volume, bucket, prefix),
+    * total requests, read/write split, active minutes, the PEAK per-minute
+    * rate, and a hot flag — object stores throttle per key prefix (the
+    * reference's S3 gateway inherits S3's per-prefix request-rate
+    * semantics; BucketEndpoint serves by prefix), so the burst profile per
+    * prefix, not the mean, decides whether a layout needs more prefix
+    * fan-out. hot_flag is the exact integer comparison
+    * peak·active_minutes > 2·total (peak more than twice the active-minute
+    * average) — no rounded rate anywhere.
+    *
+    * Scale: two stacked aggregates — per-minute partials combine map-side,
+    * then the (volume, bucket, prefix) rollup runs on the minute frame
+    * (bounded by active minutes × prefixes, metadata-sized next to the
+    * log). No joins, no windows.
+    */
+  def nsPrefixHotspot(spark: SparkSession, dir: String): DataFrame =
+    prefixHotspotOf(auditLog(spark, dir))
+
+  /** The hotspot core over any audit-shaped frame ([[auditEntries]]
+    * schema) — spec seam for constructed burst patterns.
+    */
+  private[graft] def prefixHotspotOf(audit: DataFrame): DataFrame =
+    audit
+      .groupBy(col("volume"), col("bucket"), col("prefix"), col("ts_minute"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("op").isin("READ_KEY", "LIST_KEYS"), 1L).otherwise(0L))
+          .as("r"),
+        sum(when(col("op").isin("READ_KEY", "LIST_KEYS"), 0L).otherwise(1L))
+          .as("w"))
+      .groupBy(col("volume"), col("bucket"), col("prefix"))
+      .agg(sum(col("c")).as("n_requests"), sum(col("r")).as("n_reads"),
+        sum(col("w")).as("n_writes"),
+        count(lit(1)).as("active_minutes"), max(col("c")).as("peak_per_minute"))
+      .withColumn("hot_flag",
+        when(col("peak_per_minute") * col("active_minutes") >
+          col("n_requests") * 2, "y").otherwise("n"))
+      .orderBy(col("n_requests").desc, col("volume").asc, col("bucket").asc,
+        col("prefix").asc)
+
+  val nsPrefixHotspotSql: String =
+    s"""WITH audit AS ($auditLogSql), pm AS (
+       |  SELECT volume, bucket, prefix, ts_minute, COUNT(*) AS c,
+       |    CAST(SUM(CASE WHEN op IN ('READ_KEY', 'LIST_KEYS') THEN 1 ELSE 0
+       |      END) AS BIGINT) AS r,
+       |    CAST(SUM(CASE WHEN op IN ('READ_KEY', 'LIST_KEYS') THEN 0 ELSE 1
+       |      END) AS BIGINT) AS w
+       |  FROM audit GROUP BY volume, bucket, prefix, ts_minute
+       |)
+       |SELECT volume, bucket, prefix, CAST(SUM(c) AS BIGINT) AS n_requests,
+       |  CAST(SUM(r) AS BIGINT) AS n_reads, CAST(SUM(w) AS BIGINT) AS n_writes,
+       |  CAST(COUNT(*) AS BIGINT) AS active_minutes,
+       |  CAST(MAX(c) AS BIGINT) AS peak_per_minute,
+       |  CASE WHEN MAX(c) * COUNT(*) > SUM(c) * 2 THEN 'y' ELSE 'n' END
+       |    AS hot_flag
+       |FROM pm GROUP BY volume, bucket, prefix
+       |ORDER BY n_requests DESC, volume ASC, bucket ASC, prefix ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ns_prefix_hotspot" -> nsPrefixHotspot,
     "ins_om_protocol" -> insOmProtocol,
     "ns_audit_op_mix" -> nsAuditOpMix,
     "ns_audit_top_users" -> nsAuditTopUsers,
@@ -321,6 +380,7 @@ object Audit {
     "ins_key_metrics" -> insKeyMetrics)
 
   val oracles: Map[String, String] = Map(
+    "ns_prefix_hotspot" -> nsPrefixHotspotSql,
     "ins_om_protocol" -> insOmProtocolSql,
     "ns_audit_op_mix" -> nsAuditOpMixSql,
     "ns_audit_top_users" -> nsAuditTopUsersSql,

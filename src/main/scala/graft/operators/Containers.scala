@@ -1402,7 +1402,87 @@ object Containers {
        |  SELECT 'scm_rpc_processed_requests', c.a + c.d + g.g FROM c, g
        |) t ORDER BY metric ASC""".stripMargin
 
+  // --- ct_read_load: per-datanode read-traffic exposure --------------------
+  /** Which datanodes absorb the read traffic: READ_KEY audit entries
+    * (by calendar-month prefix — the audit stream and the namespace carry
+    * disjoint year ranges in the test binding, so month-of-year is the
+    * seasonal join key) joined to the container→key map, attributed to
+    * every replica node of every container holding keys under the read
+    * prefix. read_exposure = Σ reads(v, b, month) × hosted keys — the
+    * exact integer load proxy a balancer compares BEFORE moving a hot
+    * container onto an already-hot node (SCM ContainerBalancer picks by
+    * bytes; this is the IO-side counterpart ct_node_report's byte view
+    * cannot see).
+    *
+    * Scale: the read rollup is a ≤|vol×bucket×12|-row broadcast; the
+    * container-side aggregate partial-combines map-side before the join;
+    * replica fan-out is the bounded ≤4-slot explode; the share window
+    * runs over the 20-node frame. One corpus-sized exchange total.
+    */
+  def ctReadLoad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reads = Audit.auditLog(spark, dir)
+      .filter(col("op") === "READ_KEY")
+      .groupBy(col("volume"), col("bucket"),
+        substring(col("prefix"), 11, 2).as("month"))
+      .agg(count(lit(1)).as("n_reads"))
+    val ck = ObjectStoreView.containerKeys(spark, dir)
+      .groupBy(col("container_id"), col("volume"), col("bucket"),
+        substring(col("key"), 11, 2).as("month"))
+      .agg(count(lit(1)).as("n_keys"))
+    val perNode = ck.join(broadcast(reads), Seq("volume", "bucket", "month"))
+      .groupBy(col("container_id"))
+      .agg(sum(col("n_reads") * col("n_keys")).as("exposure"))
+      .withColumn("replicas",
+        ObjectStoreView.containerReplicas(col("container_id")))
+      .filter(col("replicas") >= 1)
+      .select(col("container_id"), col("exposure"),
+        explode(sequence(lit(1), col("replicas"))).as("r"))
+      .withColumn("node_id", (col("container_id") * 31 + col("r") * 17) % 20)
+      .groupBy(col("node_id"))
+      .agg(count(lit(1)).as("n_container_replicas"),
+        sum(col("exposure")).as("read_exposure"))
+    perNode
+      .withColumn("tot",
+        sum(col("read_exposure")).over(Window.partitionBy(lit(1))))
+      .withColumn("share_ppm",
+        expr(graft.functions.Codes.sharePpmExpr("read_exposure", "tot")))
+      .select(col("node_id"), col("n_container_replicas"),
+        col("read_exposure"), col("share_ppm"))
+      .orderBy(col("node_id").asc)
+  }
+
+  val ctReadLoadSql: String =
+    s"""WITH audit AS (${Audit.auditLogSql}), reads AS (
+       |  SELECT volume, bucket, substring(prefix, 11, 2) AS month,
+       |    COUNT(*) AS n_reads
+       |  FROM audit WHERE op = 'READ_KEY' GROUP BY volume, bucket, month
+       |), ck AS (${ObjectStoreView.containerKeysSql}), ckm AS (
+       |  SELECT container_id, volume, bucket, substring(key, 11, 2) AS month,
+       |    COUNT(*) AS n_keys
+       |  FROM ck GROUP BY container_id, volume, bucket, month
+       |), expo AS (
+       |  SELECT ckm.container_id,
+       |    CAST(SUM(reads.n_reads * ckm.n_keys) AS BIGINT) AS exposure
+       |  FROM ckm JOIN reads USING (volume, bucket, month)
+       |  GROUP BY ckm.container_id
+       |), per_node AS (
+       |  SELECT (e.container_id * 31 + u.r * 17) % 20 AS node_id,
+       |    COUNT(*) AS n_container_replicas,
+       |    CAST(SUM(e.exposure) AS BIGINT) AS read_exposure
+       |  FROM expo e, UNNEST(range(1,
+       |    ${ObjectStoreView.containerReplicasSql("e.container_id")} + 1))
+       |    AS u(r)
+       |  WHERE ${ObjectStoreView.containerReplicasSql("e.container_id")} >= 1
+       |  GROUP BY node_id
+       |)
+       |SELECT node_id, n_container_replicas, read_exposure,
+       |  CAST(${graft.functions.Codes.sharePpmSql("read_exposure",
+              "SUM(read_exposure) OVER ()")} AS BIGINT) AS share_ppm
+       |FROM per_node ORDER BY node_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ct_read_load" -> ctReadLoad,
     "ct_scrub_report" -> ctScrubReport,
     "ins_scm_protocol" -> insScmProtocol,
     "ins_scm_container_protocol" -> insScmContainerProtocol,
@@ -1431,6 +1511,7 @@ object Containers {
     "ct_pipeline_report" -> ctPipelineReport)
 
   val oracles: Map[String, String] = Map(
+    "ct_read_load" -> ctReadLoadSql,
     "ct_scrub_report" -> ctScrubReportSql,
     "ins_scm_protocol" -> insScmProtocolSql,
     "ins_scm_container_protocol" -> insScmContainerProtocolSql,

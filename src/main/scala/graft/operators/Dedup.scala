@@ -1897,7 +1897,64 @@ object Dedup {
        |  posting_size > $MaxBucket AS capped
        |FROM pl GROUP BY posting_size ORDER BY posting_size ASC""".stripMargin
 
+  // --- dd_phrase_hotlist: most document-frequent 3-gram phrases -----------
+  /** The boilerplate detector: the 20 word-3-gram phrases appearing in the
+    * most DOCUMENTS (each doc counts a phrase once — [[shingles3]] is
+    * distinct-per-doc), with how many sources carry them and the corpus
+    * doc-share in exact ppm. A phrase near share 1e6 is a template/header
+    * to strip before training; the (df DESC, phrase ASC) total order makes
+    * the rank-20 cut deterministic.
+    *
+    * Scale: the (phrase, source) aggregate partial-combines map-side so
+    * the one corpus-sized exchange carries each distinct (phrase, source)
+    * once per map partition; the phrase-level rollup and the TakeOrdered
+    * top-20 then run on the distinct-phrase frame. The corpus doc count
+    * rides a broadcast 1-row scalar (the ct_balancer_moves hoist) — no
+    * corpus re-scan for the share denominator.
+    */
+  def ddPhraseHotlist(spark: SparkSession, dir: String): DataFrame =
+    phraseHotlistOf(Tables.documents(spark, dir))
+
+  /** The hotlist core over any documents-shaped frame (source, text) —
+    * spec seam for constructed boilerplate corpora.
+    */
+  private[graft] def phraseHotlistOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("source"), explode_outer(
+        shingles3(tokens(col("text")))).as("phrase"))
+      .filter(col("phrase").isNotNull)
+    val nDocs = docs
+      .agg(count(lit(1)).as("n_docs"))
+    sh.groupBy(col("phrase"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("phrase"))
+      .agg(sum(col("c")).as("df"), count(lit(1)).as("n_sources"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("share_ppm", expr("df * 1000000 div n_docs"))
+      .select(col("phrase"), col("df"), col("n_sources"), col("share_ppm"))
+      .orderBy(col("df").desc, col("phrase").asc)
+      .limit(20)
+  }
+
+  val ddPhraseHotlistSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, ${tokensSql("text")} AS ts FROM documents
+       |), sh AS (
+       |  SELECT doc_id, source, unnest(${shingles3Sql("ts")}) AS phrase
+       |  FROM toks
+       |), pss AS (
+       |  SELECT phrase, source, COUNT(*) AS c FROM sh GROUP BY phrase, source
+       |), agg AS (
+       |  SELECT phrase, CAST(SUM(c) AS BIGINT) AS df,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sources
+       |  FROM pss GROUP BY phrase
+       |), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT phrase, df, n_sources,
+       |  CAST(df * 1000000 // n_docs AS BIGINT) AS share_ppm
+       |FROM agg, nd ORDER BY df DESC, phrase ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_phrase_hotlist" -> ddPhraseHotlist,
     "dd_substring_containment" -> ddSubstringContainment,
     "dd_winnow_stats" -> ddWinnowStats,
     "dd_edit_distance" -> ddEditDistance,
@@ -1926,6 +1983,7 @@ object Dedup {
     "dd_components" -> ddComponents)
 
   val oracles: Map[String, String] = Map(
+    "dd_phrase_hotlist" -> ddPhraseHotlistSql,
     "dd_substring_containment" -> ddSubstringContainmentSql,
     "dd_winnow_stats" -> ddWinnowStatsSql,
     "dd_edit_distance" -> ddEditDistanceSql,

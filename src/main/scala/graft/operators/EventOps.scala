@@ -1810,7 +1810,113 @@ object EventOps {
       |JOIN sizes sb ON both_t.type_b = sb.event_type
       |ORDER BY type_a ASC, type_b ASC""".stripMargin
 
+  // --- ev_ab_significance: exact chi-square A/B readout -------------------
+  /** The significance readout over [[evAbTest]]'s deterministic arms: the
+    * 2×2 (arm × converted) contingency table — converted = heavy buyer,
+    * ≥ 14 purchases (every testdata user purchases at least once, so the
+    * raw did-purchase outcome is degenerate: a zero margin) — and Pearson's
+    * chi-square
+    * statistic χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) in exact integer
+    * milli units — the "can we ship arm A" gate, computed without a single
+    * float. (ad−bc)² clears int64 once arms pass ~3e4 users, so the
+    * product chain runs in DECIMAL(38,0) / HUGEINT end-to-end (the
+    * [[evRfm]] accumulation discipline applied to a test statistic); the
+    * milli quotient is one integral divide of a non-negative numerator, so
+    * Spark's DIV and DuckDB's // agree. significant_95 compares against
+    * the χ²(1 df) 95% critical value 3.841 AS INTEGERS (milli vs 3841) —
+    * the verdict cannot flip on a rounding boundary between engines.
+    *
+    * Scale: one user-keyed aggregate (map-side combined) collapses the log
+    * to per-user conversion flags; everything after is a single-row
+    * reduce. No joins, no windows; the statistic's inputs are 4 counters.
+    */
+  def evAbSignificance(spark: SparkSession, dir: String): DataFrame =
+    abSignificanceOf(events(spark, dir))
+
+  /** The chi-square core over any events-shaped frame (user_id,
+    * event_type) — spec seam for hand-computed contingency tables.
+    */
+  private[graft] def abSignificanceOf(ev: DataFrame): DataFrame = {
+    val u = ev
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        >= 14L, 1L).otherwise(0L).as("conv"))
+      .withColumn("arm",
+        when((col("user_id") * 2654435761L) % 4294967296L % 100 < 50, "A")
+          .otherwise("B"))
+    u.groupBy()
+      .agg(
+        sum(when(col("arm") === "A" && col("conv") === 1L, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("arm") === "A" && col("conv") === 0L, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("arm") === "B" && col("conv") === 1L, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("arm") === "B" && col("conv") === 0L, 1L).otherwise(0L))
+          .as("d"))
+      .withColumn("n_users_a", col("a") + col("b"))
+      .withColumn("n_users_b", col("c") + col("d"))
+      .withColumn("conv_a_ppm", expr("a * 1000000 div nullif(a + b, 0)"))
+      .withColumn("conv_b_ppm", expr("c * 1000000 div nullif(c + d, 0)"))
+      // nullif-guarded: a degenerate table (an all-but-empty arm or a
+      // universal outcome zeroing a margin) yields NULL, not an ANSI
+      // divide-by-zero — and DuckDB's `// NULL` is NULL identically.
+      .withColumn("chi2_milli", expr(
+        """CAST((CAST(a + b + c + d AS DECIMAL(38,0))
+          |  * CAST(a*d - b*c AS DECIMAL(38,0)) * CAST(a*d - b*c AS DECIMAL(38,0))
+          |  * 1000)
+          | div nullif(CAST(a + b AS DECIMAL(38,0)) * CAST(c + d AS DECIMAL(38,0))
+          |  * CAST(a + c AS DECIMAL(38,0)) * CAST(b + d AS DECIMAL(38,0)), 0)
+          | AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .withColumn("significant_95",
+        when(col("chi2_milli") >= 3841L, "y").otherwise("n"))
+      .select(col("n_users_a"), col("n_users_b"),
+        col("a").as("conv_a"), col("c").as("conv_b"),
+        col("conv_a_ppm"), col("conv_b_ppm"),
+        (col("conv_a_ppm") - col("conv_b_ppm")).as("lift_ppm"),
+        col("chi2_milli"), col("significant_95"))
+  }
+
+  val evAbSignificanceSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      >= 14 THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id
+      |), armed AS (
+      |  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 % 100 < 50
+      |    THEN 'A' ELSE 'B' END AS arm, conv FROM u
+      |), t AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN arm = 'A' AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN arm = 'A' AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN arm = 'B' AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN arm = 'B' AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM armed
+      |)
+      |SELECT a + b AS n_users_a, c + d AS n_users_b, a AS conv_a, c AS conv_b,
+      |  a * 1000000 // nullif(a + b, 0) AS conv_a_ppm,
+      |  c * 1000000 // nullif(c + d, 0) AS conv_b_ppm,
+      |  a * 1000000 // nullif(a + b, 0) - c * 1000000 // nullif(c + d, 0)
+      |    AS lift_ppm,
+      |  CAST((CAST(a + b + c + d AS HUGEINT)
+      |      * CAST(a*d - b*c AS HUGEINT) * CAST(a*d - b*c AS HUGEINT) * 1000)
+      |    // nullif(CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+      |      * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT), 0) AS BIGINT)
+      |    AS chi2_milli,
+      |  CASE WHEN CAST((CAST(a + b + c + d AS HUGEINT)
+      |      * CAST(a*d - b*c AS HUGEINT) * CAST(a*d - b*c AS HUGEINT) * 1000)
+      |    // nullif(CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+      |      * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT), 0) AS BIGINT)
+      |    >= 3841 THEN 'y' ELSE 'n' END AS significant_95
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_significance" -> evAbSignificance,
     "ev_concurrency" -> evConcurrency,
     "ev_burstiness" -> evBurstiness,
     "ev_cumulative_users" -> evCumulativeUsers,
@@ -1849,6 +1955,7 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_ab_significance" -> evAbSignificanceSql,
     "ev_concurrency" -> evConcurrencySql,
     "ev_burstiness" -> evBurstinessSql,
     "ev_cumulative_users" -> evCumulativeUsersSql,

@@ -1610,7 +1610,120 @@ object RelationalExt {
        |FROM arms ORDER BY table_name ASC, column_name ASC""".stripMargin
   }
 
+  // --- q_skyline: 2-D Pareto frontier (min price, max size) ---------------
+  /** The parts no other part dominates (cheaper-or-equal AND
+    * bigger-or-equal with one strict) — the skyline/Pareto-frontier
+    * operator, distributed WITHOUT the naive O(n²) dominance join: the
+    * corpus aggregates to distinct (price, size) points, the per-price max
+    * size reduces that to one row per distinct price, and a running max
+    * over STRICTLY cheaper prices (rowsBetween(-∞, -1)) decides frontier
+    * membership; a point is on the frontier iff it is its price level's
+    * max size and strictly exceeds every cheaper level's max. Prices are
+    * exact cents (the §4 money discipline) so the frontier can't shift on
+    * a float compare. The spec proves equivalence with the quadratic
+    * NOT-EXISTS dominance definition on constructed ties-in-both-dims
+    * input.
+    *
+    * Scale: two map-side-combined aggregates collapse the scan to the
+    * distinct-price frame; the one unpartitioned window runs over THAT
+    * aggregated frame (the allowed class), never the corpus. The
+    * frontier-test join is a broadcast of the distinct-price frame.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.part(spark, dir))
+
+  /** The frontier core over any part-shaped frame (p_retailprice, p_size,
+    * p_partkey) — public seam so the spec can prove the running-max
+    * formulation ≡ the quadratic NOT-EXISTS dominance definition on
+    * constructed ties-in-both-dims input, not a drifting inline copy.
+    */
+  private[graft] def skylineOf(part: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = part
+      .groupBy((m(col("p_retailprice")) * 100).cast("bigint").as("price_cents"),
+        col("p_size").cast("bigint").as("psize"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("min_partkey"))
+    val levels = pts.groupBy(col("price_cents")).agg(max(col("psize")).as("mx"))
+      .withColumn("prior_mx", max(col("mx")).over(
+        Window.orderBy(col("price_cents"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    pts.join(broadcast(levels), Seq("price_cents"))
+      .filter(col("psize") === col("mx") &&
+        (col("prior_mx").isNull || col("psize") > col("prior_mx")))
+      .select(col("price_cents"), col("psize"), col("n_parts"),
+        col("min_partkey"))
+      .orderBy(col("price_cents").asc)
+  }
+
+  val qSkylineSql: String =
+    """WITH pts AS (
+      |  SELECT CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |      AS price_cents,
+      |    CAST(p_size AS BIGINT) AS psize, COUNT(*) AS n_parts,
+      |    MIN(p_partkey) AS min_partkey
+      |  FROM part GROUP BY price_cents, psize
+      |), levels AS (
+      |  SELECT price_cents, MAX(psize) AS mx,
+      |    MAX(MAX(psize)) OVER (ORDER BY price_cents
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_mx
+      |  FROM pts GROUP BY price_cents
+      |)
+      |SELECT p.price_cents, p.psize, p.n_parts, p.min_partkey
+      |FROM pts p JOIN levels l ON p.price_cents = l.price_cents
+      |WHERE p.psize = l.mx AND (l.prior_mx IS NULL OR p.psize > l.prior_mx)
+      |ORDER BY p.price_cents ASC""".stripMargin
+
+  // --- q_revenue_drawdown: running-peak shortfall per order day -----------
+  /** Daily booked revenue against its running historical peak: for every
+    * order day, revenue in exact cents, the highest daily revenue seen so
+    * far, and the drawdown (peak − today) — the "how far off the
+    * high-water mark are we" series a finance dashboard plots. All
+    * arithmetic is integer cents; the running max makes peak_cents
+    * monotone by construction (spec-pinned).
+    *
+    * Scale: one map-side-combined aggregate collapses orders to the day
+    * frame (bounded by the calendar, ~2,500 rows at any corpus size); the
+    * unpartitioned running-max window runs over that aggregated frame —
+    * the allowed class, never the corpus.
+    */
+  def qRevenueDrawdown(spark: SparkSession, dir: String): DataFrame =
+    drawdownOf(Tables.orders(spark, dir))
+
+  /** The drawdown core over any orders-shaped frame (o_orderdate,
+    * o_totalprice) — spec seam for the monotone-peak law on constructed
+    * input.
+    */
+  private[graft] def drawdownOf(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    orders
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum((m(col("o_totalprice")) * 100).cast("bigint"))
+        .as("revenue_cents"))
+      .withColumn("peak_cents", max(col("revenue_cents")).over(
+        Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("drawdown_cents", col("peak_cents") - col("revenue_cents"))
+      .orderBy(col("day").asc)
+  }
+
+  val qRevenueDrawdownSql: String =
+    """WITH d AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS revenue_cents
+      |  FROM orders GROUP BY day
+      |)
+      |SELECT day, revenue_cents,
+      |  MAX(revenue_cents) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_cents,
+      |  MAX(revenue_cents) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - revenue_cents
+      |    AS drawdown_cents
+      |FROM d ORDER BY day ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skyline" -> qSkyline,
+    "q_revenue_drawdown" -> qRevenueDrawdown,
     "q_null_profile" -> qNullProfile,
     "q_integrity_audit" -> qIntegrityAudit,
     "q_join_skew" -> qJoinSkew,
@@ -1644,6 +1757,8 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_skyline" -> qSkylineSql,
+    "q_revenue_drawdown" -> qRevenueDrawdownSql,
     "q_seasonality" -> qSeasonalitySql,
     "q_revenue_topdecile" -> qRevenueTopdecileSql,
     "q_sample_estimate" -> qSampleEstimateSql,

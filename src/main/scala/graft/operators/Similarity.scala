@@ -1564,7 +1564,94 @@ object Similarity {
        |WHERE rk <= 3 ORDER BY query_id ASC, rk ASC""".stripMargin
   }
 
+  // --- sim_knn_graph: k-NN graph reciprocity / homophily audit ------------
+  /** Embedding-quality audit over the k-NN graph of a fixed node sample
+    * (vec_id < 256 — the [[simRecallReport]] sampling discipline, so the
+    * audit's cost is constant in corpus size): per ground-truth label, the
+    * out-edges (k = $K per node, cosine-ranked with the 6-decimal round +
+    * id tie-break the brute-force family pins), how many are MUTUAL
+    * (reciprocity — low reciprocity marks hubness/anisotropy, the signal
+    * that cosine top-k needs whitening before it's trusted for semantic
+    * dedup) and how many land on the SAME label (homophily — the
+    * embedding actually encodes the class), both in exact integer ppm.
+    *
+    * Scale: the node sample broadcasts against itself (bounded 256² scored
+    * pairs — a per-operator-allowlisted bounded BNLJ, the
+    * sim_topk_bruteforce shape); edges are ≤ 256·k rows, so the mutuality
+    * self-join and label rollup are metadata-sized.
+    */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Dedup.quantized(spark, dir).filter(col("vec_id") < 256)
+    val a = nodes.select(col("vec_id").as("src"), col("label").as("src_label"),
+      col("q").as("qa"), col("n2").as("na"))
+    val b = nodes.select(col("vec_id").as("dst"), col("label").as("dst_label"),
+      col("q").as("qb"), col("n2").as("nb"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst").asc)
+    val edges = a.crossJoin(broadcast(b))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos_sim",
+        round(Dedup.cosine(col("qa"), col("qb"), col("na"), col("nb")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("src"), col("src_label"), col("dst"), col("dst_label"))
+    val rev = edges.select(col("dst").as("m_src"), col("src").as("m_dst"),
+      lit(1L).as("is_mutual"))
+    val marked = edges.join(broadcast(rev),
+      col("src") === col("m_src") && col("dst") === col("m_dst"), "left")
+      .withColumn("mutual", coalesce(col("is_mutual"), lit(0L)))
+    val nn = nodes.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    marked.groupBy(col("src_label").as("label"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("mutual")).as("mutual_edges"),
+        sum(when(col("src_label") === col("dst_label"), 1L).otherwise(0L))
+          .as("same_label_edges"))
+      .join(broadcast(nn), Seq("label"))
+      .withColumn("reciprocity_ppm",
+        expr("mutual_edges * 1000000 div n_edges"))
+      .withColumn("homophily_ppm",
+        expr("same_label_edges * 1000000 div n_edges"))
+      .select(col("label"), col("n_nodes"), col("n_edges"),
+        col("mutual_edges"), col("same_label_edges"), col("reciprocity_ppm"),
+        col("homophily_ppm"))
+      .orderBy(col("label").asc)
+  }
+
+  val simKnnGraphSql: String =
+    s"""WITH ${Dedup.quantizedSql}, nodes AS (
+       |  SELECT * FROM nm WHERE vec_id < 256
+       |), scored AS (
+       |  SELECT a.vec_id AS src, a.label AS src_label,
+       |    b.vec_id AS dst, b.label AS dst_label,
+       |    round(${Dedup.cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6)
+       |      AS cos_sim
+       |  FROM nodes a JOIN nodes b ON a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT src, src_label, dst, dst_label,
+       |    ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cos_sim DESC, dst ASC) AS rk
+       |  FROM scored
+       |), edges AS (
+       |  SELECT src, src_label, dst, dst_label FROM ranked WHERE rk <= $K
+       |), marked AS (
+       |  SELECT e.src_label, e.dst_label,
+       |    CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END AS mutual
+       |  FROM edges e LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+       |), nn AS (
+       |  SELECT label, COUNT(*) AS n_nodes FROM nodes GROUP BY label
+       |)
+       |SELECT m.src_label AS label, nn.n_nodes, COUNT(*) AS n_edges,
+       |  CAST(SUM(m.mutual) AS BIGINT) AS mutual_edges,
+       |  CAST(SUM(CASE WHEN m.src_label = m.dst_label THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS same_label_edges,
+       |  CAST(SUM(m.mutual) * 1000000 // COUNT(*) AS BIGINT)
+       |    AS reciprocity_ppm,
+       |  CAST(SUM(CASE WHEN m.src_label = m.dst_label THEN 1 ELSE 0 END)
+       |    * 1000000 // COUNT(*) AS BIGINT) AS homophily_ppm
+       |FROM marked m JOIN nn ON m.src_label = nn.label
+       |GROUP BY m.src_label, nn.n_nodes ORDER BY label ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph" -> simKnnGraph,
     "sim_probe_sweep" -> simProbeSweep,
     "sim_pq_m_sweep" -> simPqMSweep,
     "sim_knn_ivfpq" -> simKnnIvfPq,
@@ -1583,6 +1670,7 @@ object Similarity {
     "sim_knn_ivf" -> simKnnIvf)
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" -> simKnnGraphSql,
     "sim_probe_sweep" -> simProbeSweepSql,
     "sim_pq_m_sweep" -> simPqMSweepSql,
     "sim_knn_ivfpq" -> simKnnIvfPqSql,

@@ -1275,7 +1275,77 @@ object TextOps {
        |GROUP BY t.lang, t.source
        |ORDER BY t.lang ASC, t.source ASC""".stripMargin
 
+  // --- tx_readability: vowel-group syllable density per language ----------
+  /** Flesch-style readability density per language in exact integer milli
+    * units. Syllables are the classic vowel-group proxy: maximal runs of
+    * [aeiouy] in the lower-cased text, counted cross-engine as
+    * len(replace-each-run-with-'#') − len(delete-runs) — one global
+    * regexp_replace pair, no per-token lambda. The corpus carries no
+    * sentence punctuation (see [[txSentenceStats]]), so the
+    * words-per-sentence term binds to words-per-DOCUMENT; the formula is
+    * Flesch's with that documented substitution:
+    * flesch_milli = 206835 − (1015·words) div docs − (84600·syll) div words,
+    * each term an integral divide of a non-negative product widened to
+    * DECIMAL(38,0)/HUGEINT (a 100 TB corpus's word count × 84600 clears
+    * int64). Non-Latin scripts (zh) have ~no [aeiouy] runs — their rows
+    * report the degenerate proxy deterministically rather than a fake.
+    *
+    * Scale: one scan, map-side-combined aggregate to |langs| rows; the
+    * regexp pair is codegen'd per row. No joins, no windows.
+    */
+  def txReadability(spark: SparkSession, dir: String): DataFrame =
+    readabilityOf(Tables.documents(spark, dir))
+
+  /** The readability core over any documents-shaped frame (lang, text) —
+    * spec seam for hand-counted vowel-group inputs.
+    */
+  private[graft] def readabilityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("nw"),
+        (length(regexp_replace(lower(col("text")), "[aeiouy]+", "#")) -
+          length(regexp_replace(lower(col("text")), "[aeiouy]+", "")))
+          .cast("long").as("sy"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("sy")).as("n_syllables"))
+      .withColumn("wpd_milli", expr(
+        "CAST(CAST(n_words AS DECIMAL(38,0)) * 1000 div n_docs AS BIGINT)"))
+      .withColumn("spw_milli", expr(
+        "CAST(CAST(n_syllables AS DECIMAL(38,0)) * 1000 div n_words AS BIGINT)"))
+      .withColumn("flesch_milli", expr(
+        "CAST(206835 - CAST(n_words AS DECIMAL(38,0)) * 1015 div n_docs" +
+          " - CAST(n_syllables AS DECIMAL(38,0)) * 84600 div n_words" +
+          " AS BIGINT)"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_syllables"),
+        col("wpd_milli"), col("spw_milli"), col("flesch_milli"))
+      .orderBy(col("lang").asc)
+
+  val txReadabilitySql: String =
+    s"""WITH d AS (
+       |  SELECT lang,
+       |    CAST(len(${tokensSql("text")}) AS BIGINT) AS nw,
+       |    CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+       |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+       |      AS BIGINT) AS sy
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS n_words,
+       |    CAST(SUM(sy) AS BIGINT) AS n_syllables
+       |  FROM d GROUP BY lang
+       |)
+       |SELECT lang, n_docs, n_words, n_syllables,
+       |  CAST(CAST(n_words AS HUGEINT) * 1000 // n_docs AS BIGINT)
+       |    AS wpd_milli,
+       |  CAST(CAST(n_syllables AS HUGEINT) * 1000 // n_words AS BIGINT)
+       |    AS spw_milli,
+       |  CAST(206835 - CAST(n_words AS HUGEINT) * 1015 // n_docs
+       |    - CAST(n_syllables AS HUGEINT) * 84600 // n_words AS BIGINT)
+       |    AS flesch_milli
+       |FROM g ORDER BY lang ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_readability" -> txReadability,
     "tx_unigram_logprob" -> txUnigramLogprob,
     "tx_zipf" -> txZipf,
     "tx_bigram_stats" -> txBigramStats,
@@ -1302,6 +1372,7 @@ object TextOps {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_readability" -> txReadabilitySql,
     "tx_unigram_logprob" -> txUnigramLogprobSql,
     "tx_zipf" -> txZipfSql,
     "tx_bigram_stats" -> txBigramStatsSql,

@@ -61,7 +61,16 @@ class DeterminismSpec extends SparkSpec {
     // r14: posexplode + map-side-combined per-dim aggregates
     "sim_dim_stats",
     // r14: tie-exact nearest-rank cutoff over the activity histogram
-    "ev_power_law")
+    "ev_power_law",
+    // r15: TakeOrdered rank-20 cut with (df DESC, phrase ASC) tie-break
+    // over a two-level string-keyed aggregate
+    "dd_phrase_hotlist",
+    // r15: running-max window over the aggregated distinct-price frame +
+    // broadcast frontier-test join
+    "q_skyline",
+    // r15: cosine rank windows with 6-decimal round + id tie-break, then
+    // a self-join for mutuality — edge sets must not depend on layout
+    "sim_knn_graph")
 
   private def rows(name: String): Set[String] =
     SparkEntry.queries(name)(spark, sf).collect()

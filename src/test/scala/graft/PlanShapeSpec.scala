@@ -62,7 +62,12 @@ class PlanShapeSpec extends SparkSpec {
       // sim_mips_topk broadcasts the same bounded 10-row query set as
       // sim_topk_bruteforce against the corpus scan; tx_unigram_logprob
       // attaches the 1-row corpus-total scalar to the vocab aggregate.
-      "sim_mips_topk", "tx_unigram_logprob")
+      "sim_mips_topk", "tx_unigram_logprob",
+      // sim_knn_graph self-broadcasts the BOUNDED ≤256-node sample for
+      // the all-pairs scoring (constant in corpus size by construction);
+      // dd_phrase_hotlist attaches the 1-row corpus doc-count scalar to
+      // the distinct-phrase aggregate.
+      "sim_knn_graph", "dd_phrase_hotlist")
 
   /** Analysis must succeed for EVERY registered query, reported per-query.
     * Without this, a data-contract drift (like the r7 events.ts dtype

@@ -53,4 +53,20 @@ class SurveySyncSpec extends AnyFunSuite {
     val dups = names.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate SURVEY §2 entries: ${dups.mkString(", ")}")
   }
+
+  /** Registering a query without wiring its oracle silently downgrades the
+    * driver's gate to a rows-only check (caught live in r15: ct_read_load
+    * shipped with a written-but-unregistered oracle and the full-gate OK
+    * count just looked one lower). Every registered query must have an
+    * oracleSql entry unless it is on the DECLARED rows-only list.
+    */
+  test("every registered query has an oracle unless declared rows-only") {
+    val rowsOnly = Set("q_approx_distinct") // approximate by design (§2)
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    val phantom = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty,
+      s"registered without an oracle: ${missing.toSeq.sorted.mkString(", ")}")
+    assert(phantom.isEmpty,
+      s"oracle without a registered query: ${phantom.toSeq.sorted.mkString(", ")}")
+  }
 }
