@@ -108,7 +108,12 @@ object PlanShape {
 object AqePlanProbe {
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS_AQE.json"
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    // Dual-scale (VERDICT r14 #6): one section per sf directory, default
+    // bench scale only; pass extra dirs (e.g. a 10×-replicated set) to
+    // record which runtime decisions FLIP as the data grows —
+    // PlanShapeSpec gates the flips against an explicit allowlist.
+    val sfDirs =
+      if (args.length > 1) args.drop(1).toSeq else Seq("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -118,15 +123,24 @@ object AqePlanProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val cs = PlanShape.countsAqeFinal(spark, fn(spark, sfDir))
-      val body = cs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
-      s"""  "$name": {$body}"""
+    val sections = sfDirs.map { sfDir =>
+      val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val cs = PlanShape.countsAqeFinal(spark, fn(spark, sfDir))
+        val body = cs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
+        s"""  "$name": {$body}"""
+      }
+      System.err.println(s"[aqe-probe] $sfDir done (${lines.size} queries)")
+      val tail = "\n}}"
+      lines.mkString(
+        s"""{"sf": "$sfDir", "aqe": true, "queries": {\n""", ",\n", tail)
     }
-    val json = lines.mkString(
-      s"""{"sf": "$sfDir", "aqe": true, "queries": {\n""", ",\n", "\n}}\n")
+    // Multi-dir runs wrap sections (the PlanProbe layout); a single-dir
+    // run keeps the flat pre-r15 shape so older parsers stay valid.
+    val json =
+      if (sections.size == 1) sections.head + "\n"
+      else sections.mkString("{\"sections\": [\n", ",\n", "\n]}\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
-    println(s"wrote $out (${lines.size} queries, AQE-final)")
+    println(s"wrote $out (${sections.size} sections, AQE-final)")
     spark.stop()
   }
 }

@@ -1203,7 +1203,17 @@ object Namespace {
     * map-side-combined partials.
     */
   def compactionPlan(keys: DataFrame, targetBytes: Long): DataFrame = {
-    PrefixScan.scanState(keys, Seq("volume", "bucket"), Seq(col("key")),
+    // Order by (key, size), not key alone: the driver's synthetic lineitem
+    // carries duplicate (o, l) rows, i.e. duplicate key PATHS with
+    // distinct sizes, and scanState's contract needs a total order — with
+    // key-only ordering the engines may interleave equal-key rows
+    // differently and a group boundary falling between them assigns them
+    // different groups (caught live by the r15 sf1 gate: 28 drifted rows
+    // at 10×, green at sf0.01 where no boundary split a duplicate pair).
+    // Full-duplicate rows (same key AND size) remain interchangeable: any
+    // order yields the same visible aggregates.
+    PrefixScan.scanState(keys, Seq("volume", "bucket"),
+        Seq(col("key"), col("size")),
         col("size"), cumOut = Some("bytes_before"))
       // floor(), not a bare cast: DuckDB casts double→BIGINT by rounding
       // to nearest while Spark truncates — floor first agrees everywhere
@@ -1224,7 +1234,7 @@ object Namespace {
     s"""WITH keys AS ($ks), cum AS (
        |  SELECT volume, bucket, key, size,
        |    COALESCE(SUM(size) OVER (PARTITION BY volume, bucket
-       |      ORDER BY key ASC
+       |      ORDER BY key ASC, size ASC
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |      AS bytes_before
        |  FROM keys

@@ -578,45 +578,50 @@ object Relational {
     * price source, which also makes the min-per-group run over the big
     * side: one shuffle on l_partkey for the window min, then a broadcast
     * supplier join for the name). Ties on price break to the smallest
-    * suppkey — deterministic on both engines. Unit price is a per-row
-    * IEEE double division (identical bits cross-engine); only the final
-    * output is rounded.
+    * suppkey — deterministic on both engines. Unit price is EXACT integer
+    * micro-units: cents·10,000 integer-divided by the (whole-number)
+    * quantity — the earlier `round(double_division, 6)` emit hit the
+    * engines' round-half disagreement on quotients landing exactly on the
+    * half-microunit boundary (caught live by the r15 sf1 gate: 4 rows at
+    * 10× whose 133.7415625 rounded up in Spark and down in DuckDB); an
+    * integral divide of non-negative operands cannot disagree.
     */
   def qCheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     val up = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_suppkey"),
-        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 1000000 AS BIGINT)" +
+          " div CAST(l_quantity AS BIGINT)").as("unit_price_micro"))
     val best = up
-      .withColumn("min_price", min(col("unit_price")).over(w))
-      .filter(col("unit_price") === col("min_price"))
+      .withColumn("min_price", min(col("unit_price_micro")).over(w))
+      .filter(col("unit_price_micro") === col("min_price"))
       .groupBy(col("l_partkey"))
       .agg(min(col("l_suppkey")).as("best_suppkey"),
-        min(col("min_price")).as("best_unit_price"))
+        min(col("min_price")).as("best_unit_price_micro"))
     best
       .join(broadcast(Tables.supplier(spark, dir)),
         col("best_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("best_suppkey"),
-        round(col("best_unit_price"), 6).as("best_unit_price"), col("s_name"))
+        col("best_unit_price_micro"), col("s_name"))
       .orderBy(col("l_partkey").asc)
   }
 
   val qCheapestSupplierSql: String =
     """WITH up AS (
       |  SELECT l_partkey, l_suppkey,
-      |    l_extendedprice / l_quantity AS unit_price
+      |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 1000000 AS BIGINT)
+      |      // CAST(l_quantity AS BIGINT) AS unit_price_micro
       |  FROM lineitem
       |), m AS (
-      |  SELECT l_partkey, l_suppkey, unit_price,
-      |    MIN(unit_price) OVER (PARTITION BY l_partkey) AS min_price
+      |  SELECT l_partkey, l_suppkey, unit_price_micro,
+      |    MIN(unit_price_micro) OVER (PARTITION BY l_partkey) AS min_price
       |  FROM up
       |), best AS (
       |  SELECT l_partkey, MIN(l_suppkey) AS best_suppkey,
-      |    MIN(min_price) AS best_unit_price
-      |  FROM m WHERE unit_price = min_price GROUP BY l_partkey
+      |    MIN(min_price) AS best_unit_price_micro
+      |  FROM m WHERE unit_price_micro = min_price GROUP BY l_partkey
       |)
-      |SELECT b.l_partkey, b.best_suppkey,
-      |  round(b.best_unit_price, 6) AS best_unit_price, s.s_name
+      |SELECT b.l_partkey, b.best_suppkey, b.best_unit_price_micro, s.s_name
       |FROM best b JOIN supplier s ON b.best_suppkey = s.s_suppkey
       |ORDER BY b.l_partkey ASC""".stripMargin
 

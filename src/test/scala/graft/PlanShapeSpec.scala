@@ -258,18 +258,24 @@ class PlanShapeSpec extends SparkSpec {
       entry.findAllMatchIn(text).map(m =>
         m.group(1) -> (m.group(2).toInt, m.group(5).toInt, m.group(6).toInt)).toMap
     val aqeText = java.nio.file.Files.readString(aqeLatest.toPath)
-    val aqeSf = aqeText.split("\"sf\": \"")(1).takeWhile(_ != '"')
-    val aqe = parse(aqeText)
-    // Static baseline: the section of the SAME sf in the latest static
-    // artifact (pre-r14 single-section artifacts compare only if sf match).
-    val statSection = java.nio.file.Files.readString(statLatest.toPath)
-      .split("\"sf\": \"").toSeq.drop(1)
-      .find(_.startsWith(aqeSf + "\""))
-    assume(statSection.nonEmpty,
-      s"${statLatest.getName} has no $aqeSf section to compare against")
-    val stat = parse(statSection.get)
-    assert(aqe.size > 200 && stat.size > 200,
-      s"artifact parse failure: aqe=${aqe.size} static=${stat.size}")
+    // r15+: multi-section AQE artifacts ({"sections": [...]}) carry one
+    // section per sf; the pre-r15 flat artifact is the one-section case.
+    val aqeSections: Seq[(String, Map[String, (Int, Int, Int)])] =
+      aqeText.split("\"sf\": \"").toSeq.drop(1).map { chunk =>
+        chunk.takeWhile(_ != '"') -> parse(chunk)
+      }
+    val statText = java.nio.file.Files.readString(statLatest.toPath)
+    val statSections: Map[String, Map[String, (Int, Int, Int)]] =
+      statText.split("\"sf\": \"").toSeq.drop(1)
+        .map(chunk => chunk.takeWhile(_ != '"') -> parse(chunk)).toMap
+    // Gate every AQE section that has a static twin at the SAME sf (a
+    // scale-probe section like a /tmp 10× replica has no static twin and
+    // is gated by the flip test below instead).
+    val gatedPairs = aqeSections.flatMap { case (sf, aqe) =>
+      statSections.get(sf).map(stat => (sf, aqe, stat))
+    }
+    assume(gatedPairs.nonEmpty,
+      s"${statLatest.getName} has no section matching any AQE section")
     // Checkpoint-truncated plans get a bounded allowance: under AQE the
     // eagerly-materialized localCheckpoint RDD loses the static plan's
     // preserved hash-partitioning guarantee (AQE's coalesced shuffle
@@ -282,22 +288,97 @@ class PlanShapeSpec extends SparkSpec {
       "pipe_curate", "pipe_dedup_funnel", "pipe_token_yield",
       "ns_snapshot_diff_chain", "q15_top_supplier", "ns_fso_paths",
       "ns_fso_du")
-    val bad = aqe.toSeq.sortBy(_._1).flatMap { case (name, (aEx, aBj, aSmj)) =>
-      stat.get(name).flatMap { case (sEx, sBj, sSmj) =>
-        if (aSmj != sSmj || aBj != sBj)
-          info(s"$name AQE flip at $aqeSf: smj $sSmj→$aSmj, bhj $sBj→$aBj")
-        val allowance = if (ckptTruncated(name)) 3 else 0
-        if (aEx > sEx + allowance)
-          Some(s"$name: runtime $aEx exchanges vs $sEx static at $aqeSf")
-        else {
-          if (aEx > sEx)
-            info(s"$name post-checkpoint re-shuffle under AQE: $aEx vs $sEx " +
-              "static (delta-sized frame, within allowance)")
-          None
+    val bad = gatedPairs.flatMap { case (aqeSf, aqe, stat) =>
+      assert(aqe.size > 200 && stat.size > 200,
+        s"artifact parse failure at $aqeSf: aqe=${aqe.size} static=${stat.size}")
+      aqe.toSeq.sortBy(_._1).flatMap { case (name, (aEx, aBj, aSmj)) =>
+        stat.get(name).flatMap { case (sEx, sBj, sSmj) =>
+          if (aSmj != sSmj || aBj != sBj)
+            info(s"$name AQE flip at $aqeSf: smj $sSmj→$aSmj, bhj $sBj→$aBj")
+          val allowance = if (ckptTruncated(name)) 3 else 0
+          if (aEx > sEx + allowance)
+            Some(s"$name: runtime $aEx exchanges vs $sEx static at $aqeSf")
+          else {
+            if (aEx > sEx)
+              info(s"$name post-checkpoint re-shuffle under AQE: $aEx vs $sEx " +
+                "static (delta-sized frame, within allowance)")
+            None
+          }
         }
       }
     }
     assert(bad.isEmpty,
       s"AQE-final plans grew shuffle exchanges vs the static shapes:\n${bad.mkString("\n")}")
+  }
+
+  /** Cross-SCALE AQE flip gate (VERDICT r14 #6): when the AQE artifact
+    * carries a second, larger-scale section (a 10×-replicated set), the
+    * only acceptable broadcast→SMJ flips are the INTENDED ones — joins
+    * whose build side genuinely grows with the corpus (so AQE correctly
+    * abandons the broadcast once it outgrows the threshold). A flip
+    * OUTSIDE the allowlist means a join we believed bounded (a dimension,
+    * a model, a scalar) is actually corpus-sized — the exact class of
+    * silent scale bug this gate exists to catch. The reverse direction
+    * (SMJ→broadcast at the larger scale) is always fine.
+    */
+  test("broadcast→SMJ flips between AQE scales stay within the intended allowlist") {
+    val dir = Option(new java.io.File(".").listFiles()).get.toSeq
+    val aqeArts = dir.filter(_.getName.matches("PLANS_AQE_r\\d+\\.json"))
+    assume(aqeArts.nonEmpty, "no PLANS_AQE_r{n}.json artifact committed yet")
+    val aqeLatest = aqeArts.maxBy(f =>
+      f.getName.stripPrefix("PLANS_AQE_r").stripSuffix(".json").toInt)
+    val entry = ("\"([a-z0-9_]+)\": \\{\"exchanges\": (\\d+), " +
+      "(?:\"reused_exchanges\": (\\d+), )?\"broadcast_exchanges\": (\\d+), " +
+      "\"broadcast_joins\": (\\d+), \"sort_merge_joins\": (\\d+)").r
+    def parse(text: String): Map[String, (Int, Int)] =
+      entry.findAllMatchIn(text).map(m =>
+        m.group(1) -> (m.group(5).toInt, m.group(6).toInt)).toMap
+    val sections = java.nio.file.Files.readString(aqeLatest.toPath)
+      .split("\"sf\": \"").toSeq.drop(1)
+      .map(chunk => chunk.takeWhile(_ != '"') -> parse(chunk))
+    assume(sections.size >= 2,
+      s"${aqeLatest.getName} has a single section — no cross-scale record")
+    // Joins whose build side grows with the corpus, so the 10× flip to
+    // SMJ is the PLAN WE WANT at scale (each verified in the r15 probe):
+    // dd_* verify/edge joins carry the near-dup candidate frame; the
+    // snapshot-diff family joins two corpus-sized namespace states;
+    // ev_asof/range join day/hour-blocked event frames; q18/q21/q_cust_*
+    // join order-keyed fact aggregates that track the fact table.
+    val intendedGrowth = Set(
+      "dd_ngram_jaccard", "dd_threshold_sweep", "dd_band_sweep",
+      "dd_sig_width_sweep", "dd_containment", "dd_source_dup_matrix",
+      "dd_edit_distance", "dd_candidate_graph", "dd_minhash_lsh",
+      "dd_lsh_audit", "dd_incremental", "dd_modality_agreement",
+      "dd_chunk_exact", "dd_dup_bytes", "dd_exact", "dd_winnow_stats",
+      "dd_substring_containment", "dd_rep_selection", "dd_canonical",
+      "dd_components", "dd_cluster_sizes", "dd_semantic_clusters",
+      "dd_cosine_sweep", "dd_embed_cosine", "dd_minhash_est",
+      "pipe_curate", "pipe_dedup_funnel", "pipe_token_yield",
+      "pipe_dedup_weights", "tx_crossdup", "tx_novelty",
+      "ns_snapshot_diff", "ns_snapshot_diff_summary",
+      "ns_snapshot_diff_chain", "ns_snapshot_space", "ns_du_incremental",
+      "ev_asof_join", "ev_range_join", "ev_attribution",
+      "q18_large_volume", "q21_waiting_supplier", "q13_order_count_dist",
+      "q_cust_with_big_orders", "q_cust_no_orders", "q_order_gap",
+      "q_integrity_audit", "q_bloom_semijoin", "q_join_skew_salted",
+      "ns_key_versions", "ns_lookup_key", "ns_liststatus",
+      "mm_phash_dedup", "mm_scene_cut")
+    val (sfA, base) = sections.head
+    val violations = sections.drop(1).flatMap { case (sfB, big) =>
+      big.toSeq.sortBy(_._1).flatMap { case (name, (bBj, bSmj)) =>
+        base.get(name).flatMap { case (aBj, aSmj) =>
+          if (bSmj > aSmj && !intendedGrowth(name))
+            Some(s"$name: smj $aSmj@$sfA → $bSmj@$sfB (unlisted flip — " +
+              "a 'bounded' broadcast side is growing with the corpus)")
+          else {
+            if (bSmj != aSmj || bBj != aBj)
+              info(s"$name scale flip: smj $aSmj→$bSmj, bhj $aBj→$bBj ($sfA→$sfB)")
+            None
+          }
+        }
+      }
+    }
+    assert(violations.isEmpty,
+      s"unlisted broadcast→SMJ scale flips:\n${violations.mkString("\n")}")
   }
 }

@@ -2,13 +2,17 @@
 """Local replica of the driver's correctness gate: run each oracle_sql.json
 query in DuckDB over the sf tables, compare to Spark's parquet dump
 (columns sorted by name, rows sorted, values hashed)."""
-import sys, json, glob, duckdb, pandas as pd, numpy as np
+import sys, json, glob, os, duckdb, pandas as pd, numpy as np
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    # Driver tables are single files; Spark-written replicas (the 10x
+    # scale probe) are directories of part files - glob those.
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 def canon(df):

@@ -5,13 +5,15 @@ output directory — the same computation as check.py, structured instead of
 line-printed. Usage: correctness_artifact.py <sf_dir> <verify_out_dir> <artifact.json>
 Queries registered without an oracle (q_approx_distinct) are recorded as
 rows-only: rows_match from spark_rows > 0, hash/schema null."""
-import sys, json, glob, hashlib, duckdb, pandas as pd, numpy as np
+import sys, json, glob, os, hashlib, duckdb, pandas as pd, numpy as np
 
 sf_dir, out_dir, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    p = f"{sf_dir}/{t}.parquet"
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
