@@ -331,10 +331,11 @@ object Audit {
   def nsPrefixHotspot(spark: SparkSession, dir: String): DataFrame =
     prefixHotspotOf(auditLog(spark, dir))
 
-  /** The hotspot core over any audit-shaped frame ([[auditEntries]]
-    * schema) — spec seam for constructed burst patterns.
+  /** The per-minute counter grain shared by the batch hotspot report and
+    * its streaming twin ([[graft.streaming.StreamOps.prefixMinuteStream]]):
+    * per (volume, bucket, prefix, minute) — requests, reads, writes.
     */
-  private[graft] def prefixHotspotOf(audit: DataFrame): DataFrame =
+  private[graft] def prefixMinuteCounts(audit: DataFrame): DataFrame =
     audit
       .groupBy(col("volume"), col("bucket"), col("prefix"), col("ts_minute"))
       .agg(count(lit(1)).as("c"),
@@ -342,6 +343,12 @@ object Audit {
           .as("r"),
         sum(when(col("op").isin("READ_KEY", "LIST_KEYS"), 0L).otherwise(1L))
           .as("w"))
+
+  /** The hotspot core over any audit-shaped frame ([[auditEntries]]
+    * schema) — spec seam for constructed burst patterns.
+    */
+  private[graft] def prefixHotspotOf(audit: DataFrame): DataFrame =
+    prefixMinuteCounts(audit)
       .groupBy(col("volume"), col("bucket"), col("prefix"))
       .agg(sum(col("c")).as("n_requests"), sum(col("r")).as("n_reads"),
         sum(col("w")).as("n_writes"),

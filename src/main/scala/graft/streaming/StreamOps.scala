@@ -101,6 +101,24 @@ object StreamOps {
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"))
 
+  /** Streaming per-prefix request-rate counters — the CDC feed of
+    * [[graft.operators.Audit.nsPrefixHotspot]]: audit entries derive
+    * per-row from the event stream (the shared
+    * [[graft.operators.Audit.auditEntries]] projection) and fold into the
+    * SAME per-(volume, bucket, prefix, minute) counter grain the batch
+    * report rolls up ([[graft.operators.Audit.prefixMinuteCounts]] — the
+    * shared core, so the two can never drift). State is the open minute
+    * set under a 2-hour watermark — bounded by the horizon × active
+    * prefixes, not stream length; the hotspot verdict (totals, peak, hot
+    * flag) is a downstream batch rollup over this compact frame, exactly
+    * as the S3-side throttle monitors consume it.
+    */
+  def prefixMinuteStream(events: DataFrame): DataFrame =
+    graft.operators.Audit.prefixMinuteCounts(
+      graft.operators.Audit.auditEntries(events)
+        .withColumn("ts_minute", col("ts_minute").cast("timestamp"))
+        .withWatermark("ts_minute", "2 hours"))
+
   /** Streaming pending-deletion accounting — the trash-emptier / lifecycle
     * twin of the batch `ns_trash_pending` rollup: deleted-key records
     * stream in and per-day per-bucket pending counts/bytes aggregate under

@@ -29,6 +29,44 @@ class StreamingSpec extends SparkSpec {
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
 
+  test("streaming per-prefix minute counters roll up to the batch hotspot report") {
+    val stream = StreamOps.eventStream(spark, eventsDir)
+    val q = StreamOps.prefixMinuteStream(stream)
+      .writeStream
+      .format("memory")
+      .queryName("prefix_minute_test")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // The streamed minute frame must equal the batch grain exactly...
+    val streamed = spark.table("prefix_minute_test").collect()
+      .map(r => (r.getString(r.fieldIndex("volume")),
+        r.getString(r.fieldIndex("bucket")), r.getString(r.fieldIndex("prefix")),
+        r.getTimestamp(r.fieldIndex("ts_minute")),
+        r.getLong(r.fieldIndex("c")), r.getLong(r.fieldIndex("r")),
+        r.getLong(r.fieldIndex("w")))).toSet
+    val batch = graft.operators.Audit.prefixMinuteCounts(
+      graft.operators.Audit.auditLog(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getTimestamp(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+
+    // ...and rolling it up downstream reproduces the full hotspot report.
+    val rolled = spark.table("prefix_minute_test")
+      .groupBy(col("volume"), col("bucket"), col("prefix"))
+      .agg(sum(col("c")).as("n_requests"), sum(col("r")).as("n_reads"),
+        sum(col("w")).as("n_writes"), count(lit(1)).as("active_minutes"),
+        max(col("c")).as("peak_per_minute"))
+      .withColumn("hot_flag",
+        when(col("peak_per_minute") * col("active_minutes") >
+          col("n_requests") * 2, "y").otherwise("n"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val report = graft.operators.Audit.nsPrefixHotspot(spark, sf)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(rolled == report)
+  }
+
   test("streaming tumbling counts equal the batch aggregation") {
     val stream = StreamOps.eventStream(spark, eventsDir)
     val q = StreamOps.tumblingCounts(stream)
