@@ -1436,9 +1436,13 @@ object Containers {
       .groupBy(col("container_id"), col("volume"), col("bucket"),
         lpad(month(col("mtime")).cast("string"), 2, "0").as("month"))
       .agg(count(lit(1)).as("n_keys"))
+    // Wide product AND wide sum (the nsChargeback discipline): at 100 TB
+    // a (reads ≈ 5e9) × (keys ≈ 3e6) cell already sits at 1.5e16 and the
+    // per-node rollup of ~50 containers × 180 months crosses int64.
     val perNode = ck.join(broadcast(reads), Seq("volume", "bucket", "month"))
       .groupBy(col("container_id"))
-      .agg(sum(col("n_reads") * col("n_keys")).as("exposure"))
+      .agg(sum(col("n_reads").cast("decimal(38,0)") * col("n_keys"))
+        .as("exposure"))
       .withColumn("replicas",
         ObjectStoreView.containerReplicas(col("container_id")))
       .filter(col("replicas") >= 1)
@@ -1452,9 +1456,12 @@ object Containers {
       .withColumn("tot",
         sum(col("read_exposure")).over(Window.partitionBy(lit(1))))
       .withColumn("share_ppm",
-        expr(graft.functions.Codes.sharePpmExpr("read_exposure", "tot")))
+        expr(graft.functions.Codes.sharePpmExpr("read_exposure", "tot"))
+          .cast("bigint"))
+      // Accumulate wide, REPORT as BIGINT (the nsChargeback emit rule).
       .select(col("node_id"), col("n_container_replicas"),
-        col("read_exposure"), col("share_ppm"))
+        col("read_exposure").cast("bigint").as("read_exposure"),
+        col("share_ppm"))
       .orderBy(col("node_id").asc)
   }
 
@@ -1471,22 +1478,23 @@ object Containers {
        |  FROM ck GROUP BY container_id, volume, bucket, month
        |), expo AS (
        |  SELECT ckm.container_id,
-       |    CAST(SUM(reads.n_reads * ckm.n_keys) AS BIGINT) AS exposure
+       |    SUM(CAST(reads.n_reads AS HUGEINT) * ckm.n_keys) AS exposure
        |  FROM ckm JOIN reads USING (volume, bucket, month)
        |  GROUP BY ckm.container_id
        |), per_node AS (
        |  SELECT (e.container_id * 31 + u.r * 17) % 20 AS node_id,
        |    COUNT(*) AS n_container_replicas,
-       |    CAST(SUM(e.exposure) AS BIGINT) AS read_exposure
+       |    SUM(e.exposure) AS exposure_wide
        |  FROM expo e, UNNEST(range(1,
        |    ${ObjectStoreView.containerReplicasSql("e.container_id")} + 1))
        |    AS u(r)
        |  WHERE ${ObjectStoreView.containerReplicasSql("e.container_id")} >= 1
        |  GROUP BY node_id
        |)
-       |SELECT node_id, n_container_replicas, read_exposure,
-       |  CAST(${graft.functions.Codes.sharePpmSql("read_exposure",
-              "SUM(read_exposure) OVER ()")} AS BIGINT) AS share_ppm
+       |SELECT node_id, n_container_replicas,
+       |  CAST(exposure_wide AS BIGINT) AS read_exposure,
+       |  CAST(${graft.functions.Codes.sharePpmSql("exposure_wide",
+              "SUM(exposure_wide) OVER ()")} AS BIGINT) AS share_ppm
        |FROM per_node ORDER BY node_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1820,7 +1820,11 @@ object EventOps {
     * milli units — the "can we ship arm A" gate, computed without a single
     * float. (ad−bc)² clears int64 once arms pass ~3e4 users, so the
     * product chain runs in DECIMAL(38,0) / HUGEINT end-to-end (the
-    * [[evRfm]] accumulation discipline applied to a test statistic); the
+    * [[evRfm]] accumulation discipline applied to a test statistic), and
+    * past 1e7 users even 38 digits overflow (worst case is an N⁵ term) —
+    * there both engines scale the four cells down 2¹⁰ first and scale the
+    * result back (χ² is degree-1 homogeneous in the cells), extending the
+    * exact-enough domain to ~1e10 users; the
     * milli quotient is one integral divide of a non-negative numerator, so
     * Spark's DIV and DuckDB's // agree. significant_95 compares against
     * the χ²(1 df) 95% critical value 3.841 AS INTEGERS (milli vs 3841) —
@@ -1861,13 +1865,36 @@ object EventOps {
       // nullif-guarded: a degenerate table (an all-but-empty arm or a
       // universal outcome zeroing a margin) yields NULL, not an ANSI
       // divide-by-zero — and DuckDB's `// NULL` is NULL identically.
+      // Magnitude guard (the sharePpm two-leg discipline): the exact
+      // numerator N·(ad−bc)²·1000 clears DECIMAL(38,0)/HUGEINT once
+      // N ≳ 1e7 (worst-case ad−bc = N²/4 → N⁵ term), where Spark would
+      // NULL and DuckDB would ERROR — divergent AND useless. Past the
+      // bound both engines scale all four cells by 2^10 first; χ² is
+      // homogeneous of degree 1 in the cells, so the result is scaled
+      // back ×1024 (ppm-level truncation error on a statistic that is
+      // astronomically significant at that N either way).
       .withColumn("chi2_milli", expr(
-        """CAST((CAST(a + b + c + d AS DECIMAL(38,0))
+        """CASE WHEN a + b + c + d <= 10000000 THEN
+          | CAST((CAST(a + b + c + d AS DECIMAL(38,0))
           |  * CAST(a*d - b*c AS DECIMAL(38,0)) * CAST(a*d - b*c AS DECIMAL(38,0))
           |  * 1000)
           | div nullif(CAST(a + b AS DECIMAL(38,0)) * CAST(c + d AS DECIMAL(38,0))
           |  * CAST(a + c AS DECIMAL(38,0)) * CAST(b + d AS DECIMAL(38,0)), 0)
-          | AS BIGINT)""".stripMargin.replace("\n", " ")))
+          | AS BIGINT)
+          |ELSE
+          | 1024 * CAST((CAST((a + b + c + d) div 1024 AS DECIMAL(38,0))
+          |  * CAST(a div 1024 * (d div 1024) - b div 1024 * (c div 1024)
+          |      AS DECIMAL(38,0))
+          |  * CAST(a div 1024 * (d div 1024) - b div 1024 * (c div 1024)
+          |      AS DECIMAL(38,0))
+          |  * 1000)
+          | div nullif(
+          |   CAST((a + b) div 1024 AS DECIMAL(38,0))
+          |  * CAST((c + d) div 1024 AS DECIMAL(38,0))
+          |  * CAST((a + c) div 1024 AS DECIMAL(38,0))
+          |  * CAST((b + d) div 1024 AS DECIMAL(38,0)), 0)
+          | AS BIGINT)
+          |END""".stripMargin.replace("\n", " ")))
       .withColumn("significant_95",
         when(col("chi2_milli") >= 3841L, "y").otherwise("n"))
       .select(col("n_users_a"), col("n_users_b"),
@@ -1898,22 +1925,37 @@ object EventOps {
       |      AS BIGINT) AS d
       |  FROM armed
       |)
+      |, stat AS (
+      |  SELECT a, b, c, d,
+      |    CASE WHEN a + b + c + d <= 10000000 THEN
+      |      CAST((CAST(a + b + c + d AS HUGEINT)
+      |        * CAST(a*d - b*c AS HUGEINT) * CAST(a*d - b*c AS HUGEINT)
+      |        * 1000)
+      |      // nullif(CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
+      |        * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT), 0)
+      |      AS BIGINT)
+      |    ELSE
+      |      1024 * CAST((CAST((a + b + c + d) // 1024 AS HUGEINT)
+      |        * CAST(a // 1024 * (d // 1024) - b // 1024 * (c // 1024)
+      |            AS HUGEINT)
+      |        * CAST(a // 1024 * (d // 1024) - b // 1024 * (c // 1024)
+      |            AS HUGEINT)
+      |        * 1000)
+      |      // nullif(CAST((a + b) // 1024 AS HUGEINT)
+      |        * CAST((c + d) // 1024 AS HUGEINT)
+      |        * CAST((a + c) // 1024 AS HUGEINT)
+      |        * CAST((b + d) // 1024 AS HUGEINT), 0) AS BIGINT)
+      |    END AS chi2_milli
+      |  FROM t
+      |)
       |SELECT a + b AS n_users_a, c + d AS n_users_b, a AS conv_a, c AS conv_b,
       |  a * 1000000 // nullif(a + b, 0) AS conv_a_ppm,
       |  c * 1000000 // nullif(c + d, 0) AS conv_b_ppm,
       |  a * 1000000 // nullif(a + b, 0) - c * 1000000 // nullif(c + d, 0)
       |    AS lift_ppm,
-      |  CAST((CAST(a + b + c + d AS HUGEINT)
-      |      * CAST(a*d - b*c AS HUGEINT) * CAST(a*d - b*c AS HUGEINT) * 1000)
-      |    // nullif(CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
-      |      * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT), 0) AS BIGINT)
-      |    AS chi2_milli,
-      |  CASE WHEN CAST((CAST(a + b + c + d AS HUGEINT)
-      |      * CAST(a*d - b*c AS HUGEINT) * CAST(a*d - b*c AS HUGEINT) * 1000)
-      |    // nullif(CAST(a + b AS HUGEINT) * CAST(c + d AS HUGEINT)
-      |      * CAST(a + c AS HUGEINT) * CAST(b + d AS HUGEINT), 0) AS BIGINT)
-      |    >= 3841 THEN 'y' ELSE 'n' END AS significant_95
-      |FROM t""".stripMargin
+      |  chi2_milli,
+      |  CASE WHEN chi2_milli >= 3841 THEN 'y' ELSE 'n' END AS significant_95
+      |FROM stat""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_ab_significance" -> evAbSignificance,
