@@ -1317,6 +1317,81 @@ object RelationalExt {
              "total_cents")} AS BIGINT) AS top_share_ppm
        |FROM agg""".stripMargin
 
+  // --- q_customer_deciles: the full Lorenz table ---------------------------
+  /** Customer-spend deciles — the full concentration table behind
+    * [[qRevenueTopdecile]]'s single point: customers ranked by exact spend
+    * (cents desc, custkey tie-break), dealt into 10 rank buckets by the
+    * closed form (rnk−1)·10 div n (remainders to the FIRST buckets, the
+    * pipe_curriculum NTILE-equivalent), and per decile: customers, revenue
+    * cents, the spend range, and share + CUMULATIVE share of total revenue
+    * in guarded exact ppm (the Lorenz curve a revenue-concentration report
+    * plots). Decile 0 equals the topdecile report row exactly —
+    * ceil(n/10) membership on both closed forms — and the spec pins that
+    * cross-operator law.
+    *
+    * Scale: the per-customer aggregate partial-combines map-side; the
+    * global rank runs DISTRIBUTED via [[PrefixScan.scanState]]'s
+    * empty-group case (no single-task ROW_NUMBER); the decile rollup and
+    * both share windows run over the ≤10-row frame.
+    */
+  def qCustomerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).as("cents"))
+    val ranked = graft.operators.PrefixScan.scanState(perCust, Seq.empty,
+      Seq(negate(col("cents")), col("o_custkey")), lit(1L),
+      rankOut = Some("rnk"), totalOut = Some("n"))
+    ranked.withColumn("decile", expr("(rnk - 1) * 10 div n"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("revenue_cents"),
+        max(col("cents")).as("max_cents"), min(col("cents")).as("min_cents"))
+      .withColumn("tot",
+        sum(col("revenue_cents")).over(Window.partitionBy(lit(1))))
+      .withColumn("cum", sum(col("revenue_cents")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("share_ppm", expr(graft.functions.Codes
+        .sharePpmExpr("revenue_cents", "tot")))
+      .withColumn("cum_share_ppm", expr(graft.functions.Codes
+        .sharePpmExpr("cum", "tot")))
+      .select(col("decile"), col("n_customers"), col("revenue_cents"),
+        col("min_cents"), col("max_cents"), col("share_ppm"),
+        col("cum_share_ppm"))
+      .orderBy(col("decile").asc)
+  }
+
+  val qCustomerDecilesSql: String =
+    s"""WITH per_cust AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+       |      AS BIGINT)) AS BIGINT) AS cents
+       |  FROM orders GROUP BY o_custkey
+       |), ranked AS (
+       |  SELECT cents,
+       |    ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rnk,
+       |    COUNT(*) OVER () AS n
+       |  FROM per_cust
+       |), dec AS (
+       |  SELECT (rnk - 1) * 10 // n AS decile, COUNT(*) AS n_customers,
+       |    CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       |    MAX(cents) AS max_cents, MIN(cents) AS min_cents
+       |  FROM ranked GROUP BY decile
+       |), shares AS (
+       |  SELECT decile, n_customers, revenue_cents, min_cents, max_cents,
+       |    SUM(revenue_cents) OVER () AS tot,
+       |    SUM(revenue_cents) OVER (ORDER BY decile
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM dec
+       |)
+       |SELECT decile, n_customers, revenue_cents, min_cents, max_cents,
+       |  CAST(${graft.functions.Codes.sharePpmSql("revenue_cents", "tot")}
+       |    AS BIGINT) AS share_ppm,
+       |  CAST(${graft.functions.Codes.sharePpmSql("cum", "tot")}
+       |    AS BIGINT) AS cum_share_ppm
+       |FROM shares ORDER BY decile ASC""".stripMargin
+
   // --- q_join_skew: join-key heavy-hitter / skew diagnostic ---------------
   /** Pre-join skew probe on the lineitem⋈orders key: the top heavy-hitter
     * order keys by lineitem row count, each with its exact corpus share in
@@ -1722,6 +1797,7 @@ object RelationalExt {
       |FROM d ORDER BY day ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_customer_deciles" -> qCustomerDeciles,
     "q_skyline" -> qSkyline,
     "q_revenue_drawdown" -> qRevenueDrawdown,
     "q_null_profile" -> qNullProfile,
@@ -1757,6 +1833,7 @@ object RelationalExt {
     "q_order_gap" -> qOrderGap)
 
   val oracles: Map[String, String] = Map(
+    "q_customer_deciles" -> qCustomerDecilesSql,
     "q_skyline" -> qSkylineSql,
     "q_revenue_drawdown" -> qRevenueDrawdownSql,
     "q_seasonality" -> qSeasonalitySql,

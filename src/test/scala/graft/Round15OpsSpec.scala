@@ -175,6 +175,36 @@ class Round15OpsSpec extends SparkSpec {
     }
   }
 
+  // --- q_customer_deciles --------------------------------------------------
+
+  test("q_customer_deciles partitions customers, conserves revenue, and " +
+      "its decile 0 equals the topdecile report") {
+    val dec = RelationalExt.qCustomerDeciles(spark, sf).collect()
+    assert(dec.nonEmpty && dec.length <= 10)
+    val perCust = Tables.orders(spark, sf).groupBy(col("o_custkey"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")).as("cents"))
+    assert(dec.map(_.getAs[Long]("n_customers")).sum == perCust.count())
+    val totalCents = perCust.agg(sum(col("cents"))).collect().head.getLong(0)
+    assert(dec.map(_.getAs[Long]("revenue_cents")).sum == totalCents)
+    // Rank-descending deal: a decile's floor spend >= the next's ceiling.
+    dec.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Long]("min_cents") >= w(1).getAs[Long]("max_cents"))
+    }
+    // Cumulative share is monotone and ends within rounding of 1e6.
+    val cums = dec.map(_.getAs[Long]("cum_share_ppm"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(cums.last <= 1000000L && cums.last > 1000000L - dec.length)
+    // Cross-operator law: decile 0 IS the topdecile report row (both
+    // membership closed forms reduce to ceil(n/10)).
+    val top = RelationalExt.qRevenueTopdecile(spark, sf).collect().head
+    val d0 = dec.head
+    assert(d0.getAs[Long]("decile") == 0L)
+    assert(d0.getAs[Long]("n_customers") == top.getAs[Long]("n_top"))
+    assert(d0.getAs[Long]("revenue_cents") == top.getAs[Long]("top_cents"))
+  }
+
   // --- ns_prefix_hotspot ---------------------------------------------------
 
   test("ns_prefix_hotspot hot flag is peak-vs-mean, not volume") {
