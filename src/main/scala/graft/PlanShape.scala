@@ -44,7 +44,14 @@ object PlanShape {
         || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "sort_merge_joins" -> ns.count(_.isInstanceOf[SortMergeJoinExec]),
       "shuffled_hash_joins" -> ns.count(_.isInstanceOf[ShuffledHashJoinExec]),
-      "codegen_spans" -> ns.count(_.isInstanceOf[WholeStageCodegenExec]))
+      "codegen_spans" -> ns.count(_.isInstanceOf[WholeStageCodegenExec]),
+      // VERDICT r15 #4: the quadratic join shapes get their own artifact
+      // fields (appended — the PlanShapeSpec baseline regex parses an
+      // entry PREFIX, so older artifacts stay readable). A cartesian at
+      // any emitted scale was previously invisible to the artifact diff.
+      "cartesian_joins" -> ns.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "bnl_joins" -> ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
 
   /** Plan-build under the SAME conf the artifact and the spec share: AQE
@@ -94,7 +101,10 @@ object PlanShape {
       "broadcast_joins" -> ns.count(n => n.isInstanceOf[BroadcastHashJoinExec]
         || n.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "sort_merge_joins" -> ns.count(_.isInstanceOf[SortMergeJoinExec]),
-      "shuffled_hash_joins" -> ns.count(_.isInstanceOf[ShuffledHashJoinExec]))
+      "shuffled_hash_joins" -> ns.count(_.isInstanceOf[ShuffledHashJoinExec]),
+      "cartesian_joins" -> ns.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "bnl_joins" -> ns.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
   }
 }
 
@@ -124,6 +134,14 @@ object AqePlanProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sections = sfDirs.map { sfDir =>
+      // Recorded scale indicator (ADVICE r15 #1): the flip gate must order
+      // sections by ACTUAL data size, not probe argument order — a run
+      // invoked big-dir-first would otherwise report growth flips as SMJ
+      // shrinkage and silently pass the allowlist.
+      val scaleRows = {
+        val p = s"$sfDir/lineitem.parquet"
+        spark.read.parquet(p).count()
+      }
       val lines = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val cs = PlanShape.countsAqeFinal(spark, fn(spark, sfDir))
         val body = cs.map { case (k, v) => s""""$k": $v""" }.mkString(", ")
@@ -132,7 +150,8 @@ object AqePlanProbe {
       System.err.println(s"[aqe-probe] $sfDir done (${lines.size} queries)")
       val tail = "\n}}"
       lines.mkString(
-        s"""{"sf": "$sfDir", "aqe": true, "queries": {\n""", ",\n", tail)
+        s"""{"sf": "$sfDir", "scale_rows": $scaleRows, "aqe": true, "queries": {\n""",
+        ",\n", tail)
     }
     // Multi-dir runs wrap sections (the PlanProbe layout); a single-dir
     // run keeps the flat pre-r15 shape so older parsers stay valid.

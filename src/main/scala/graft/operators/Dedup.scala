@@ -1638,10 +1638,13 @@ object Dedup {
     * character-level metric they can't express (reference test suites pin
     * dedup verify stages on exactly this metric).
     *
-    * Scale: the self-join is key-partitioned on the prefix bucket; pair
-    * count is Σ c·(c−1)/2 over bucket sizes — bounded by near-dup density,
-    * not corpus size. A pathological hot bucket would AQE-split; the
-    * 60-char window caps per-pair CPU.
+    * Scale: the self-join is key-partitioned on the prefix bucket, and
+    * buckets larger than [[MaxBucket]] docs are dropped as stop-prefixes
+    * (the same skew guard every other candidate-pair family carries,
+    * mirrored in the oracle) — a boilerplate-heavy corpus where millions
+    * of documents share one 12-char opening would otherwise go quadratic
+    * in that one bucket. With the cap, pair count is ≤ C(MaxBucket,2) per
+    * bucket and the 60-char window caps per-pair CPU.
     */
   def ddEditDistance(spark: SparkSession, dir: String): DataFrame =
     editPairs(Tables.documents(spark, dir))
@@ -1659,8 +1662,14 @@ object Dedup {
       lower(substring(col("text"), 1, 60)).as("w"),
       lower(substring(col("text"), 1, 12)).as("bkt"))
       .filter(length(col("w")) > 0)
-    val a = d.select(col("doc_id").as("doc_a"), col("w").as("wa"), col("bkt"))
-    val b = d.select(col("doc_id").as("doc_b"), col("w").as("wb"), col("bkt"))
+    // Stop-prefix guard: one window count on the bucket key (the same
+    // exchange the join needs anyway — ReuseExchange collapses them), then
+    // hot buckets are dropped BEFORE pair expansion.
+    val sized = d.withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("bkt"))))
+      .filter(col("n") <= MaxBucket)
+    val a = sized.select(col("doc_id").as("doc_a"), col("w").as("wa"), col("bkt"))
+    val b = sized.select(col("doc_id").as("doc_b"), col("w").as("wb"), col("bkt"))
     a.join(b, Seq("bkt"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("lev_dist", levenshtein(col("wa"), col("wb")).cast("bigint"))
@@ -1673,17 +1682,52 @@ object Dedup {
   }
 
   val ddEditDistanceSql: String =
-    """WITH d AS (
+    s"""WITH d AS (
       |  SELECT doc_id, lower(substr(text, 1, 60)) AS w,
       |    lower(substr(text, 1, 12)) AS bkt
       |  FROM documents WHERE length(text) > 0
+      |), sized AS (
+      |  SELECT doc_id, w, bkt, COUNT(*) OVER (PARTITION BY bkt) AS n FROM d
       |)
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev_dist,
       |  CAST((greatest(length(a.w), length(b.w)) - levenshtein(a.w, b.w))
       |    * 1000000 // greatest(length(a.w), length(b.w)) AS BIGINT) AS sim_ppm
-      |FROM d a JOIN d b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+      |FROM sized a JOIN sized b ON a.bkt = b.bkt AND a.doc_id < b.doc_id
+      |  AND a.n <= $MaxBucket AND b.n <= $MaxBucket
       |ORDER BY doc_a ASC, doc_b ASC""".stripMargin
+
+  // --- dd_editdist_prefix_stats: prefix-index health gauge ---------------
+  /** Bucket-size histogram of [[ddEditDistance]]'s 12-char-prefix index —
+    * the [[ddWinnowStats]]-style shape audit for the edit-distance
+    * blocking key: healthy corpora put the mass at bucket size 1–2;
+    * buckets past [[MaxBucket]] are flagged `capped` — exactly the
+    * stop-prefixes the pair join drops. Run this before trusting an
+    * edit-distance dedup pass: a heavy capped tail means a boilerplate
+    * opening is hiding near-dups from the verify stage.
+    *
+    * Scale: two map-side-combined aggregations over (12-char prefix,
+    * long) pairs; the histogram is a ≤max-bucket-row report.
+    */
+  def ddEditdistPrefixStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(lower(substring(col("text"), 1, 12)).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("bucket_size")).agg(count(lit(1)).as("n_buckets"))
+      .withColumn("capped", col("bucket_size") > MaxBucket)
+      .orderBy(col("bucket_size").asc)
+
+  val ddEditdistPrefixStatsSql: String =
+    s"""WITH d AS (
+       |  SELECT lower(substr(text, 1, 12)) AS bkt
+       |  FROM documents WHERE length(text) > 0
+       |), b AS (
+       |  SELECT bkt, COUNT(*) AS bucket_size FROM d GROUP BY bkt
+       |)
+       |SELECT bucket_size, COUNT(*) AS n_buckets,
+       |  bucket_size > $MaxBucket AS capped
+       |FROM b GROUP BY bucket_size ORDER BY bucket_size ASC""".stripMargin
 
   // --- dd_candidate_graph: LSH candidate-graph degree histogram ----------
   /** Degree distribution of the MinHash-LSH candidate graph — the shape
@@ -2001,6 +2045,7 @@ object Dedup {
     "dd_substring_containment" -> ddSubstringContainment,
     "dd_winnow_stats" -> ddWinnowStats,
     "dd_edit_distance" -> ddEditDistance,
+    "dd_editdist_prefix_stats" -> ddEditdistPrefixStats,
     "dd_candidate_graph" -> ddCandidateGraph,
     "dd_band_sweep" -> ddBandSweep,
     "dd_sig_width_sweep" -> ddSigWidthSweep,
@@ -2030,6 +2075,7 @@ object Dedup {
     "dd_substring_containment" -> ddSubstringContainmentSql,
     "dd_winnow_stats" -> ddWinnowStatsSql,
     "dd_edit_distance" -> ddEditDistanceSql,
+    "dd_editdist_prefix_stats" -> ddEditdistPrefixStatsSql,
     "dd_candidate_graph" -> ddCandidateGraphSql,
     "dd_band_sweep" -> ddBandSweepSql,
     "dd_sig_width_sweep" -> ddSigWidthSweepSql,

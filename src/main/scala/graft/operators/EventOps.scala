@@ -1407,6 +1407,24 @@ object EventOps {
        |    AS share_ppm
        |FROM b GROUP BY lag_bucket ORDER BY lag_bucket ASC""".stripMargin
 
+  /** Deterministic Knuth arm assignment, shared by [[evAbTest]] and
+    * [[abSignificanceOf]]. The hash input is widened to DECIMAL(38,0)
+    * (HUGEINT in the oracle) BEFORE the multiply: in plain LongType,
+    * `user_id * 2654435761` wraps silently past user_id ≈ 3.47e9 in
+    * Spark (non-ANSI) while DuckDB promotes — a silent cross-engine
+    * arm-assignment divergence, and a real-world one at 1e10-user scale.
+    * Widened, the product tops out at ~2.5e28 ≪ 10³⁸ for the full int64
+    * id domain, and both engines' `%` on non-negative exact integers
+    * agree digit-for-digit.
+    */
+  private[graft] val armCol: Column =
+    when((col("user_id").cast("decimal(38,0)") * 2654435761L)
+      % 4294967296L % 100 < 50, "A").otherwise("B")
+
+  private[graft] val armSql: String =
+    "CASE WHEN (CAST(user_id AS HUGEINT) * 2654435761) " +
+      "% 4294967296 % 100 < 50 THEN 'A' ELSE 'B' END"
+
   // --- ev_ab_test: deterministic experiment assignment + lift report ------
   /** A/B experiment readout with DETERMINISTIC assignment: each user lands
     * in arm A or B by a Knuth multiplicative hash of user_id (stable
@@ -1430,9 +1448,7 @@ object EventOps {
         sum(when(col("event_type") === "purchase",
           (col("value").cast("decimal(12,2)") * 100).cast("bigint"))
           .otherwise(0L)).as("cents"))
-      .withColumn("arm",
-        when((col("user_id") * 2654435761L) % 4294967296L % 100 < 50, "A")
-          .otherwise("B"))
+      .withColumn("arm", armCol)
       .groupBy(col("arm"))
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("n_purchases") > 0, 1L).otherwise(0L)).as("n_converted"),
@@ -1442,7 +1458,7 @@ object EventOps {
       .orderBy(col("arm").asc)
 
   val evAbTestSql: String =
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT user_id,
       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |      AS BIGINT) AS n_purchases,
@@ -1451,8 +1467,7 @@ object EventOps {
       |      ELSE 0 END) AS BIGINT) AS cents
       |  FROM events GROUP BY user_id
       |), armed AS (
-      |  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 % 100 < 50
-      |    THEN 'A' ELSE 'B' END AS arm, n_purchases, cents
+      |  SELECT $armSql AS arm, n_purchases, cents
       |  FROM u
       |)
       |SELECT arm, COUNT(*) AS n_users,
@@ -1845,9 +1860,7 @@ object EventOps {
       .groupBy(col("user_id"))
       .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
         >= 14L, 1L).otherwise(0L).as("conv"))
-      .withColumn("arm",
-        when((col("user_id") * 2654435761L) % 4294967296L % 100 < 50, "A")
-          .otherwise("B"))
+      .withColumn("arm", armCol)
     u.groupBy()
       .agg(
         sum(when(col("arm") === "A" && col("conv") === 1L, 1L).otherwise(0L))
@@ -1905,14 +1918,13 @@ object EventOps {
   }
 
   val evAbSignificanceSql: String =
-    """WITH u AS (
+    s"""WITH u AS (
       |  SELECT user_id,
       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |      >= 14 THEN 1 ELSE 0 END AS conv
       |  FROM events GROUP BY user_id
       |), armed AS (
-      |  SELECT CASE WHEN (user_id * 2654435761) % 4294967296 % 100 < 50
-      |    THEN 'A' ELSE 'B' END AS arm, conv FROM u
+      |  SELECT $armSql AS arm, conv FROM u
       |), t AS (
       |  SELECT
       |    CAST(SUM(CASE WHEN arm = 'A' AND conv = 1 THEN 1 ELSE 0 END)

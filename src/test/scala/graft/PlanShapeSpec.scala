@@ -107,6 +107,51 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  /** VERDICT r15 #4 (artifact side): the live tests above catch a
+    * cartesian/BNLJ at TEST scale only — the committed PLANS / PLANS_AQE
+    * artifacts are emitted at bench scale and (r15+) at a 10× replica,
+    * where a size-dependent planner or AQE decision could introduce one
+    * invisibly. r16+ artifacts carry explicit `cartesian_joins` /
+    * `bnl_joins` fields; this gate re-reads every section of the latest
+    * artifacts and fails on any cartesian, or any BNLJ outside the same
+    * allowlist the live test documents (pre-checkpoint subtrees gate
+    * under their registered query's name).
+    */
+  test("no cartesian/unallowlisted-BNLJ in any committed plan artifact section") {
+    val files = Option(new java.io.File(".").listFiles()).get.toSeq
+    def latest(pat: String): Option[java.io.File] = {
+      val arts = files.filter(_.getName.matches(pat))
+      if (arts.isEmpty) None
+      else Some(arts.maxBy(_.getName.replaceAll("\\D", "").toInt))
+    }
+    val entry =
+      ("\"([a-z0-9_]+)\": \\{[^}]*\"cartesian_joins\": (\\d+), " +
+        "\"bnl_joins\": (\\d+)").r
+    val offenders = Seq("PLANS_r\\d+\\.json", "PLANS_AQE_r\\d+\\.json")
+      .flatMap(p => latest(p)).flatMap { f =>
+        val text = java.nio.file.Files.readString(f.toPath)
+        val ms = entry.findAllMatchIn(text).toSeq
+        if (ms.isEmpty) { // pre-r16 artifact: fields absent, nothing to gate
+          info(s"${f.getName} predates the cartesian/bnl fields (ungated)")
+          Nil
+        } else ms.flatMap { m =>
+          val (name, cart, bnl) =
+            (m.group(1), m.group(2).toInt, m.group(3).toInt)
+          val base = name.stripSuffix("__pre_ckpt")
+          val cartBad =
+            if (cart > 0) Seq(s"${f.getName}: $name cartesian_joins=$cart")
+            else Nil
+          val bnlBad =
+            if (bnl > 0 && !allowedNestedLoop(base))
+              Seq(s"${f.getName}: $name bnl_joins=$bnl (not allowlisted)")
+            else Nil
+          cartBad ++ bnlBad
+        }
+      }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes in committed artifacts:\n${offenders.mkString("\n")}")
+  }
+
   /** No registered plan may route the full input through a single task via
     * an unpartitioned Window (Spark's own `WindowExec: No Partition
     * Defined` hazard — this is what made the original pipe_curriculum
@@ -333,9 +378,23 @@ class PlanShapeSpec extends SparkSpec {
     def parse(text: String): Map[String, (Int, Int)] =
       entry.findAllMatchIn(text).map(m =>
         m.group(1) -> (m.group(5).toInt, m.group(6).toInt)).toMap
-    val sections = java.nio.file.Files.readString(aqeLatest.toPath)
+    val rawSections = java.nio.file.Files.readString(aqeLatest.toPath)
       .split("\"sf\": \"").toSeq.drop(1)
-      .map(chunk => chunk.takeWhile(_ != '"') -> parse(chunk))
+      .map { chunk =>
+        val scale = "\"scale_rows\": (\\d+)".r.findFirstMatchIn(chunk)
+          .map(_.group(1).toLong)
+        (chunk.takeWhile(_ != '"'), scale, parse(chunk))
+      }
+    // ADVICE r15 #1: order sections by the RECORDED scale (lineitem row
+    // count the probe stamps into each section), not probe argument order
+    // — a big-dir-first invocation would otherwise present growth flips
+    // as SMJ shrinkage and silently pass. Pre-r16 artifacts lack the
+    // field; they were emitted small-first by the documented recipe.
+    val ordered =
+      if (rawSections.forall(_._2.isDefined))
+        rawSections.sortBy(_._2.get)
+      else rawSections
+    val sections = ordered.map { case (sf, _, m) => sf -> m }
     assume(sections.size >= 2,
       s"${aqeLatest.getName} has a single section — no cross-scale record")
     // Joins whose build side grows with the corpus, so the 10× flip to

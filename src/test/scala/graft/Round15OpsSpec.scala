@@ -88,8 +88,12 @@ class Round15OpsSpec extends SparkSpec {
 
   // --- ev_ab_significance --------------------------------------------------
 
+  /** Reference arm assignment in exact BigInt arithmetic — the semantics
+    * the DECIMAL(38,0)/HUGEINT-widened hash must reproduce for ANY int64
+    * id (a plain Long multiply wraps past u ≈ 3.47e9).
+    */
   private def arm(u: Long): String =
-    if ((u * 2654435761L) % 4294967296L % 100 < 50) "A" else "B"
+    if ((BigInt(u) * 2654435761L) % 4294967296L % 100 < 50) "A" else "B"
 
   test("ev_ab_significance matches a hand-computed chi-square") {
     // Pick deterministic arm members from the same Knuth-hash assignment.
@@ -123,6 +127,21 @@ class Round15OpsSpec extends SparkSpec {
     val r = EventOps.abSignificanceOf(ev).collect().head
     assert(r.isNullAt(r.fieldIndex("chi2_milli")))
     assert(r.getAs[String]("significant_95") == "n")
+  }
+
+  test("arm hash matches exact BigInt arithmetic at 2^62-scale ids") {
+    // VERDICT r15 #3: in LongType the Knuth multiply wraps past
+    // u ≈ 3.47e9 (Spark silently, DuckDB promotes) — the widened hash
+    // must agree with exact arithmetic across the whole int64 domain.
+    val base = 1L << 62
+    val ids = (0L until 64L).map(base + _) ++
+      Seq(3470000000L, 4294967295L, 4294967296L, Long.MaxValue - 1)
+    val ev = ids.map(u => (u, "view")).toDF("user_id", "event_type")
+    val r = EventOps.abSignificanceOf(ev).collect().head
+    val expA = ids.count(arm(_) == "A").toLong
+    assert(r.getAs[Long]("n_users_a") == expA,
+      s"widened hash diverges from BigInt reference at huge ids")
+    assert(r.getAs[Long]("n_users_b") == ids.size - expA)
   }
 
   // --- tx_readability ------------------------------------------------------

@@ -150,4 +150,34 @@ class WinnowSpec extends SparkSpec {
     assert(Dedup.editPairs(docs).collect().forall(r =>
       r.getAs[Long]("doc_a") >= 3L))
   }
+
+  test("hot 12-char prefix buckets are dropped as stop-prefixes") {
+    import spark.implicits._
+    // VERDICT r15 #2: a boilerplate opening shared by > MaxBucket docs
+    // must emit ZERO pairs (it was the one uncapped blocking key — 78×
+    // wall at 10× data); a small bucket still pairs normally.
+    val hot = (1L to 150L).map(i => (i, s"BOILERPLATE HEADER doc $i"))
+    val cold = Seq((201L, "unique opening one"), (202L, "unique opening two"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val pairs = Dedup.editPairs(docs).collect()
+    // 150 > MaxBucket=100 → the hot bucket contributes nothing; the cold
+    // bucket ("unique openin") pairs its 2 docs once.
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 201L &&
+      pairs.head.getAs[Long]("doc_b") == 202L)
+    // The health gauge sees the same split: one capped 150-bucket, one
+    // healthy 2-bucket.
+    val hist = Dedup.ddEditdistPrefixStats(spark, sf).collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      assert(r.getAs[Boolean]("capped") ==
+        (r.getAs[Long]("bucket_size") > 100L))
+    }
+    // Σ bucket_size · n_buckets = corpus docs with non-empty text.
+    val mass = hist.map(r =>
+      r.getAs[Long]("bucket_size") * r.getAs[Long]("n_buckets")).sum
+    val nDocs = Tables.documents(spark, sf)
+      .filter(length(col("text")) > 0).count()
+    assert(mass == nDocs, s"histogram mass $mass != corpus docs $nDocs")
+  }
 }

@@ -47,12 +47,24 @@ def hash_vals(df):
     return h.hexdigest()
 
 
-def one(name):
+def mark(tmpdir, name, phase):
+    """Phase marker (ADVICE r15 #2): the parent restarts the kill clock on
+    every phase transition, so only the con.execute(oracle) phase is held
+    to the oracle budget — a slow Spark-dump read or a stall in pandas
+    canon/hash is reported as that phase's overrun, not blamed on DuckDB.
+    """
+    if tmpdir:
+        with open(f"{tmpdir}/{name}.phase", "w") as f:
+            f.write(phase)
+
+
+def one(name, tmpdir=None):
     """Worker: full compare for one query; runs under a kill budget."""
     import duckdb, pandas as pd
     entry = {"rows_match": False, "schema_match": None, "hash_match": None,
              "spark_rows": None, "oracle_rows": None, "err": None}
     try:
+        mark(tmpdir, name, "read_dump")
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         spark_df = pd.concat([pd.read_parquet(f) for f in files]) \
             if files else pd.DataFrame()
@@ -61,6 +73,7 @@ def one(name):
             entry["rows_match"] = len(spark_df) > 0
             entry["err"] = "rows-only: no oracle registered"
             return name, entry
+        mark(tmpdir, name, "view_setup")
         con = duckdb.connect()
         con.execute(f"SET threads TO 4")
         for t in ["region", "nation", "customer", "supplier", "part",
@@ -69,7 +82,9 @@ def one(name):
             src = f"{p}/*.parquet" if os.path.isdir(p) else p
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+        mark(tmpdir, name, "oracle")
         duck_df = con.execute(oracle[name]).df()
+        mark(tmpdir, name, "compare")
         entry["oracle_rows"] = int(len(duck_df))
         s, d = canon(spark_df), canon(duck_df)
         entry["rows_match"] = len(s) == len(d)
@@ -82,7 +97,7 @@ def one(name):
 
 
 def one_to_file(name, tmpdir):
-    _, entry = one(name)
+    _, entry = one(name, tmpdir)
     with open(f"{tmpdir}/{name}.json", "w") as f:
         json.dump(entry, f)
 
@@ -96,36 +111,55 @@ if __name__ == "__main__":
     pending = list(names)
     running = {}  # name -> (Process, start_time)
 
+    def phase_of(name):
+        try:
+            return open(f"{tmpdir}/{name}.phase").read().strip()
+        except OSError:
+            return "spawn"
+
     def harvest(name, proc, timed_out):
         path = f"{tmpdir}/{name}.json"
         if os.path.exists(path):
             entry = json.load(open(path))
         elif timed_out:
+            # Label the overrun by the phase the worker was actually in:
+            # only an 'oracle' kill is a DuckDB-engine-bound claim.
+            ph = phase_of(name)
+            kind = ("oracle_timeout" if ph == "oracle"
+                    else f"{ph}_timeout")
             entry = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "spark_rows": None,
-                     "oracle_rows": None, "err": f"oracle_timeout>{budget}s"}
+                     "oracle_rows": None, "err": f"{kind}>{budget}s"}
         else:
             entry = {"rows_match": None, "schema_match": None,
                      "hash_match": None, "spark_rows": None,
                      "oracle_rows": None,
                      "err": f"worker died (exitcode {proc.exitcode})"}
         result[name] = entry
-        tag = ("TIMEOUT" if (entry["err"] or "").startswith("oracle_timeout")
+        tag = ("TIMEOUT" if "_timeout>" in (entry["err"] or "")
                else "ok" if entry.get("hash_match") or
                ((entry["err"] or "").startswith("rows-only") and
                 entry["rows_match"])
                else "FAIL")
-        print(f"[sf1-gate] {name}: {tag}", flush=True)
+        print(f"[sf1-gate] {name}: {tag} ({entry['err'] or 'hash'})",
+              flush=True)
 
+    # running: name -> [Process, phase, phase_start] — the kill clock
+    # restarts on every phase transition (ADVICE r15 #2), so each phase
+    # gets the full budget and the timeout label names the guilty phase.
     while pending or running:
         while pending and len(running) < workers:
             n = pending.pop(0)
             p = mp.Process(target=one_to_file, args=(n, tmpdir))
             p.start()
-            running[n] = (p, time.time())
+            running[n] = [p, "spawn", time.time()]
         time.sleep(0.5)
         for n in list(running):
-            p, t0 = running[n]
+            p, ph, t0 = running[n]
+            now_ph = phase_of(n)
+            if now_ph != ph:
+                running[n] = [p, now_ph, time.time()]
+                continue
             if not p.is_alive():
                 p.join()
                 harvest(n, p, timed_out=False)
@@ -139,7 +173,7 @@ if __name__ == "__main__":
     ro = sum(1 for e in result.values()
              if (e.get("err") or "").startswith("rows-only") and e["rows_match"])
     to = sum(1 for e in result.values()
-             if (e.get("err") or "").startswith("oracle_timeout"))
+             if "_timeout>" in (e.get("err") or ""))
     fail = len(result) - ok - ro - to
     meta = {"sf_dir": sf_dir, "n_queries": len(result), "hash_ok": ok,
             "rows_only_ok": ro, "oracle_timeout": to, "fail": fail,
