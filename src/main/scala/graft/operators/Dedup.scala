@@ -1133,22 +1133,26 @@ object Dedup {
   private val embedScoredSqlCtes: String = {
     val band0 = Similarity.bandBucketSql("q", 0 until 8)
     val band1 = Similarity.bandBucketSql("q", 8 until 16)
-    s"""$quantizedSql, banded AS (
+    // CTE names are e-prefixed: dd_modality_agreement splices this chain
+    // NEXT TO the text-side lshPairsSql (bands/bcnt/cand) in one WITH
+    // list, and duplicate aliases — legal when DuckDB inlines — become a
+    // binder error once the oracles are CTE-materialized.
+    s"""$quantizedSql, ebanded AS (
        |  SELECT 0 AS band, $band0 AS bkt, vec_id FROM nm
        |  UNION ALL
        |  SELECT 1 AS band, $band1 AS bkt, vec_id FROM nm
-       |), bcnt AS (
+       |), ebcnt AS (
        |  SELECT band, bkt, vec_id,
-       |    COUNT(*) OVER (PARTITION BY band, bkt) AS n FROM banded
-       |), cand AS (
+       |    COUNT(*) OVER (PARTITION BY band, bkt) AS n FROM ebanded
+       |), ecand AS (
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-       |  FROM bcnt a JOIN bcnt b
+       |  FROM ebcnt a JOIN ebcnt b
        |    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
        |    AND a.n <= $EmbedMaxBucket AND b.n <= $EmbedMaxBucket
        |), escored AS (
        |  SELECT c.vec_a, c.vec_b,
        |    round(${cosineSql("a.q", "b.q", "a.n2", "b.n2")}, 6) AS cos_sim
-       |  FROM cand c
+       |  FROM ecand c
        |  JOIN nm a ON c.vec_a = a.vec_id
        |  JOIN nm b ON c.vec_b = b.vec_id
        |)""".stripMargin

@@ -554,7 +554,10 @@ object Pipeline {
 
   val pipeTokenYieldSql: String = {
     import graft.functions.Codes
-    s"""WITH toks AS (
+    // ytoks, not toks: the inlined pipeCurateSql subquery carries the
+    // canonical chain's own `toks` CTE, and duplicate aliases break once
+    // the oracles are CTE-materialized.
+    s"""WITH ytoks AS (
        |  SELECT doc_id,
        |    CAST(len(${Codes.tokensSql("text")}) AS BIGINT) AS nt
        |  FROM documents
@@ -568,7 +571,7 @@ object Pipeline {
        |      THEN nt ELSE 0 END) AS BIGINT) AS near_dup_tokens,
        |    CAST(SUM(CASE WHEN NOT c.is_exact_dup AND NOT c.is_near_dup
        |      AND NOT c.kept THEN nt ELSE 0 END) AS BIGINT) AS quality_tokens
-       |  FROM ($pipeCurateSql) c JOIN toks t ON c.doc_id = t.doc_id
+       |  FROM ($pipeCurateSql) c JOIN ytoks t ON c.doc_id = t.doc_id
        |)
        |SELECT total_tokens, kept_tokens, exact_dup_tokens, near_dup_tokens,
        |  quality_tokens,

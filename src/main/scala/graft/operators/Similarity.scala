@@ -1029,6 +1029,18 @@ object Similarity {
       .orderBy(col("nprobe").asc)
   }
 
+  /** [[simTopkBruteforceSql]] with its CTE names suffixed `_bf` — for
+    * splicing as a subquery into a statement whose OUTER scope already
+    * defines qv/nm/ranked (sim_probe_sweep): the name collision is legal
+    * when DuckDB inlines CTEs but a binder error once they are
+    * materialized. Word-boundary rename; the inner statement carries no
+    * columns by these names.
+    */
+  private val bruteforceRenamedSql: String =
+    Seq("qv", "nm", "scored", "ranked").foldLeft(simTopkBruteforceSql) {
+      (s, n) => s.replaceAll(s"\\b$n\\b", n + "_bf")
+    }
+
   val simProbeSweepSql: String = {
     val npList = ProbeSweepDepths.mkString(", ")
     s"""WITH ${Dedup.quantizedSql}, cent AS (
@@ -1064,7 +1076,7 @@ object Similarity {
        |), topk AS (
        |  SELECT nprobe, query_id, neighbor_id FROM ranked WHERE rk <= 3
        |), tr AS (
-       |  SELECT query_id, neighbor_id FROM ($simTopkBruteforceSql) bf
+       |  SELECT query_id, neighbor_id FROM ($bruteforceRenamedSql) bf
        |), rec AS (
        |  SELECT k.nprobe, COUNT(*) AS n_approx,
        |    CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

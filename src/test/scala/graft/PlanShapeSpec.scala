@@ -125,7 +125,7 @@ class PlanShapeSpec extends SparkSpec {
       else Some(arts.maxBy(_.getName.replaceAll("\\D", "").toInt))
     }
     val entry =
-      ("\"([a-z0-9_]+)\": \\{[^}]*\"cartesian_joins\": (\\d+), " +
+      ("\"([a-z0-9_]+)\": \\{[^{}]*\"cartesian_joins\": (\\d+), " +
         "\"bnl_joins\": (\\d+)").r
     val offenders = Seq("PLANS_r\\d+\\.json", "PLANS_AQE_r\\d+\\.json")
       .flatMap(p => latest(p)).flatMap { f =>

@@ -685,4 +685,46 @@ class StreamingSpec extends SparkSpec {
     // the attributed revenue then ties out by construction
     assert(streamed.toSeq.map(_._3).sum === batch.toSeq.map(_._3).sum)
   }
+
+  test("prefixMinuteStream state is BOUNDED: the 2h watermark evicts old minute groups") {
+    // ADVICE r15 #3: the complete-mode rollup test above retains all
+    // groups by definition, so the docstring's bounded-state claim was
+    // untested. Here, update mode + controlled event-time advancement:
+    // a minute group must leave the state store once the watermark
+    // passes it, and a later-arriving row for that minute must be
+    // dropped, not re-opened.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+    val q = StreamOps.prefixMinuteStream(
+        mem.toDF.toDF("event_id", "user_id", "event_type", "ts"))
+      .writeStream.format("memory").queryName("pm_evict")
+      .outputMode("update").start()
+    def stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      mem.addData((1L, 1L, "click", ts(60)))
+      q.processAllAvailable()
+      assert(stateRows == 1L, "one open minute group after batch 1")
+      // Jump event time 5 hours: the new watermark (360 - 120 = 240 min)
+      // is past minute 60, but eviction applies on the NEXT batch (the
+      // watermark is advanced at batch boundaries).
+      mem.addData((2L, 1L, "click", ts(360)))
+      q.processAllAvailable()
+      mem.addData((3L, 1L, "click", ts(361)))
+      q.processAllAvailable()
+      assert(stateRows == 2L,
+        s"minute-60 group must be evicted once the watermark passes it " +
+          s"(state rows = $stateRows, want the 2 open minutes 360/361)")
+      // A straggler INSIDE the evicted region is dropped, not re-opened.
+      mem.addData((4L, 1L, "click", ts(61)))
+      q.processAllAvailable()
+      val dropped = q.lastProgress.stateOperators(0)
+        .numRowsDroppedByWatermark
+      assert(stateRows == 2L && dropped == 1L,
+        s"late minute-61 row must be watermark-dropped " +
+          s"(state=$stateRows dropped=$dropped)")
+    } finally q.stop()
+  }
 }
