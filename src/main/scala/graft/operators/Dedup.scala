@@ -2015,10 +2015,12 @@ object Dedup {
   val ddPhraseHotlistSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source, ${tokensSql("text")} AS ts FROM documents
+       |), htc AS (
+       |  SELECT doc_id, source, ${strCodesSql("ts")} AS tcs FROM toks
        |), sh AS (
        |  SELECT doc_id, source,
-       |    unnest(${shingleCodes3Sql(strCodesSql("ts"))}) AS code
-       |  FROM toks
+       |    unnest(${shingleCodes3Sql("tcs")}) AS code
+       |  FROM htc
        |), pss AS (
        |  SELECT code, source, COUNT(*) AS c, MIN(doc_id) AS md
        |  FROM sh GROUP BY code, source

@@ -1969,7 +1969,106 @@ object EventOps {
       |  CASE WHEN chi2_milli >= 3841 THEN 'y' ELSE 'n' END AS significant_95
       |FROM stat""".stripMargin
 
+  // --- ev_ab_srm: sample-ratio-mismatch health check -----------------------
+  /** The experiment-health gate every readout must pass FIRST: with a
+    * 50/50 deterministic split, the observed arm sizes are a binomial
+    * draw, and a significant deviation (sample-ratio mismatch) means the
+    * assignment or logging pipeline is dropping one arm's users — every
+    * downstream lift number is garbage. χ² vs the 50/50 expectation
+    * simplifies to (a−b)²/N; computed in exact integer milli units over
+    * DECIMAL(38,0) (|a−b|²·1000 clears int64 only to ~3e7 users — the
+    * [[abSignificanceOf]] widening discipline), flagged at the 3.841
+    * 95% critical value. One user-keyed distinct aggregate → one 1-row
+    * reduce; no joins.
+    */
+  def evAbSrm(spark: SparkSession, dir: String): DataFrame =
+    abSrmOf(events(spark, dir))
+
+  /** The SRM core over any events-shaped frame (spec seam). */
+  private[graft] def abSrmOf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id")).distinct()
+      .withColumn("arm", armCol)
+      .groupBy()
+      // coalesce-to-0: a global SUM over an EMPTY frame is NULL in both
+      // engines; the SRM report should read "zero users on both arms",
+      // with only the 0/0 chi-square NULL (nullif-guarded divide).
+      .agg(
+        coalesce(sum(when(col("arm") === "A", 1L).otherwise(0L)), lit(0L))
+          .as("n_users_a"),
+        coalesce(sum(when(col("arm") === "B", 1L).otherwise(0L)), lit(0L))
+          .as("n_users_b"))
+      .withColumn("delta", col("n_users_a") - col("n_users_b"))
+      .withColumn("srm_chi2_milli", expr(
+        """CAST(CAST(n_users_a - n_users_b AS DECIMAL(38,0))
+          | * CAST(n_users_a - n_users_b AS DECIMAL(38,0)) * 1000
+          | div nullif(CAST(n_users_a + n_users_b AS DECIMAL(38,0)), 0)
+          | AS BIGINT)""".stripMargin.replace("\n", " ")))
+      .withColumn("srm_flag",
+        when(col("srm_chi2_milli") >= 3841L, "y").otherwise("n"))
+      .select("n_users_a", "n_users_b", "delta", "srm_chi2_milli", "srm_flag")
+
+  val evAbSrmSql: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+      |t AS (
+      |  SELECT
+      |    CAST(coalesce(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS a,
+      |    CAST(coalesce(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS b
+      |  FROM (SELECT $armSql AS arm FROM u)
+      |)
+      |SELECT a AS n_users_a, b AS n_users_b, a - b AS delta,
+      |  CAST(CAST(a - b AS HUGEINT) * CAST(a - b AS HUGEINT) * 1000
+      |    // nullif(CAST(a + b AS HUGEINT), 0) AS BIGINT) AS srm_chi2_milli,
+      |  CASE WHEN CAST(a - b AS HUGEINT) * CAST(a - b AS HUGEINT) * 1000
+      |    // nullif(CAST(a + b AS HUGEINT), 0) >= 3841
+      |    THEN 'y' ELSE 'n' END AS srm_flag
+      |FROM t""".stripMargin
+
+  // --- ev_ab_guardrail: per-arm guardrail metrics --------------------------
+  /** The guardrail companion to [[evAbTest]]: conversion lift means
+    * nothing if the treatment arm is erroring or disengaging — per arm,
+    * distinct users, event volume, error events, error rate in exact
+    * integer ppm and engagement (events per user) in exact milli. Same
+    * deterministic DECIMAL(38,0)-widened arm hash, so the rows align
+    * user-for-user with the readout and the SRM gate. Shape: arm is a
+    * per-row projection off user_id (no user collapse needed for event
+    * counts; the distinct-user count folds into the same aggregate) →
+    * one 2-row rollup; no joins, no windows.
+    */
+  def evAbGuardrail(spark: SparkSession, dir: String): DataFrame =
+    abGuardrailOf(events(spark, dir))
+
+  /** The guardrail core over any events-shaped frame (spec seam). */
+  private[graft] def abGuardrailOf(ev: DataFrame): DataFrame =
+    ev.withColumn("arm", armCol)
+      .groupBy(col("arm"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+      .withColumn("error_ppm", expr("n_errors * 1000000 div n_events"))
+      .withColumn("events_per_user_milli", expr("n_events * 1000 div n_users"))
+      .orderBy(col("arm").asc)
+
+  val evAbGuardrailSql: String =
+    s"""WITH armed AS (
+      |  SELECT $armSql AS arm, user_id, event_type FROM events
+      |)
+      |SELECT arm, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_errors,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    * 1000000 // COUNT(*) AS BIGINT) AS error_ppm,
+      |  CAST(COUNT(*) * 1000 // COUNT(DISTINCT user_id) AS BIGINT)
+      |    AS events_per_user_milli
+      |FROM armed GROUP BY arm ORDER BY arm ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_ab_srm" -> evAbSrm,
+    "ev_ab_guardrail" -> evAbGuardrail,
     "ev_ab_significance" -> evAbSignificance,
     "ev_concurrency" -> evConcurrency,
     "ev_burstiness" -> evBurstiness,
@@ -2009,6 +2108,8 @@ object EventOps {
     "ev_props_stats" -> evPropsStats)
 
   val oracles: Map[String, String] = Map(
+    "ev_ab_srm" -> evAbSrmSql,
+    "ev_ab_guardrail" -> evAbGuardrailSql,
     "ev_ab_significance" -> evAbSignificanceSql,
     "ev_concurrency" -> evConcurrencySql,
     "ev_burstiness" -> evBurstinessSql,

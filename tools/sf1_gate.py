@@ -47,6 +47,39 @@ def hash_vals(df):
     return h.hexdigest()
 
 
+# Row-order-insensitive multiset hash for LARGE frames: canon()'s
+# sort_values over multi-million-row object columns is the real cost of
+# the compare phase at 10x (ns_snapshot_diff_chain hit compare_timeout,
+# not oracle_timeout). Normalizing each column to strings (same NULL and
+# %.9g float conventions as hash_vals) and SUMMING the vectorized
+# per-row hashes makes the compare O(n) with no sort; uint64 wraparound
+# is part of the hash. Both frames go through the same path, so the
+# equality verdict is unchanged in meaning.
+BIG_ROWS = 200_000
+
+
+def hash_multiset(df):
+    import pandas as pd, numpy as np
+    if len(df) == 0:
+        return "empty"
+    norm = {}
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            # list-valued cells: tuple-normalize like canon() — str() of a
+            # large ndarray elides elements ("...") and engines disagree.
+            col = col.apply(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        if pd.api.types.is_float_dtype(col):
+            s = col.map(lambda v: "%.9g" % v if pd.notna(v) else "NULL")
+        else:
+            s = col.astype(str).where(col.notna(), "NULL")
+        norm[c] = s
+    hv = pd.util.hash_pandas_object(
+        pd.DataFrame(norm, columns=list(df.columns)), index=False)
+    return f"msum:{np.uint64(hv.values.sum()):d}:{len(df)}"
+
+
 def mark(tmpdir, name, phase):
     """Phase marker (ADVICE r15 #2): the parent restarts the kill clock on
     every phase transition, so only the con.execute(oracle) phase is held
@@ -86,11 +119,21 @@ def one(name, tmpdir=None):
         duck_df = con.execute(oracle[name]).df()
         mark(tmpdir, name, "compare")
         entry["oracle_rows"] = int(len(duck_df))
-        s, d = canon(spark_df), canon(duck_df)
-        entry["rows_match"] = len(s) == len(d)
-        entry["schema_match"] = list(s.columns) == list(d.columns)
-        eq_all = entry["rows_match"] and entry["schema_match"]
-        entry["hash_match"] = bool(eq_all and hash_vals(s) == hash_vals(d))
+        if max(len(spark_df), len(duck_df)) > BIG_ROWS:
+            s = spark_df.reindex(sorted(spark_df.columns), axis=1)
+            d = duck_df.reindex(sorted(duck_df.columns), axis=1)
+            entry["rows_match"] = len(s) == len(d)
+            entry["schema_match"] = list(s.columns) == list(d.columns)
+            eq_all = entry["rows_match"] and entry["schema_match"]
+            entry["hash_match"] = bool(
+                eq_all and hash_multiset(s) == hash_multiset(d))
+        else:
+            s, d = canon(spark_df), canon(duck_df)
+            entry["rows_match"] = len(s) == len(d)
+            entry["schema_match"] = list(s.columns) == list(d.columns)
+            eq_all = entry["rows_match"] and entry["schema_match"]
+            entry["hash_match"] = bool(
+                eq_all and hash_vals(s) == hash_vals(d))
     except Exception as e:
         entry["err"] = f"{type(e).__name__}: {str(e)[:200]}"
     return name, entry
