@@ -1173,17 +1173,28 @@ object Namespace {
       .orderBy(col("volume").asc, col("bucket").asc, col("key").asc)
   }
 
+  // Two-pass form (r16): the single-pass GROUP BY carried five aggregate
+  // states (two of them struct-max) across ~|keys| string-keyed groups —
+  // at the 10x gate DuckDB's hash tables outgrew memory. Pass 1 finds the
+  // multi-version keys with COUNT-only state (light); pass 2 runs the
+  // full aggregate battery over just those keys' rows. HAVING > 1 ≡ the
+  // dup-set semijoin, so results are identical.
   val nsKeyVersionsSql: String =
-    s"""WITH keys AS ($ks)
-       |SELECT volume, bucket, key, COUNT(*) AS n_versions,
+    s"""WITH keys AS ($ks),
+       |dups AS (
+       |  SELECT volume, bucket, key FROM keys
+       |  GROUP BY volume, bucket, key HAVING COUNT(*) > 1
+       |)
+       |SELECT k.volume, k.bucket, k.key, COUNT(*) AS n_versions,
        |  MIN(mtime) AS oldest_mtime, MAX(mtime) AS latest_mtime,
        |  CAST(SUM(size) AS BIGINT) AS total_bytes,
        |  (MAX({'m': mtime, 's': size})).s AS live_bytes,
        |  CAST(SUM(size) AS BIGINT) - (MAX({'m': mtime, 's': size})).s
        |    AS reclaimable_bytes
-       |FROM keys GROUP BY volume, bucket, key
-       |HAVING COUNT(*) > 1
-       |ORDER BY volume ASC, bucket ASC, key ASC""".stripMargin
+       |FROM keys k JOIN dups d
+       |  ON k.volume = d.volume AND k.bucket = d.bucket AND k.key = d.key
+       |GROUP BY k.volume, k.bucket, k.key
+       |ORDER BY k.volume ASC, k.bucket ASC, k.key ASC""".stripMargin
 
   // --- ns_compaction_plan: small-object compaction layout -----------------
 

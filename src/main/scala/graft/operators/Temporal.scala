@@ -113,15 +113,27 @@ object Temporal {
       .orderBy(col("err_id").asc)
   }
 
+  // The oracle mirrors the Spark side's bucket equi-join (r16): the pure
+  // inequality form planned as a nested-loop in DuckDB (~200k errors ×
+  // 1M events ≈ 2e11 comparisons — a 600 s+ oracle at the 10x gate).
+  // With the interval exploded to its ≤2 covering buckets and a hash
+  // equi-join on the bucket, the exact range filter runs on the
+  // candidate pairs only; identical result set.
   val evRangeJoinSql: String =
     s"""WITH ev AS (
        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events
+       |), r AS (
+       |  SELECT event_id AS err_id, us AS err_us,
+       |    unnest(range(us // $BucketUs, (us + $WindowUs) // $BucketUs + 1))
+       |      AS bkt
+       |  FROM ev WHERE event_type = 'error'
+       |), p AS (
+       |  SELECT event_id, user_id, us, us // $BucketUs AS bkt FROM ev
        |)
        |SELECT r.err_id, COUNT(*) AS n_events,
-       |  COUNT(DISTINCT e.user_id) AS n_users
-       |FROM (SELECT event_id AS err_id, us AS err_us FROM ev
-       |      WHERE event_type = 'error') r
-       |JOIN ev e ON e.us >= r.err_us AND e.us <= r.err_us + $WindowUs
+       |  COUNT(DISTINCT p.user_id) AS n_users
+       |FROM r JOIN p ON r.bkt = p.bkt
+       |  AND p.us >= r.err_us AND p.us <= r.err_us + $WindowUs
        |GROUP BY r.err_id ORDER BY r.err_id ASC""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
