@@ -220,11 +220,12 @@ if __name__ == "__main__":
     fail = len(result) - ok - ro - to
     meta = {"sf_dir": sf_dir, "n_queries": len(result), "hash_ok": ok,
             "rows_only_ok": ro, "oracle_timeout": to, "fail": fail,
-            "oracle_budget_s": budget,
-            "note": "oracle_timeout rows are DuckDB-oracle-engine-bound at "
-                    "this scale (interpreted list lambdas for minhash/winnow/"
-                    "edit-distance twins); the Spark side executed them - see "
-                    "the Verify dump and BENCH_SF1"}
+            "oracle_budget_s": budget}
+    if to:
+        meta["note"] = ("*_timeout rows name the phase the worker was in "
+                        "when killed (only 'oracle_timeout' is a "
+                        "DuckDB-engine-bound claim); the Spark side executed "
+                        "them - see the Verify dump and BENCH_SF1")
     json.dump({"meta": meta, "queries": result},
               open(artifact, "w"), indent=1, sort_keys=True)
     print(f"[sf1-gate] DONE ok={ok} rows_only={ro} timeout={to} fail={fail} "
