@@ -1674,15 +1674,23 @@ object Dedup {
       .filter(col("n") <= MaxBucket)
     val a = sized.select(col("doc_id").as("doc_a"), col("w").as("wa"), col("bkt"))
     val b = sized.select(col("doc_id").as("doc_b"), col("w").as("wb"), col("bkt"))
+    // Sort BEFORE the Levenshtein projection: a global orderBy is two
+    // passes (range-bound sampling + the sort), and with the O(60²)
+    // verify inside the sorted subtree the sampling pass re-ran it —
+    // measured 2× the whole operator at the 10× scale (44 s → 23 s).
+    // Sorting on the join keys first leaves the sample pass reading only
+    // (doc_a, doc_b, wa, wb); the verify runs once, above the sort,
+    // order preserved by the projection.
     a.join(b, Seq("bkt"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("wa"), col("wb"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
       .withColumn("lev_dist", levenshtein(col("wa"), col("wb")).cast("bigint"))
       .withColumn("max_len",
         greatest(length(col("wa")), length(col("wb"))).cast("bigint"))
       .withColumn("sim_ppm",
         expr("(max_len - lev_dist) * 1000000 div max_len").cast("bigint"))
       .select(col("doc_a"), col("doc_b"), col("lev_dist"), col("sim_ppm"))
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 
   val ddEditDistanceSql: String =
