@@ -2066,9 +2066,59 @@ object EventOps {
       |    AS events_per_user_milli
       |FROM armed GROUP BY arm ORDER BY arm ASC""".stripMargin
 
+  // --- ev_ab_timeline: per-minute experiment monitor ----------------------
+  /** The live-dashboard grain of the experiment: per (minute, arm) event
+    * volume, purchases and errors — what an experimentation platform
+    * streams to its monitor so a broken treatment is caught in minutes,
+    * not at readout. Batch and streaming share THIS core
+    * ([[graft.streaming.StreamOps.abMinuteStream]]), so the two cannot
+    * drift; the counters are watermark-friendly (no distinct aggregates —
+    * the distinct-user audits live in [[evAbSrm]]/[[evAbGuardrail]]).
+    * Shape: one map-side-combined (minute, arm) aggregate; state in the
+    * streaming twin is bounded by horizon × 2 arms.
+    */
+  def evAbTimeline(spark: SparkSession, dir: String): DataFrame =
+    abMinuteCounts(abMinuteEntries(events(spark, dir)))
+      .orderBy(col("ts_minute").asc, col("arm").asc)
+
+  /** Per-event (ts_minute, arm, event_type) projection — the streaming
+    * twin watermarks ts_minute between this and [[abMinuteCounts]]
+    * (the prefixMinuteStream pattern: the watermark rides the exact
+    * column the shared aggregate groups on).
+    */
+  private[graft] def abMinuteEntries(ev: DataFrame): DataFrame =
+    ev.withColumn("arm", armCol)
+      .withColumn("ts_minute", date_trunc("minute", col("ts")))
+      .select(col("ts_minute"), col("arm"), col("event_type"))
+
+  /** The shared (minute, arm) counter core — batch + streaming twin. */
+  private[graft] def abMinuteCounts(entries: DataFrame): DataFrame =
+    entries
+      .groupBy(col("ts_minute"), col("arm"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_errors"))
+
+  val evAbTimelineSql: String =
+    s"""WITH armed AS (
+      |  SELECT $armSql AS arm, date_trunc('minute', ts) AS ts_minute,
+      |    event_type
+      |  FROM events
+      |)
+      |SELECT ts_minute, arm, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_errors
+      |FROM armed GROUP BY ts_minute, arm
+      |ORDER BY ts_minute ASC, arm ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_ab_srm" -> evAbSrm,
     "ev_ab_guardrail" -> evAbGuardrail,
+    "ev_ab_timeline" -> evAbTimeline,
     "ev_ab_significance" -> evAbSignificance,
     "ev_concurrency" -> evConcurrency,
     "ev_burstiness" -> evBurstiness,
@@ -2110,6 +2160,7 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "ev_ab_srm" -> evAbSrmSql,
     "ev_ab_guardrail" -> evAbGuardrailSql,
+    "ev_ab_timeline" -> evAbTimelineSql,
     "ev_ab_significance" -> evAbSignificanceSql,
     "ev_concurrency" -> evConcurrencySql,
     "ev_burstiness" -> evBurstinessSql,

@@ -119,6 +119,21 @@ object StreamOps {
         .withColumn("ts_minute", col("ts_minute").cast("timestamp"))
         .withWatermark("ts_minute", "2 hours"))
 
+  /** Live experiment monitor — the streaming leg of `ev_ab_timeline`:
+    * per-(minute, arm) event/purchase/error counters folded by the SAME
+    * [[graft.operators.EventOps.abMinuteCounts]] core as the batch
+    * report, so the dashboard a treatment-breakage alert reads cannot
+    * drift from the readout's numbers. No distinct aggregates (those
+    * audits are the batch-side ev_ab_srm / ev_ab_guardrail), so the
+    * aggregation is watermark-evictable: state is bounded by the 2-hour
+    * horizon × open minutes × 2 arms, not stream length.
+    */
+  def abTimelineStream(events: DataFrame): DataFrame =
+    graft.operators.EventOps.abMinuteCounts(
+      graft.operators.EventOps.abMinuteEntries(events)
+        .withColumn("ts_minute", col("ts_minute").cast("timestamp"))
+        .withWatermark("ts_minute", "2 hours"))
+
   /** Streaming pending-deletion accounting — the trash-emptier / lifecycle
     * twin of the batch `ns_trash_pending` rollup: deleted-key records
     * stream in and per-day per-bucket pending counts/bytes aggregate under

@@ -686,6 +686,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq.map(_._3).sum === batch.toSeq.map(_._3).sum)
   }
 
+  test("abTimelineStream minute frame equals the batch experiment timeline") {
+    val stream = StreamOps.eventStream(spark, eventsDir)
+    val q = StreamOps.abTimelineStream(stream)
+      .writeStream.format("memory").queryName("ab_timeline_test")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(r.fieldIndex("ts_minute")),
+        r.getString(r.fieldIndex("arm")),
+        r.getLong(r.fieldIndex("n_events")),
+        r.getLong(r.fieldIndex("n_purchases")),
+        r.getLong(r.fieldIndex("n_errors")))
+    val streamed = spark.table("ab_timeline_test").collect().map(key).toSet
+    val batch = EventOps.queries("ev_ab_timeline")(spark, sf)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"${(streamed -- batch).size} extra / ${(batch -- streamed).size} missing")
+  }
+
   test("prefixMinuteStream state is BOUNDED: the 2h watermark evicts old minute groups") {
     // ADVICE r15 #3: the complete-mode rollup test above retains all
     // groups by definition, so the docstring's bounded-state claim was
