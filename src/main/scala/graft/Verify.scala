@@ -128,8 +128,28 @@ object Verify {
       val pb = new ProcessBuilder("python3", tool.getPath, sfDir, outDir, art)
       pb.redirectErrorStream(true)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes())
-      val rc = proc.waitFor()
+      // ADVICE r16 #1: an unbounded waitFor/readAllBytes would hang THIS
+      // JVM if the compare stalls — the exact driver wall-budget failure
+      // mode the self-check exists to mitigate. Drain stdout on a daemon
+      // thread and bound the wait; on expiry kill the child and return
+      // (the dump already succeeded, the contract is intact).
+      val outBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val drainer = new Thread(() =>
+        try outBuf.set(new String(proc.getInputStream.readAllBytes()))
+        catch { case _: Throwable => () })
+      drainer.setDaemon(true)
+      drainer.start()
+      val budgetSec =
+        sys.env.getOrElse("SPARK_GRAFT_SELF_CHECK_BUDGET_SEC", "300").toLong
+      if (!proc.waitFor(budgetSec, java.util.concurrent.TimeUnit.SECONDS)) {
+        proc.destroyForcibly()
+        System.err.println(s"[verify] self-check TIMEOUT after ${budgetSec}s " +
+          "(child killed; dump unaffected)")
+        return
+      }
+      drainer.join(5000)
+      val out = outBuf.get()
+      val rc = proc.exitValue()
       System.err.println(f"[verify] self-check rc=$rc in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1fs: " +
         out.linesIterator.toSeq.takeRight(2).mkString(" | "))

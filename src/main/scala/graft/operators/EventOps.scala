@@ -2071,7 +2071,7 @@ object EventOps {
     * volume, purchases and errors — what an experimentation platform
     * streams to its monitor so a broken treatment is caught in minutes,
     * not at readout. Batch and streaming share THIS core
-    * ([[graft.streaming.StreamOps.abMinuteStream]]), so the two cannot
+    * ([[graft.streaming.StreamOps.abTimelineStream]]), so the two cannot
     * drift; the counters are watermark-friendly (no distinct aggregates —
     * the distinct-user audits live in [[evAbSrm]]/[[evAbGuardrail]]).
     * Shape: one map-side-combined (minute, arm) aggregate; state in the

@@ -69,4 +69,76 @@ class SurveySyncSpec extends AnyFunSuite {
     assert(phantom.isEmpty,
       s"oracle without a registered query: ${phantom.toSeq.sorted.mkString(", ")}")
   }
+
+  /** ADVICE r16 #2: `SparkEntry.materializeCtes` is a regex rewrite keyed
+    * on the exact `name AS (SELECT|VALUES` spacing/case. An oracle written
+    * with lowercase `as`, a newline before `(`, or extra whitespace would
+    * silently stay INLINED — re-opening the exponential-CTE perf cliff
+    * that emptied three rounds of driver artifacts. This lint counts CTE
+    * heads with a deliberately TOLERANT matcher (case-insensitive,
+    * any-whitespace) and asserts the strict rewriter materialized every
+    * one of them.
+    */
+  test("every CTE head in every oracle is materialized by the rewriter") {
+    val tolerantHead =
+      "(?is)([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(?:MATERIALIZED\\s*)?\\(\\s*(?:SELECT|VALUES)".r
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      val heads = tolerantHead.findAllMatchIn(sql).size
+      val materialized = "AS MATERIALIZED \\(".r.findAllMatchIn(sql).size
+      if (heads != materialized)
+        Some(s"$name: $heads CTE heads but $materialized materialized")
+      else None
+    }
+    assert(bad.isEmpty,
+      s"oracles with un-materialized CTE heads (fix the head's spacing/case " +
+        s"or generalize materializeCtes):\n${bad.mkString("\n")}")
+  }
+
+  /** Materialization turns CTE-alias shadowing (legal when inlined) into
+    * DuckDB binder errors that only surface at gate time. Duplicates
+    * across SIBLING nested scopes are fine (the spliced sub-oracle
+    * pattern in sim_recall_report reuses `cent`/`qv`/… in independent
+    * derived tables); the hazard is (a) two top-level CTEs with the same
+    * name, or (b) a nested CTE re-binding a top-level name of the same
+    * statement. Paren depth (outside string literals) distinguishes the
+    * two.
+    */
+  test("no oracle shadows a top-level CTE alias") {
+    val tolerantHead =
+      "(?is)([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s+(?:MATERIALIZED\\s*)?\\(\\s*(?:SELECT|VALUES)".r
+    def depthAt(sql: String): Int => Int = {
+      val depths = new Array[Int](sql.length + 1)
+      var d = 0; var inStr = false; var i = 0
+      while (i < sql.length) {
+        depths(i) = d
+        sql.charAt(i) match {
+          case '\'' => inStr = !inStr
+          case '(' if !inStr => d += 1
+          case ')' if !inStr => d -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      depths(sql.length) = d
+      pos => depths(pos)
+    }
+    val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (name, sql) =>
+      val depth = depthAt(sql)
+      val heads = tolerantHead.findAllMatchIn(sql)
+        .map(m => (m.group(1).toLowerCase, depth(m.start))).toSeq
+      val top = heads.filter(_._2 == 0).map(_._1)
+      val topDups = top.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+      val shadowed = heads.filter(h => h._2 > 0 && top.contains(h._1))
+        .map(_._1).distinct.sorted
+      val msgs =
+        (if (topDups.nonEmpty)
+           Seq(s"$name: duplicate top-level CTEs ${topDups.mkString(", ")}")
+         else Nil) ++
+          (if (shadowed.nonEmpty)
+             Seq(s"$name: nested CTEs shadow top-level ${shadowed.mkString(", ")}")
+           else Nil)
+      msgs
+    }
+    assert(bad.isEmpty, s"shadowed CTE aliases:\n${bad.mkString("\n")}")
+  }
 }

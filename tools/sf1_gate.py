@@ -75,9 +75,18 @@ def hash_multiset(df):
         else:
             s = col.astype(str).where(col.notna(), "NULL")
         norm[c] = s
-    hv = pd.util.hash_pandas_object(
-        pd.DataFrame(norm, columns=list(df.columns)), index=False)
-    return f"msum:{np.uint64(hv.values.sum()):d}:{len(df)}"
+    # ADVICE r16 #3: a single commutative uint64 sum is a weaker collision
+    # bound than the SHA-256 canon path this replaces past 200k rows.
+    # Combine two INDEPENDENT sort-free reductions — sum and XOR of
+    # per-row hashes under two different hash_key seeds — so an accidental
+    # large-frame collision must defeat ~128 bits, not 64.
+    frame = pd.DataFrame(norm, columns=list(df.columns))
+    hv1 = pd.util.hash_pandas_object(frame, index=False).values
+    hv2 = pd.util.hash_pandas_object(
+        frame, index=False, hash_key="1b873593cc9e2d51").values
+    xor2 = np.bitwise_xor.reduce(hv2.astype(np.uint64))
+    return (f"msum:{np.uint64(hv1.sum()):d}:"
+            f"x{np.uint64(xor2):016x}:{len(df)}")
 
 
 def mark(tmpdir, name, phase):
