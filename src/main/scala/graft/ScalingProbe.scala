@@ -22,7 +22,15 @@ import java.util.concurrent.atomic.LongAdder
 object ScalingProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 4
-    // args: [replication] [names-or-"-"-for-default] [json-out-path]
+    // args: [replication] [names-or-"-"-for-default] [json-out-path] [mode]
+    // mode: "density" (default — r14 behavior, replicas share ids/prefixes
+    // so per-key densities grow N×: the skew-stress axis) or "organic"
+    // (VERDICT r16 #3 — replicas get remapped user_ids, month-shifted
+    // timestamps and re-prefixed document texts, so DISTINCT users /
+    // audit prefixes / text buckets grow N× at constant per-key density:
+    // the organic-growth axis). Probing both separates "10× data" from
+    // "10× density" — a super-linear ratio in density mode but linear in
+    // organic mode is the replication harness's stress, not the operator.
     val names: Seq[String] =
       if (args.length > 1 && args(1) != "-") args(1).split(",").toSeq
       else Seq("q1_pricing_summary", "q3_shipping_priority",
@@ -31,8 +39,10 @@ object ScalingProbe {
         "ev_sessionize", "ev_value_quantiles", "ev_dau_sketch",
         "dd_minhash_lsh", "dd_canonical", "tx_tokens", "pipe_curate",
         "sim_topk_bruteforce")
+    val organic = args.length > 3 && args(3) == "organic"
     val base = "/root/testdata/sf0.1"
-    val scaled = s"/tmp/graft_scaled_x$n"
+    val scaled =
+      if (organic) s"/tmp/graft_scaled_org_x$n" else s"/tmp/graft_scaled_x$n"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -55,7 +65,7 @@ object ScalingProbe {
       }
     })
 
-    generate(spark, base, scaled, n)
+    generate(spark, base, scaled, n, organic)
 
     def run(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
       shuffleRead.reset(); shuffleWrite.reset()
@@ -91,9 +101,41 @@ object ScalingProbe {
             val shRatio = if (sb == 0) 0.0 else ss.toDouble / sb
             println(f"$name%-24s $tb%8.2f $ts%8.2f ${ts / tb}%8.2f " +
               f"$mb%9.1fM $ms%9.1fM $shRatio%8.2f")
+            // VERDICT r16 #2: for the edit-distance family the wall ratio
+            // alone can't distinguish "replication-density pair growth"
+            // from a broken cap, so stamp the measured pair/dropped-bucket
+            // counters AND the analytic O(N·MaxBucket) bound into the
+            // artifact row at both scales; `bound_ok` is the asserted fact.
+            val extra =
+              if (name == "dd_edit_distance") {
+                def stats(dir: String): Map[String, Long] = {
+                  val r = graft.operators.Dedup
+                    .editPairStats(Tables.documents(spark, dir))
+                    .collect()(0)
+                  r.schema.fieldNames.map(f =>
+                    f -> r.getAs[Long](f)).toMap
+                }
+                val (s0, s1) = (stats(base), stats(scaled))
+                val ok = s0("candidate_pairs") <= s0("pair_bound") &&
+                  s1("candidate_pairs") <= s1("pair_bound")
+                println(s"  pairs base=${s0("candidate_pairs")}/bound=" +
+                  s"${s0("pair_bound")} x$n=${s1("candidate_pairs")}/bound=" +
+                  s"${s1("pair_bound")} dropped_buckets x$n=" +
+                  s"${s1("dropped_buckets")} bound_ok=$ok")
+                s""", "pairs_base": ${s0("candidate_pairs")}, """ +
+                  s""""pair_bound_base": ${s0("pair_bound")}, """ +
+                  s""""dropped_buckets_base": ${s0("dropped_buckets")}, """ +
+                  s""""dropped_docs_base": ${s0("dropped_docs")}, """ +
+                  s""""pairs_x$n": ${s1("candidate_pairs")}, """ +
+                  s""""pair_bound_x$n": ${s1("pair_bound")}, """ +
+                  s""""dropped_buckets_x$n": ${s1("dropped_buckets")}, """ +
+                  s""""dropped_docs_x$n": ${s1("dropped_docs")}, """ +
+                  s""""pair_bound_ok": $ok"""
+              } else ""
             results(name) = f"""{"t_base_s": $tb%.3f, "t_x${n}_s": $ts%.3f, """ +
               f""""t_ratio": ${ts / tb}%.3f, "shuffle_base_bytes": $sb, """ +
-              f""""shuffle_x${n}_bytes": $ss, "shuffle_ratio": $shRatio%.3f}"""
+              f""""shuffle_x${n}_bytes": $ss, "shuffle_ratio": $shRatio%.3f""" +
+              extra + "}"
           } catch {
             case e: Throwable => println(s"$name FAILED: ${e.getMessage}")
           }
@@ -102,16 +144,27 @@ object ScalingProbe {
     // Optional per-round artifact (VERDICT r9 #7): third arg = output JSON
     // path; scale regressions become diffable between rounds.
     if (args.length > 2) {
+      val mode = if (organic) "organic" else "density"
       val body = results.map { case (k, v) => s""""$k": $v""" }
-        .mkString(s"""{"replication": $n, "queries": {""", ", ", "}}")
+        .mkString(s"""{"replication": $n, "mode": "$mode", "queries": {""",
+          ", ", "}}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(args(2)), body)
       println(s"wrote ${args(2)}")
     }
     spark.stop()
   }
 
-  /** Writes the N×-replicated tables (idempotent: skips if present). */
-  def generate(spark: SparkSession, base: String, out: String, n: Int): Unit = {
+  /** Writes the N×-replicated tables (idempotent: skips if present).
+    * `organic = false` (default): replicas share user_ids, timestamps and
+    * document openings — per-key DENSITY grows N× (skew stress).
+    * `organic = true`: each replica's events get remapped user_ids and
+    * month-shifted timestamps, and its documents a per-replica opening
+    * tag — DISTINCT users, audit `data/YYYY/MM` prefixes and 12-char text
+    * buckets grow N× at roughly constant per-key density (organic
+    * growth). Relational tables replicate identically in both modes.
+    */
+  def generate(spark: SparkSession, base: String, out: String, n: Int,
+      organic: Boolean = false): Unit = {
     val done = new java.io.File(s"$out/_DONE")
     if (done.exists()) return
     val rep = explode(sequence(lit(0), lit(n - 1))).as("r")
@@ -122,20 +175,41 @@ object ScalingProbe {
     Seq("region", "nation", "customer", "supplier", "part")
       .foreach(t => save(load(t), t))
     val KeyOff = 100000000L
+    val UserOff = 1000000L
     save(load("orders").select(col("*"), rep)
       .withColumn("o_orderkey", col("o_orderkey") + col("r") * KeyOff)
       .drop("r"), "orders")
     save(load("lineitem").select(col("*"), rep)
       .withColumn("l_orderkey", col("l_orderkey") + col("r") * KeyOff)
       .drop("r"), "lineitem")
-    save(load("events").select(col("*"), rep)
+    val ev = load("events").select(col("*"), rep)
       .withColumn("event_id", col("event_id") + col("r") * KeyOff)
-      .drop("r"), "events")
+    save(
+      (if (organic)
+         ev.withColumn("user_id", col("user_id") + col("r") * UserOff)
+           // month-shift keeps each replica's per-user event streams (and
+           // so sessions/funnels) intact while growing the distinct
+           // data/YYYY/MM audit-prefix population N×. The driver ships ts
+           // as int64 nanos (nanosAsLong) or timestamp depending on sf —
+           // shift in whichever type arrives.
+           .withColumn("ts",
+             if (ev.schema("ts").dataType ==
+                 org.apache.spark.sql.types.LongType)
+               (col("ts") + col("r") * lit(31L * 24 * 3600) * lit(1000000000L))
+                 .cast("long")
+             else
+               expr("timestampadd(DAY, r * 31, ts)"))
+       else ev).drop("r"), "events")
     save(load("documents").select(col("*"), rep)
       .withColumn("doc_id", col("doc_id") + col("r") * KeyOff)
       .withColumn("text",
         when(col("r") === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" rep"), col("r"))))
+          .otherwise(
+            if (organic)
+              // A per-replica OPENING diversifies the 12-char prefix
+              // bucket key: bucket count ×N, per-bucket size ~constant.
+              concat(lit("org"), col("r"), lit(" "), col("text"))
+            else concat(col("text"), lit(" rep"), col("r"))))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("r"), "documents")
     val emb = load("embeddings")

@@ -1693,6 +1693,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("lev_dist"), col("sim_ppm"))
   }
 
+  /** Candidate-pair accounting for [[editPairs]] (VERDICT r16 #2): one row
+    * of measured counters — emitted pairs, dropped stop-prefix buckets and
+    * docs, and the analytic worst-case bound Σ_b min(n_b, MaxBucket) ·
+    * (MaxBucket − 1) / 2 — so the O(N·MaxBucket) claim is an asserted
+    * number, not prose. `candidate_pairs` here is computed from the bucket
+    * HISTOGRAM (Σ_kept n·(n−1)/2), which equals the join's output count by
+    * construction; a spec pins that identity and the bound, and
+    * ScalingProbe stamps these counters into the SCALING artifact at the
+    * 10× replica. Cost: one map-side-combined groupBy over (12-char
+    * prefix) — no pair expansion.
+    */
+  private[graft] def editPairStats(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .select(lower(substring(col("text"), 1, 12)).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).cast("bigint").as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("n") > MaxBucket, 1L).otherwise(0L)).cast("bigint")
+          .as("dropped_buckets"),
+        sum(when(col("n") > MaxBucket, col("n")).otherwise(0L)).cast("bigint")
+          .as("dropped_docs"),
+        // n(n−1) is even, so the summed halves are exact in integer math
+        // (the `/` operator would detour through double).
+        expr(s"sum(CASE WHEN n <= $MaxBucket THEN n * (n - 1) ELSE 0 END) div 2")
+          .cast("bigint").as("candidate_pairs"),
+        expr(s"sum(least(n, $MaxBucket) * ${MaxBucket - 1}) div 2")
+          .cast("bigint").as("pair_bound"))
+
   val ddEditDistanceSql: String =
     s"""WITH d AS (
       |  SELECT doc_id, lower(substr(text, 1, 60)) AS w,
