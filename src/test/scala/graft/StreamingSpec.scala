@@ -746,4 +746,166 @@ class StreamingSpec extends SparkSpec {
           s"(state=$stateRows dropped=$dropped)")
     } finally q.stop()
   }
+
+  // --- VERDICT r16 #4: the pm_evict pattern, ported to every remaining --
+  // --- watermarked twin that claims bounded state in its docstring. ------
+
+  test("abTimelineStream state is BOUNDED: the 2h watermark evicts old minute groups") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+    val q = StreamOps.abTimelineStream(
+        mem.toDF.toDF("event_id", "user_id", "event_type", "ts"))
+      .writeStream.format("memory").queryName("ab_evict")
+      .outputMode("update").start()
+    def stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // same user → same arm → one (minute, arm) group per minute.
+      mem.addData((1L, 1L, "click", ts(60)))
+      q.processAllAvailable()
+      assert(stateRows == 1L, "one open (minute, arm) group after batch 1")
+      mem.addData((2L, 1L, "purchase", ts(360)))
+      q.processAllAvailable()
+      mem.addData((3L, 1L, "click", ts(361)))
+      q.processAllAvailable()
+      assert(stateRows == 2L,
+        s"minute-60 group must be evicted once the watermark passes it " +
+          s"(state rows = $stateRows, want the 2 open minutes 360/361)")
+      mem.addData((4L, 1L, "error", ts(61)))
+      q.processAllAvailable()
+      val dropped = q.lastProgress.stateOperators(0)
+        .numRowsDroppedByWatermark
+      assert(stateRows == 2L && dropped == 1L,
+        s"late minute-61 row must be watermark-dropped " +
+          s"(state=$stateRows dropped=$dropped)")
+    } finally q.stop()
+  }
+
+  test("nearDupStream state is BOUNDED: bucket state evicts after the 1h horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(minute: Long) = new java.sql.Timestamp(minute * 60000L)
+    val q = StreamOps.nearDupStream(spark,
+        mem.toDF.toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").start()
+    def stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // Two identical docs at minute 0: one keyed state row per LSH band
+      // bucket (16 bands, identical signatures → shared buckets), and the
+      // pair emits immediately.
+      // minute 100, not 0: epoch-0 event time collides with the INITIAL
+      // watermark (0 ms) and the row is dropped as late before any state
+      // forms.
+      mem.addData((1L, "alpha beta gamma delta epsilon", ts(100)),
+        (2L, "alpha beta gamma delta epsilon", ts(100)))
+      q.processAllAvailable()
+      assert(stateRows == 16L,
+        s"16 band buckets after batch 1 (state rows = $stateRows)")
+      assert(spark.table("neardup_evict").count() == 16L,
+        "the identical pair must emit once per shared band")
+      // A doc ~10 h later advances the watermark (1 h) past the old
+      // buckets' timeout (last arrival + 1 h); eviction applies on the
+      // batch AFTER the watermark advances.
+      mem.addData((3L, "zeta eta theta iota kappa", ts(700)))
+      q.processAllAvailable()
+      mem.addData((4L, "lambda mu nu xi omicron", ts(701)))
+      q.processAllAvailable()
+      assert(stateRows == 32L,
+        s"minute-0 buckets must time out once the watermark passes their " +
+          s"horizon (state rows = $stateRows, want docs 3+4's 32 buckets)")
+    } finally q.stop()
+  }
+
+  test("anomalyStream state is BOUNDED: one key per event type; hours drain on finalize") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    def ts(hour: Long) = new java.sql.Timestamp(hour * 3600000L)
+    val q = StreamOps.anomalyStream(spark,
+        mem.toDF.toDF("event_id", "user_id", "event_type", "ts"))
+      .writeStream.format("memory").queryName("anomaly_evict")
+      .outputMode("append").start()
+    def stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // 6 hours of clicks in one batch: state is ONE key (the type), not
+      // six hour rows — the hour cells live inside the key's ring/pending.
+      // Hours 1-6, not 0-5: an epoch-0 event time collides with the
+      // initial watermark and is dropped as late.
+      mem.addData((1L to 6L).map(h => (h, 1L, "click", ts(h))): _*)
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"one keyed state row per event type (state rows = $stateRows)")
+      // Jump 30 h: the watermark (28 h) finalizes hours 1–6; the key's
+      // state row REMAINS (ring retains 24 trailing cells) but no new
+      // rows appear — state is flat in stream length.
+      mem.addData((100L, 1L, "click", ts(30)))
+      q.processAllAvailable()
+      mem.addData((101L, 1L, "click", ts(31)))
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"state must stay one row per type as hours stream through " +
+          s"(state rows = $stateRows)")
+      val emitted = spark.table("anomaly_evict")
+        .select("hour").collect().map(_.getTimestamp(0).getTime / 3600000L)
+        .toSet
+      assert((1L to 6L).forall(emitted.contains),
+        s"hours 1-6 must finalize once the watermark passes them " +
+          s"(emitted hours: ${emitted.toSeq.sorted.mkString(",")})")
+      // A second type gets its own key — state grows with TYPES, not time.
+      mem.addData((102L, 1L, "view", ts(31)))
+      q.processAllAvailable()
+      assert(stateRows == 2L,
+        s"a new event type adds exactly one state row (state rows = $stateRows)")
+    } finally q.stop()
+  }
+
+  test("attributionStream state is BOUNDED: touches evict past the 24h lookback") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, java.sql.Timestamp)]
+    def ts(hour: Double) = new java.sql.Timestamp((hour * 3600000L).toLong)
+    val q = StreamOps.attributionStream(spark,
+        mem.toDF.toDF("event_id", "user_id", "event_type", "ts")
+          .withColumn("value", lit(10.0)))
+      .writeStream.format("memory").queryName("attr_evict")
+      .outputMode("append").start()
+    def stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+    try {
+      // hour 1, not 0: epoch-0 event time is dropped against the initial
+      // watermark before any state forms.
+      mem.addData((1L, 1L, "click", ts(1)))
+      q.processAllAvailable()
+      assert(stateRows == 1L, "user 1's touch is one state row")
+      // User 2 at hour 51: the watermark (51 − 25 = 26 h) passes user 1's
+      // touch + 24 h deadline (25 h); the timeout fires on the NEXT batch.
+      mem.addData((2L, 2L, "click", ts(51)))
+      q.processAllAvailable()
+      mem.addData((3L, 2L, "purchase", ts(51.5)))
+      q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"user 1's expired touch must be evicted (state rows = $stateRows, " +
+          "want only user 2's live touch)")
+      // User 2's purchase credits its own live touch...
+      val out = spark.table("attr_evict")
+        .select("event_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out(3L) == "click", s"purchase 3 must credit the click (${out(3L)})")
+      // ...while user 1, whose touch state is GONE, attributes 'direct' —
+      // exactly what the batch 24 h lookback would say.
+      mem.addData((4L, 1L, "purchase", ts(52)))
+      q.processAllAvailable()
+      val out2 = spark.table("attr_evict")
+        .select("event_id", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out2(4L) == "direct",
+        s"post-eviction purchase must be 'direct' (${out2(4L)})")
+    } finally q.stop()
+  }
 }
