@@ -20,6 +20,39 @@ Exit 0: populated and fully green (rows-only entries count as green only
 """
 import sys, json
 
+# VERDICT r16 #5 — standing oracle-budget mode:
+#
+#     python3 tools/artifact_guard.py --oracle-budget ORACLE_TIMES_r17.json [budget_sec]
+#
+# The r12/r14/r15 empty artifacts were a BUDGET overrun growing back
+# silently as the registry grew (root-caused r16: DuckDB CTE inlining).
+# This mode fails round prep if the serial sf0.01 oracle compare
+# (tools/oracle_times.py output) exceeds the budget (default 120 s —
+# r16 measured 33.6 s, so ~4x headroom), or if any oracle errored.
+if len(sys.argv) > 1 and sys.argv[1] == "--oracle-budget":
+    tpath = sys.argv[2]
+    budget = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+    try:
+        t = json.load(open(tpath))
+    except Exception as e:
+        print(f"FAIL: {tpath} missing/unparseable ({e}) — run "
+              f"tools/oracle_times.py this round")
+        sys.exit(1)
+    errs = [n for n, s in t.get("times", {}).items() if s < 0]
+    total = t.get("total_sec", 1e9)
+    print(f"oracle compare: {total}s over {t.get('n')} oracles "
+          f"(budget {budget}s), {len(errs)} errors")
+    for n in errs[:10]:
+        print(f"ERR oracle {n}")
+    if errs:
+        sys.exit(2)
+    if total > budget:
+        print(f"FAIL: serial oracle compare {total}s exceeds the {budget}s "
+              f"budget — the r12/r14/r15 failure mode is growing back; "
+              f"profile the top entries and materialize/rewrite them")
+        sys.exit(2)
+    sys.exit(0)
+
 path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_r15.json"
 expected_min = int(sys.argv[2]) if len(sys.argv) > 2 else 262
 
