@@ -868,7 +868,7 @@ object Containers {
     * ran before the 1998 keys landed.
     *
     * ONE scan: all four (timestamp, seq) pairs are conditional aggregates
-    * of the same key-version frame (the [[Namespace.nsSnapshotSpace]]
+    * of the same key-version frame (the [[Namespace.snapshotSpace]]
     * single-scan pattern); the unpivot explodes a 4-element struct array
     * of the 1-row aggregate.
     */

@@ -175,7 +175,18 @@ class PlanShapeSpec extends SparkSpec {
         }
       }
     }
+    // The headline sf1 bench truncates its `queries` detail to the
+    // slowest entries, so gate its recorded cardinality; the DETAIL
+    // artifact carries the full per-query map and gates by name.
     PlanShapeSpec.latestArtifact("BENCH_SF1_r(\\d+)\\.json").foreach { f =>
+      val text = java.nio.file.Files.readString(f.toPath)
+      val n = "\"n_queries\":\\s*(\\d+)".r
+        .findFirstMatchIn(text).map(_.group(1).toInt)
+      if (!n.contains(registry.size))
+        problems += s"${f.getName}: n_queries=${n.orNull} != registry " +
+          s"${registry.size}"
+    }
+    PlanShapeSpec.latestArtifact("BENCH_SF1_DETAIL_r(\\d+)\\.json").foreach { f =>
       val text = java.nio.file.Files.readString(f.toPath)
       val qnames = "\"([a-z0-9_]+)\":\\s*[0-9.]+".r
         .findAllMatchIn(text).map(_.group(1)).toSet
