@@ -43,6 +43,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional A/B lever for the scan fan-out (Tables.maybeFanout). The
+    // driver never sets it, so driver runs measure the default (auto).
+    sys.env.get("SPARK_GRAFT_FANOUT")
+      .foreach(v => spark.conf.set("spark.graft.scan.fanout", v))
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -19,6 +19,9 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B lever for the scan fan-out (Tables.maybeFanout): default auto.
+    sys.env.get("SPARK_GRAFT_FANOUT")
+      .foreach(v => spark.conf.set("spark.graft.scan.fanout", v))
 
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -53,10 +56,11 @@ object DevProbe {
       println(f"[probe] floor.agg1   (scan + 1 shuffle agg)  $agg1%.3f s")
     }
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROBE_RUNS", "2").toInt
     names.filterNot(_ == "floor").foreach { n =>
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
-          val secs = (1 to 2).map(_ => time1(noop(fn(spark, sfDir))))
+          val secs = (1 to runs).map(_ => time1(noop(fn(spark, sfDir))))
           println(f"[probe] $n%-28s min ${secs.min}%.2f s  runs ${secs.map(s => f"$s%.2f").mkString(" ")}")
         case None => println(s"[probe] $n: not registered")
       }

@@ -10,13 +10,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each query is
+    * wrapped in [[Tables.withQuery]] so construction-time plan choices
+    * with measured per-operator outcomes (the scan fan-out allowlist,
+    * Tables.fanoutQueries) know which registry query they serve.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ RelationalExt.queries ++
+    (Relational.queries ++ RelationalExt.queries ++
       Namespace.queries ++ Containers.queries ++ Fso.queries ++ Audit.queries ++
       Entities.queries ++ EventOps.queries ++ Temporal.queries ++
       Dedup.queries ++ Similarity.queries ++ TextOps.queries ++
-      Multimodal.queries ++ ImageCodec.queries ++ AudioCodec.queries ++ Pipeline.queries
+      Multimodal.queries ++ ImageCodec.queries ++ AudioCodec.queries ++
+      Pipeline.queries)
+      .map { case (name, fn) =>
+        name -> ((s: SparkSession, d: String) =>
+          Tables.withQuery(name)(fn(s, d)))
+      }
 
   /** CTE heads rewritten to DuckDB's `AS MATERIALIZED` form. DuckDB
     * INLINES every CTE reference by default, so a chain referenced k

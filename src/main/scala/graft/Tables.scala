@@ -18,8 +18,174 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Deterministic per-table shuffle keys for the scan fan-out exchange —
+    * the natural row identity of each FACT/corpus table (uniqueness is not
+    * required; an even hash spread is). Dimension tables (region, nation,
+    * customer, supplier, part) are deliberately absent: they are
+    * broadcast-sized by definition, and an exchange below a broadcast
+    * build is pure overhead.
+    */
+  /** Registry queries where the scan fan-out measurably pays — the
+    * allowlist driving [[maybeFanout]] when construction runs under
+    * [[withQuery]] (i.e. through `SparkEntry.queries`). Decision data:
+    * the r17 A/B benches (full suite at sf0.1 3-pass min and the 10×
+    * replica, plus paired min-of-3 probes for every borderline query;
+    * tables in OPTIMIZATION_r17.md). The mechanism behind the split:
+    * fan-out pays when per-row scan-stage work dominates (namespace key
+    * derivation, text/hash kernels, decimal chains, per-user windows over
+    * full rows) and loses when the first operation collapses the corpus
+    * with map-side partial aggregation/dedup over cheap narrow columns
+    * (global stats/sketches, container-arithmetic rollups, hour-bucket
+    * counts) — there the fan-out replaces a collapsed-partials shuffle
+    * with a full-corpus one. Queries built OUTSIDE the registry default
+    * to fan-out on (the layout mechanism is the right library default;
+    * the list encodes measured per-operator exceptions).
+    */
+  private[graft] val fanoutQueries: Set[String] = Set(
+    // text analysis: tokenize/regex/ngram kernels over the text column
+    "tx_bigram_freq_score", "tx_bigram_stats", "tx_charset_profile",
+    "tx_contamination", "tx_countmin_freq", "tx_crossdup", "tx_diversity",
+    "tx_fertility", "tx_fingerprint", "tx_gopher_rules", "tx_lang_confusion",
+    "tx_langid", "tx_novelty", "tx_pii", "tx_quality", "tx_readability",
+    "tx_repetition", "tx_tfidf_top_terms", "tx_tokens", "tx_zipf",
+    // dedup: minhash/simhash/winnow/jaccard verify pipelines
+    "dd_band_sweep", "dd_candidate_graph", "dd_canonical", "dd_chunk_exact",
+    "dd_cluster_sizes", "dd_components", "dd_containment", "dd_cosine_sweep",
+    "dd_embed_cosine", "dd_incremental", "dd_lsh_audit", "dd_minhash_est",
+    "dd_minhash_lsh", "dd_modality_agreement", "dd_ngram_jaccard",
+    "dd_phrase_hotlist", "dd_rep_selection", "dd_semantic_clusters",
+    "dd_shingle_hist", "dd_sig_width_sweep", "dd_source_dup_matrix",
+    "dd_substring_containment",
+    // similarity: per-vector quantize/assign/ADC math
+    "sim_knn_ivf_trained", "sim_knn_ivfpq", "sim_knn_lsh", "sim_knn_pq",
+    "sim_mips_topk", "sim_pq_codes", "sim_pq_m_sweep", "sim_probe_sweep",
+    "sim_range_audit", "sim_range_search", "sim_recall_report",
+    "sim_topk_bruteforce",
+    // pipeline: tokenization-fed curation/packing passes
+    "pipe_chunk", "pipe_curate", "pipe_curriculum", "pipe_dedup_funnel",
+    "pipe_dedup_weights", "pipe_pack_efficiency", "pipe_pack_plan",
+    "pipe_quality_calibration", "pipe_token_budget", "pipe_token_yield",
+    "pipe_vocab_coverage",
+    // namespace: key-string derivation feeds the scan stage
+    "ns_acl_effective", "ns_common_prefixes", "ns_compaction_plan",
+    "ns_content_summary", "ns_du", "ns_expired_open_keys", "ns_fso_du",
+    "ns_fso_paths", "ns_key_versions", "ns_lifecycle_policy",
+    "ns_list_v2_page", "ns_liststatus", "ns_lookup_key", "ns_mpu_list_parts",
+    "ns_mpu_list_uploads", "ns_quota_exhaustion", "ns_scan_plan",
+    "ns_snapshot_diff", "ns_snapshot_diff_chain", "ns_snapshot_diff_summary",
+    "ns_snapshot_space", "ns_top_keys", "ns_top_keys_per_bucket",
+    // events: per-user windows / full-row sequence work (user_id fan-out
+    // key doubles as their required clustering)
+    "ev_ab_guardrail", "ev_ab_timeline", "ev_attribution", "ev_burstiness",
+    "ev_cohort_revenue", "ev_concurrency", "ev_props_stats", "ev_range_join",
+    "ev_sessionize", "ev_session_stats", "ev_sliding_counts",
+    // containers: the key-string-building reports
+    "ct_read_load", "ct_missing_container_keys", "ct_cluster_state",
+    // relational: decimal-chain scans without early collapse
+    "q11_revenue_concentration", "q18_large_volume", "q1_incremental",
+    "q1_pricing_summary", "q21_waiting_supplier", "q_column_corr",
+    "q_column_stats_approx", "q_cube_sales", "q_distinct_counts",
+    "q_grouping_sets", "q_join_skew_salted", "q_order_lateness",
+    "q_promo_revenue", "q_rollup_sales", "q_small_qty_revenue")
+
+  private val currentQuery = new ThreadLocal[String]
+
+  /** Runs `body` with the registry query name visible to [[maybeFanout]]
+    * (construction-time only; cleared on exit). SparkEntry wraps every
+    * registered query in this, so the per-query fan-out decisions above
+    * apply to the bench/verify/probe surfaces uniformly.
+    */
+  private[graft] def withQuery[T](name: String)(body: => T): T = {
+    currentQuery.set(name)
+    try body finally currentQuery.remove()
+  }
+
+  private val fanoutKeys: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    // events fans out on user_id, not event_id: the dominant events
+    // consumers (sessionization, funnels, per-user windows, retention)
+    // immediately need a user_id clustering, and hashpartitioning(user_id)
+    // from the fan-out satisfies that required distribution — the fan-out
+    // IS their shuffle instead of an extra one.
+    "events" -> Seq("user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Scan fan-out (optimization guide §2.5 "input skew" / §6): a parquet
+    * input whose file count (and, in this testdata, row-group count — the
+    * driver writes ONE row group per table) is far below the available
+    * parallelism serializes the scan AND everything fused into its stage
+    * (string derivation, hash kernels, partial aggregation) through one or
+    * two tasks while the rest of the machine idles. When the estimated
+    * scan-task count cannot fill half the cores, insert one deterministic
+    * hash exchange on the table's natural key directly above the scan so
+    * the per-row work above it runs wide. In plan text this exchange
+    * carries the REPARTITION_BY_NUM origin tag, which is how plan gates
+    * (PlanShapeSpec's raw-text-shuffle test) tell the layout-conditional
+    * fan-out from an algorithmic (ENSURE_REQUIREMENTS) reshuffle of
+    * payload data.
+    *
+    * Scale behavior: the decision is computed from the ACTUAL input layout
+    * at plan time — a 100 TB table in thousands of files estimates far
+    * more scan tasks than any executor count and the fan-out disables
+    * itself; a pathological monolithic input (one giant unsplittable file)
+    * fans out, which is exactly the remediation the guide prescribes.
+    * Tiny inputs (< spark.graft.scan.fanout.minBytes, default 256 KiB —
+    * broadcast-side dimensions, sf0.01 correctness tables) skip the
+    * exchange; `spark.graft.scan.fanout=off` disables it globally.
+    * Deterministic hash keys keep retries and the cross-layout determinism
+    * gates exact (guide §2.5 warns against rand-derived keys).
+    */
+  private def maybeFanout(spark: SparkSession, df: DataFrame, path: String,
+      name: String): DataFrame = {
+    if (spark.conf.get("spark.graft.scan.fanout", "auto") == "off") return df
+    if (!fanoutKeys.contains(name)) return df
+    // Under a registry query, apply the measured per-query decision.
+    val q = Option(currentQuery.get())
+    if (q.exists(n => !fanoutQueries.contains(n))) return df
+    val keyCols = fanoutKeys(name)
+    val minBytes = spark.conf
+      .get("spark.graft.scan.fanout.minBytes", "262144").toLong
+    val para = spark.sparkContext.defaultParallelism
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return df
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      else Seq(st)
+    val totalBytes = files.map(_.getLen).sum
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    val estTasks = files.map(f =>
+      math.max(1L, (f.getLen + maxSplit - 1) / maxSplit)).sum
+    if (totalBytes < minBytes || estTasks * 2 >= para) df
+    // Plain natural-key columns, not a hash of them: hashpartitioning on
+    // the raw attribute satisfies a downstream ClusteredDistribution on
+    // the same key (per-user windows, same-key aggregations/joins), so
+    // where the consumer's first operation already needed that clustering
+    // the fan-out exchange is REUSED rather than added. In plan text this
+    // exchange is identifiable by its REPARTITION_BY_NUM origin tag.
+    else df.repartition(para, keyCols.map(df.col): _*)
+  }
+
+  /** `fanout = false` opts a call site out of the scan fan-out: right for
+    * consumers whose FIRST operation collapses the corpus with map-side
+    * partial aggregation/dedup over cheap, narrow columns — there the
+    * fan-out exchange would carry the whole corpus where the collapsed
+    * partials used to travel (q16's (partkey, suppkey) dedup is the
+    * measured case: 2.6× slower fanned at the 10× scale).
+    */
+  def load(spark: SparkSession, sfDir: String, name: String,
+      fanout: Boolean = true): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    if (fanout) maybeFanout(spark, df, path, name) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")

