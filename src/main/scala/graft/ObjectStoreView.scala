@@ -88,6 +88,45 @@ object ObjectStoreView {
   def keysWithFlag(spark: SparkSession, sfDir: String): DataFrame =
     withFlag(spark, sfDir)
 
+  /** All-numeric form of [[keysWithFlag]] for consumers that AGGREGATE on
+    * the key identity (guide §2.3 — shuffle fewer bytes): the derived
+    * (volume, bucket, key) strings are a BIJECTION of the numeric
+    * quintuple (l_orderkey, l_linenumber, l_suppkey%5, year, month) —
+    * volume = f(o%3), bucket = "b"+s5, and the key text embeds o, ln,
+    * the 4-digit year and the 0-padded month with unambiguous separators,
+    * so two rows agree on the strings iff they agree on the quintuple.
+    * Grouping on the quintuple shuffles ~24 B of ints per group where the
+    * string form shuffles ~50 B of built text, and defers the per-row
+    * concat chain to once per SURVIVING group ([[buildKeyColumns]]).
+    */
+  def keysWithFlagNarrow(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    l.select(
+      col("l_returnflag").as("rflag"),
+      col("l_orderkey").as("o"),
+      col("l_linenumber").as("ln"),
+      (col("l_suppkey") % 5).as("b5"),
+      year(col("l_shipdate")).as("yr"),
+      month(col("l_shipdate")).as("mo"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+        .as("size"))
+  }
+
+  /** The (volume, bucket, key) string columns rebuilt from the numeric
+    * quintuple — the EXACT expressions of [[keys]], applied post-collapse
+    * (`year(l_shipdate)`/`month(l_shipdate)` arrive pre-computed as
+    * yr/mo, which [[keys]] casts to string the same way).
+    */
+  def buildKeyColumns(df: DataFrame): DataFrame =
+    df.withColumn("volume",
+        concat(lit("vol"), (col("o") % 3).cast("string")))
+      .withColumn("bucket", concat(lit("b"), col("b5").cast("string")))
+      .withColumn("key", concat(
+        lit("data/"), col("yr").cast("string"),
+        lit("/"), lpad(col("mo").cast("string"), 2, "0"),
+        lit("/"), col("o").cast("string"),
+        lit("-"), col("ln").cast("string"), lit(".obj")))
+
   val keysWithFlagSql: String =
     """SELECT l_returnflag AS rflag,
       |  'vol' || CAST(l_orderkey % 3 AS VARCHAR) AS volume,

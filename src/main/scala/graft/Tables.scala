@@ -79,6 +79,9 @@ object Tables {
     "ev_ab_guardrail", "ev_ab_timeline", "ev_attribution", "ev_burstiness",
     "ev_cohort_revenue", "ev_concurrency", "ev_props_stats", "ev_range_join",
     "ev_sessionize", "ev_session_stats", "ev_sliding_counts",
+    // multimodal codec paths: per-row PNG/WAV encode+decode — fan out only
+    // above fanoutMinBytesOverride (see there; sf0.1 stays single-task)
+    "mm_real_decode", "mm_real_audio",
     // containers: the key-string-building reports
     "ct_read_load", "ct_missing_container_keys", "ct_cluster_state",
     // relational: decimal-chain scans without early collapse
@@ -88,16 +91,32 @@ object Tables {
     "q_grouping_sets", "q_join_skew_salted", "q_order_lateness",
     "q_promo_revenue", "q_rollup_sales", "q_small_qty_revenue")
 
+  /** Per-query OVERRIDE of `spark.graft.scan.fanout.minBytes` (ADVICE r17 /
+    * VERDICT r17 #8): the mm_* codec paths do per-row work (PNG/WAV encode +
+    * decode) whose cost tracks ROW COUNT, not input bytes — at the bench
+    * scale (~0.6 MB documents, 5 k rows) the exchange + 32-task scheduling
+    * costs more than the single-task decode, while at the 10× replica
+    * (~6 MB, 50 k rows) the fanned decode wins several-fold. The input
+    * byte size is the plan-time proxy for row count (same parquet encoding
+    * either side), so these queries fan out only above 4 MiB.
+    */
+  private[graft] val fanoutMinBytesOverride: Map[String, Long] = Map(
+    "mm_real_decode" -> (4L << 20),
+    "mm_real_audio" -> (4L << 20))
+
   private val currentQuery = new ThreadLocal[String]
 
   /** Runs `body` with the registry query name visible to [[maybeFanout]]
-    * (construction-time only; cleared on exit). SparkEntry wraps every
-    * registered query in this, so the per-query fan-out decisions above
-    * apply to the bench/verify/probe surfaces uniformly.
+    * (construction-time only; restores the previous value on exit so a
+    * registry query constructed inline from another keeps the OUTER
+    * query's decision afterwards — ADVICE r17 #2).
     */
   private[graft] def withQuery[T](name: String)(body: => T): T = {
+    val prev = currentQuery.get()
     currentQuery.set(name)
-    try body finally currentQuery.remove()
+    try body finally {
+      if (prev == null) currentQuery.remove() else currentQuery.set(prev)
+    }
   }
 
   private val fanoutKeys: Map[String, Seq[String]] = Map(
@@ -137,32 +156,73 @@ object Tables {
     * Deterministic hash keys keep retries and the cross-layout determinism
     * gates exact (guide §2.5 warns against rand-derived keys).
     */
+  /** (dir mtime, data files) per path — `maybeFanout` runs at
+    * query-construction time on the driver, and re-listing the same table
+    * directory for every query adds measurable driver latency on an
+    * object store with many files (ADVICE r17 #6). The single
+    * `getFileStatus` RPC revalidates the entry: a rewritten table bumps
+    * the directory mtime and refreshes the listing.
+    */
+  private val listingCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Seq[org.apache.hadoop.fs.FileStatus])]()
+
   private def maybeFanout(spark: SparkSession, df: DataFrame, path: String,
       name: String): DataFrame = {
-    if (spark.conf.get("spark.graft.scan.fanout", "auto") == "off") return df
+    val mode = spark.conf.get("spark.graft.scan.fanout", "auto")
+    if (mode == "off") return df
     if (!fanoutKeys.contains(name)) return df
     // Under a registry query, apply the measured per-query decision.
     val q = Option(currentQuery.get())
     if (q.exists(n => !fanoutQueries.contains(n))) return df
     val keyCols = fanoutKeys(name)
-    val minBytes = spark.conf
-      .get("spark.graft.scan.fanout.minBytes", "262144").toLong
     val para = spark.sparkContext.defaultParallelism
+    // "on" forces the exchange regardless of layout (ignores minBytes and
+    // the task estimate) — the determinism/oracle gates use it to execute
+    // fanned plans at scales where the auto heuristic would skip them
+    // (VERDICT r17 #3). The per-query allowlist still applies: a query
+    // opted out never fans out in any mode, so there is no plan to gate.
+    if (mode == "on") return df.repartition(para, keyCols.map(df.col): _*)
+    val minBytes = q.flatMap(fanoutMinBytesOverride.get).getOrElse(
+      spark.conf.get("spark.graft.scan.fanout.minBytes", "262144").toLong)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return df
     val st = fs.getFileStatus(p)
     val files =
-      if (st.isDirectory)
-        fs.listStatus(p).toSeq.filter(f => f.isFile &&
-          !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith("."))
-      else Seq(st)
+      if (st.isDirectory) {
+        val cached = listingCache.get(path)
+        if (cached != null && cached._1 == st.getModificationTime) cached._2
+        else {
+          val listed = fs.listStatus(p).toSeq.filter(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          listingCache.put(path, (st.getModificationTime, listed))
+          listed
+        }
+      } else Seq(st)
     val totalBytes = files.map(_.getLen).sum
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    val estTasks = files.map(f =>
+    // Scan-task estimate = min of two bounds (ADVICE r17 #1):
+    //  - row-group bound: Σ ceil(bytes/maxPartitionBytes) per file — a
+    //    monolithic single-row-group file yields ONE working task no
+    //    matter how many byte-range splits Spark cuts (only the split
+    //    holding the row-group midpoint reads it);
+    //  - bin-packing bound: Spark's own FilePartition packing (each file
+    //    charged openCostInBytes, packed into maxSplitBytes =
+    //    min(maxPartitionBytes, max(openCost, totalWithOpen/para)) bins)
+    //    — many small files pack ~32 per split, so the per-file bound
+    //    alone would overestimate tasks and skip a fan-out that pays.
+    val openCost = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    val rowGroupBound = files.map(f =>
       math.max(1L, (f.getLen + maxSplit - 1) / maxSplit)).sum
+    val totalWithOpen = totalBytes + openCost * files.size
+    val packedSplit = math.min(maxSplit,
+      math.max(openCost, totalWithOpen / math.max(1, para)))
+    val packedBound = math.max(1L,
+      (totalWithOpen + packedSplit - 1) / packedSplit)
+    val estTasks = math.min(rowGroupBound, packedBound)
     if (totalBytes < minBytes || estTasks * 2 >= para) df
     // Plain natural-key columns, not a hash of them: hashpartitioning on
     // the raw attribute satisfies a downstream ClusteredDistribution on

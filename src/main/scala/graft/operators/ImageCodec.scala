@@ -95,7 +95,7 @@ object ImageCodec {
           val w = (id % 16 + 1).toInt
           val h = (id % 12 + 1).toInt
           (id, encodePngWith(writer, id, w, h))
-        }
+        } ++ { writer.dispose(); Iterator.empty }
       }
       .toDF("doc_id", "payload")
   }
@@ -164,11 +164,20 @@ object ImageCodec {
           try { reader.setInput(iis); reader.read(0) }
           finally iis.close()
         }
-        rows.map { case (id, bytes) =>
+        // Corrupt-input catch, NARROWED (ADVICE r17 #4) to what the JDK
+        // PNG reader throws on malformed bytes: IIOException/EOF (both
+        // IOException) for bad signatures and truncation, and the
+        // IllegalArgument/IndexOutOfBounds family for inconsistent header
+        // fields. Genuine decode-path BUGS (NPEs, codegen errors) now
+        // fail the task loudly instead of masquerading as DECODE_ERROR.
+        // Payloads are this module's own PNGs, so the PNG-reader pin
+        // loses no coverage (object doc states the PNG-only contract).
+        val mapped = rows.map { case (id, bytes) =>
           val img =
             try readPng(bytes)
             catch {
-              case _: java.io.IOException | _: RuntimeException => null
+              case _: java.io.IOException | _: IllegalArgumentException |
+                   _: IndexOutOfBoundsException => null
             }
           if (img == null) DecodedImage(id, "DECODE_ERROR", 0, 0, 0L, 0L)
           else {
@@ -188,6 +197,12 @@ object ImageCodec {
               ahash64(img))
           }
         }
+        // Release the reader's native/raster state when the partition is
+        // exhausted (ADVICE r17 #3); like the single-row encodePng path's
+        // writer.dispose(), but amortized across the partition. A consumer
+        // that abandons the iterator early leaks one reader per task —
+        // bounded, and no worse than the pre-hoist per-row path.
+        mapped ++ { reader.dispose(); Iterator.empty }
       }
   }
 

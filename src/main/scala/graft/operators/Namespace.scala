@@ -52,16 +52,30 @@ object Namespace {
     * counts/bytes (reference: s3gateway BucketEndpoint + CommonPrefix).
     */
   def commonPrefixes(keys: DataFrame, prefix: String): DataFrame = {
+    // Narrow pre-aggregate (guide §2.3, VERDICT r17 #6): per ROW compute
+    // only the delimiter segment and a has-delimiter bit — the group
+    // identity — and aggregate on those; the common_prefix/is_prefix
+    // strings are built once per surviving GROUP after the collapse.
+    // (seg, has_delim) ↔ (common_prefix, is_prefix) is a bijection for a
+    // fixed `prefix`: seg never contains '/' (substring_index up to the
+    // first delimiter), so the delimiter branch — and only that branch —
+    // ends in '/'. The pre-exchange row therefore carries the short seg
+    // instead of the full rebuilt prefix text, and the per-row
+    // when/concat/endsWith chain drops out of the scan stage.
     val rest = expr(s"substring(key, ${prefix.length + 1})")
     keys.filter(col("key").startsWith(prefix))
-      .withColumn("seg", substring_index(rest, "/", 1))
-      .withColumn("common_prefix",
-        when(expr("position('/' in substring(key, " + (prefix.length + 1) +
-          "))") > 0, concat(lit(prefix), col("seg"), lit("/")))
-          .otherwise(col("seg")))
-      .withColumn("is_prefix", col("common_prefix").endsWith("/"))
-      .groupBy(col("common_prefix"), col("is_prefix"))
+      .select(
+        substring_index(rest, "/", 1).as("seg"),
+        (expr("position('/' in substring(key, " + (prefix.length + 1) +
+          "))") > 0).as("has_delim"),
+        col("size"))
+      .groupBy(col("seg"), col("has_delim"))
       .agg(count(lit(1)).as("n_objects"), sum(col("size")).as("total_bytes"))
+      .select(
+        when(col("has_delim"), concat(lit(prefix), col("seg"), lit("/")))
+          .otherwise(col("seg")).as("common_prefix"),
+        col("has_delim").as("is_prefix"),
+        col("n_objects"), col("total_bytes"))
       .orderBy(col("common_prefix").asc)
   }
 
@@ -802,13 +816,21 @@ object Namespace {
     */
   private[graft] def snapshotChainChangeSet(spark: SparkSession,
       dir: String): DataFrame = {
-    val inA = col("mtime") < lit("1997-01-01").cast("timestamp")
-    val inB = col("mtime") < lit("1998-01-01").cast("timestamp") &&
-      col("rflag") =!= "R"
+    // Narrow-quintuple aggregation (guide §2.3, VERDICT r17 #7): the
+    // snapshot thresholds are year-aligned, so membership tests reduce to
+    // integer compares on the pre-split year (mtime < 1997-01-01 ⟺
+    // yr ≤ 1996 for date-typed mtimes), the group key is the ~24-byte
+    // numeric quintuple instead of the ~50-byte built strings, and the
+    // (volume, bucket, key) text is built ONCE PER SURVIVING GROUP after
+    // the collapse instead of once per corpus row before the exchange.
+    // ObjectStoreView.keysWithFlagNarrow documents the bijection that
+    // makes the grouping identical.
+    val inA = col("yr") < 1997
+    val inB = col("yr") < 1998 && col("rflag") =!= "R"
     val sizeB = when(col("rflag") === "A", col("size") + 1024)
       .otherwise(col("size"))
-    ObjectStoreView.keysWithFlag(spark, dir)
-      .groupBy(col("volume"), col("bucket"), col("key"))
+    val agg = ObjectStoreView.keysWithFlagNarrow(spark, dir)
+      .groupBy(col("o"), col("ln"), col("b5"), col("yr"), col("mo"))
       .agg(
         sum(when(inA, col("size"))).as("a_size"),
         sum(when(inB, sizeB)).as("b_size"),
@@ -819,6 +841,9 @@ object Namespace {
       // namespace dwarfs any realistic inter-snapshot delta).
       .filter(!(col("a_size") <=> col("b_size") &&
         col("b_size") <=> col("c_size")))
+    ObjectStoreView.buildKeyColumns(agg)
+      .select(col("volume"), col("bucket"), col("key"),
+        col("a_size"), col("b_size"), col("c_size"))
   }
 
   def nsSnapshotDiffChain(spark: SparkSession, dir: String): DataFrame = {

@@ -245,14 +245,18 @@ class PlanShapeSpec extends SparkSpec {
   test("LSH dedup plans contain no shuffle of raw document text") {
     // The exchange keys for dd_exact are the two fingerprint columns. The
     // one allowed text-carrying exchange is the layout-conditional scan
-    // fan-out (REPARTITION_BY_NUM origin, Tables.maybeFanout): it exists
-    // only when the input's file/row-group layout cannot fill the cores,
-    // and disappears on any real multi-file corpus — an algorithmic
-    // (ENSURE_REQUIREMENTS) reshuffle of text stays a failure.
+    // fan-out (REPARTITION_BY_NUM origin, Tables.maybeFanout) — but
+    // dd_exact is NOT in Tables.fanoutQueries (its first operation is a
+    // map-side fingerprint dedup), so for THIS query no text-carrying
+    // exchange of any origin is legitimate (ADVICE r17 #5: a blanket
+    // REPARTITION_BY_NUM waiver would hide a future bug that accidentally
+    // fans dd_exact's text out). An algorithmic (ENSURE_REQUIREMENTS)
+    // reshuffle of text stays a failure for every dedup query.
+    assert(!Tables.fanoutQueries.contains("dd_exact"),
+      "dd_exact joined the fan-out allowlist — re-tighten this gate")
     val p = plan("dd_exact")
     val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
-    assert(exchanges.forall(l =>
-      !l.contains("text#") || l.contains("REPARTITION_BY_NUM")),
+    assert(exchanges.forall(l => !l.contains("text#")),
       "dd_exact shuffles the raw document text")
   }
 
