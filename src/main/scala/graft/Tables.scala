@@ -53,7 +53,10 @@ object Tables {
     "dd_cluster_sizes", "dd_components", "dd_containment", "dd_cosine_sweep",
     "dd_embed_cosine", "dd_incremental", "dd_lsh_audit", "dd_minhash_est",
     "dd_minhash_lsh", "dd_modality_agreement", "dd_ngram_jaccard",
-    "dd_phrase_hotlist", "dd_rep_selection", "dd_semantic_clusters",
+    // dd_rep_selection dropped r18: the 10× paired probe (min-of-3, both
+    // ways) reads +0.57 s — under the 0.8 s keep bar — while the driver's
+    // sf0.1 bench regressed 12.5% with it fanned (VERDICT r17 #5).
+    "dd_phrase_hotlist", "dd_semantic_clusters",
     "dd_shingle_hist", "dd_sig_width_sweep", "dd_source_dup_matrix",
     "dd_substring_containment",
     // similarity: per-vector quantize/assign/ADC math

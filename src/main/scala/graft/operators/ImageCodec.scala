@@ -71,7 +71,13 @@ object ImageCodec {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    val ios = ImageIO.createImageOutputStream(out)
+    // Memory-cached stream, NOT ImageIO.createImageOutputStream: the
+    // factory default (useCache=true) backs every stream with a disk
+    // temp file — per-row file create/write/delete for bytes that already
+    // live on the heap, and temp-dir contention once concurrent tasks
+    // decode in parallel (guide §4.5: keep per-row work in memory).
+    // MemoryCacheImageOutputStream produces byte-identical output.
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     try {
       writer.setOutput(ios)
       writer.write(img)
@@ -159,7 +165,10 @@ object ImageCodec {
       .mapPartitions { rows =>
         val reader = ImageIO.getImageReadersByFormatName("png").next()
         def readPng(bytes: Array[Byte]): BufferedImage = {
-          val iis = ImageIO.createImageInputStream(
+          // Memory-cached stream for the same reason as the encode side:
+          // ImageIO.createImageInputStream's default disk cache writes
+          // every payload to a temp file before the reader sees it.
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
             new ByteArrayInputStream(bytes))
           try { reader.setInput(iis); reader.read(0) }
           finally iis.close()
