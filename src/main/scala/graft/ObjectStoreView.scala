@@ -445,21 +445,66 @@ object ObjectStoreView {
     * so ids agree by construction — and the PATH columns are dropped
     * before the operator sees the table.
     */
+  /** The numeric DIRECTORY identity of each key: every key path is
+    * data/<year>/<month>/<file>, so its three directory prefixes are a
+    * bijection of (l_orderkey%3, l_suppkey%5, year, month) plus the level
+    * — the narrow basis [[dirTable]] and the FSO du rollup aggregate on
+    * BEFORE any path text exists (guide §2.3: the corpus-sized distinct/
+    * aggregate hashes four ints instead of built strings, and the concat
+    * chain runs once per surviving directory, not once per key).
+    */
+  private[graft] def keyDirNarrow(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val l = Tables.lineitem(spark, sfDir)
+    l.select(
+      (col("l_orderkey") % 3).as("v3"),
+      (col("l_suppkey") % 5).as("b5"),
+      year(col("l_shipdate")).as("yr"),
+      month(col("l_shipdate")).as("mo"),
+      (col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+        .as("size"))
+  }
+
   def dirTable(spark: SparkSession, sfDir: String): DataFrame = {
-    val paths = keys(spark, sfDir).select(col("volume"), col("bucket"),
+    // Distinct FIRST on the numeric identity (collapses the corpus to the
+    // ~|years × months| directory frame), THEN explode the three levels
+    // and build path text per surviving directory. Level markers keep the
+    // level-1/level-2 rows distinct before any string exists; the string
+    // forms are level-unambiguous ("data" vs "data/YYYY" vs
+    // "data/YYYY/MM"), so the distinct sets correspond one-to-one with
+    // the old explode-then-distinct over built prefixes.
+    val base = keyDirNarrow(spark, sfDir)
+      .select(col("v3"), col("b5"), col("yr"), col("mo")).distinct()
+    val n = lit(null).cast("int")
+    val lv = base.select(col("v3"), col("b5"),
         explode(array(
-          substring_index(col("key"), "/", 1),
-          substring_index(col("key"), "/", 2),
-          substring_index(col("key"), "/", 3))).as("path"))
+          struct(lit(1).as("lvl"), n.as("yr"), n.as("mo")),
+          struct(lit(2).as("lvl"), col("yr").as("yr"), n.as("mo")),
+          struct(lit(3).as("lvl"), col("yr").as("yr"), col("mo").as("mo"))))
+          .as("s"))
+      .select(col("v3"), col("b5"), col("s.lvl").as("lvl"),
+        col("s.yr").as("yr"), col("s.mo").as("mo"))
       .distinct()
-    def id(path: Column): Column = graft.functions.Codes.foldCode(
-      concat(col("volume"), lit("/"), col("bucket"), lit("/"), path),
+    val path = when(col("lvl") === 1, lit("data"))
+      .when(col("lvl") === 2, concat(lit("data/"), col("yr").cast("string")))
+      .otherwise(concat(lit("data/"), col("yr").cast("string"), lit("/"),
+        lpad(col("mo").cast("string"), 2, "0")))
+    val parentPath = when(col("lvl") === 2, lit("data"))
+      .otherwise(concat(lit("data/"), col("yr").cast("string")))
+    def id(p: Column): Column = graft.functions.Codes.foldCode(
+      concat(col("volume"), lit("/"), col("bucket"), lit("/"), p),
       131L, graft.functions.Codes.P)
-    paths.select(col("volume"), col("bucket"),
-      id(col("path")).as("obj_id"),
-      when(instr(col("path"), "/") === 0, lit(0L))
-        .otherwise(id(regexp_replace(col("path"), "/[^/]*$", ""))).as("parent_id"),
-      substring_index(col("path"), "/", -1).as("name"))
+    lv.select(
+        concat(lit("vol"), col("v3").cast("string")).as("volume"),
+        concat(lit("b"), col("b5").cast("string")).as("bucket"),
+        col("lvl"), col("yr"), col("mo"))
+      .select(col("volume"), col("bucket"),
+        id(path).as("obj_id"),
+        when(col("lvl") === 1, lit(0L)).otherwise(id(parentPath))
+          .as("parent_id"),
+        when(col("lvl") === 1, lit("data"))
+          .when(col("lvl") === 2, col("yr").cast("string"))
+          .otherwise(lpad(col("mo").cast("string"), 2, "0")).as("name"))
   }
 
   /** DuckDB CTE body building the identical dirTable (ends in `dirs`). */

@@ -69,10 +69,16 @@ object Tables {
     "pipe_dedup_weights", "pipe_pack_efficiency", "pipe_pack_plan",
     "pipe_quality_calibration", "pipe_token_budget", "pipe_token_yield",
     "pipe_vocab_coverage",
-    // namespace: key-string derivation feeds the scan stage
+    // namespace: key-string derivation feeds the scan stage.
+    // ns_du / ns_fso_du / ns_fso_paths dropped r18: their corpus
+    // aggregates were reshaped onto the numeric directory identity
+    // (keyDirNarrow), which removed the per-row string work the fan-out
+    // parallelized — 10× paired probes then read the exchange as a pure
+    // cost (ns_fso_du 5.62 s off vs 9.65 s fanned, ns_fso_paths
+    // 1.71 vs 3.74, ns_du 2.40 vs 3.22).
     "ns_acl_effective", "ns_common_prefixes", "ns_compaction_plan",
-    "ns_content_summary", "ns_du", "ns_expired_open_keys", "ns_fso_du",
-    "ns_fso_paths", "ns_key_versions", "ns_lifecycle_policy",
+    "ns_content_summary", "ns_expired_open_keys",
+    "ns_key_versions", "ns_lifecycle_policy",
     "ns_list_v2_page", "ns_liststatus", "ns_lookup_key", "ns_mpu_list_parts",
     "ns_mpu_list_uploads", "ns_quota_exhaustion", "ns_scan_plan",
     "ns_snapshot_diff", "ns_snapshot_diff_chain", "ns_snapshot_diff_summary",

@@ -114,11 +114,19 @@ object Fso {
     * against the tree — only its per-prefix aggregate is.
     */
   def nsFsoDu(spark: SparkSession, dir: String): DataFrame = {
-    val leaf = ObjectStoreView.keys(spark, dir)
-      .select(col("volume"), col("bucket"), col("size"),
-        substring_index(col("key"), "/", 3).as("leaf"))
-      .groupBy(col("volume"), col("bucket"), col("leaf"))
+    // The leaf collapse — the only key-sized aggregate — runs on the
+    // numeric directory identity (guide §2.3; see
+    // ObjectStoreView.keyDirNarrow for the bijection) and builds the
+    // volume/bucket/leaf text once per surviving directory.
+    val leaf = ObjectStoreView.keyDirNarrow(spark, dir)
+      .groupBy(col("v3"), col("b5"), col("yr"), col("mo"))
       .agg(count(lit(1)).as("f"), sum(col("size")).as("b"))
+      .select(
+        concat(lit("vol"), col("v3").cast("string")).as("volume"),
+        concat(lit("b"), col("b5").cast("string")).as("bucket"),
+        concat(lit("data/"), col("yr").cast("string"), lit("/"),
+          lpad(col("mo").cast("string"), 2, "0")).as("leaf"),
+        col("f"), col("b"))
     val sub = leaf
       .select(col("volume"), col("bucket"), col("f"), col("b"),
         explode(array(

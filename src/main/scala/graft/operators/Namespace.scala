@@ -163,8 +163,26 @@ object Namespace {
       .agg(count(lit(1)).as("num_files"), sum(col("size")).as("size_of_files"))
       .orderBy(col("volume").asc, col("bucket").asc, col("dir").asc)
 
+  /** Registered binding of [[du]] at depth 3, reshaped onto the numeric
+    * directory identity (guide §2.3; bijection documented on
+    * ObjectStoreView.keyDirNarrow): every binding key has exactly
+    * data/<year>/<month>/<file> shape, so the depth-3 dir equals
+    * "data/YYYY/MM" and the corpus aggregate can hash four ints instead
+    * of building and re-slicing the key text per row; the dir string is
+    * assembled once per surviving directory. The generic [[du]] operator
+    * (any keys frame, any depth) is unchanged and spec-covered.
+    */
   def nsDu(spark: SparkSession, dir: String): DataFrame =
-    du(ObjectStoreView.keys(spark, dir), 3)
+    ObjectStoreView.keyDirNarrow(spark, dir)
+      .groupBy(col("v3"), col("b5"), col("yr"), col("mo"))
+      .agg(count(lit(1)).as("num_files"), sum(col("size")).as("size_of_files"))
+      .select(
+        concat(lit("vol"), col("v3").cast("string")).as("volume"),
+        concat(lit("b"), col("b5").cast("string")).as("bucket"),
+        concat(lit("data/"), col("yr").cast("string"), lit("/"),
+          lpad(col("mo").cast("string"), 2, "0")).as("dir"),
+        col("num_files"), col("size_of_files"))
+      .orderBy(col("volume").asc, col("bucket").asc, col("dir").asc)
 
   /** The dir expression slices the first 3 path segments and rejoins — for
     * keys with fewer segments it yields the whole key, exactly like Spark's
